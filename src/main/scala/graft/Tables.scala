@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet star schema
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §A).
+  *
+  * Design notes for scale (100 TB target):
+  *  - Plain `spark.read.parquet` keeps the scan lazy and lets Catalyst
+  *    push filters + prune columns into the parquet reader
+  *    (`PushedFilters` / `ReadSchema` in the formatted plan). We do NOT
+  *    force a schema: the footer schema is authoritative and forcing one
+  *    would disable schema-evolution handling at no benefit.
+  *  - No caching here: each named query owns its plan end-to-end so the
+  *    driver/bench harness measures a realistic cold path, and at real
+  *    scale these tables would not fit in memory anyway.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The reference's analytical-query surface, recast onto the fixture star
+  * schema (FIXTURES.md §A): fact = `lineitem` (≅ offers), dims =
+  * `supplier` (≅ retailers) and `part` (≅ products, `p_type` standing in
+  * for `brand_names`).
+  *
+  * Flagship = the retailer price-segmentation query of
+  * `/root/reference/sql.py:4-25`: 3-table star join, regex filter
+  * (`sql.py:20`), group-by + AVG (`sql.py:13,21`), CASE bucketing
+  * (`sql.py:14-16`), post-aggregation filter (`sql.py:23`), RANK window
+  * (`sql.py:8`), ROUND projection (`sql.py:9`), multi-key sort
+  * (`sql.py:24`).
+  *
+  * Scale design: `lineitem` is the only large input; `supplier`/`part`
+  * are dimensions that Spark broadcast-joins (they stay below the
+  * autoBroadcastJoinThreshold at any realistic dim/fact ratio, and AQE
+  * re-plans if not). The aggregation is partial+final hash aggregate, so
+  * the single shuffle carries only (suppkey → partial sum/count), not raw
+  * rows. The window partitions by `segment` (low cardinality) but runs
+  * over post-aggregation data (one row per supplier), which is tiny at
+  * any scale; the final sort is equally post-aggregation.
+  *
+  * Float determinism vs the DuckDB oracle: AVG over double is
+  * summation-order-dependent, so both sides compute
+  * `CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)` — the
+  * decimal sum is exact, the quotient is one IEEE-754 operation on
+  * identical inputs, hence bit-identical across engines (SURVEY §7.4).
+  */
+object RelationalQueries extends graft.QueryModule {
+
+  /** Exact, order-insensitive mean of a 2-decimal price column; see
+    * class doc. Same expression shape as the oracle SQL.
+    */
+  private def exactAvg(price: Column): Column =
+    sum(price.cast(DecimalType(18, 2))).cast("double") / count(lit(1))
+
+  /** sql.py:4-25 recast. Segment thresholds 52000/54000 play the role of
+    * the reference's 100/200 (`sql.py:14-16`); the regex alternation
+    * `(economy|promo|standard)` plays `(nike|adidas|vans)` (`sql.py:20`).
+    */
+  def segmentation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val part = Tables.part(spark, dir)
+
+    val joined = li
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .filter(lower(col("p_type")).rlike("(economy|promo|standard)"))
+
+    val agg = joined
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(exactAvg(col("l_extendedprice")).as("avg_product_price"))
+      .withColumn(
+        "segment",
+        when(col("avg_product_price") < 52000, "Normal")
+          .when(col("avg_product_price").between(52000, 54000), "High End")
+          .otherwise("Very High End"))
+
+    // Reference order: WHERE on the derived column runs before the
+    // window (sql.py:8,23) — rank is computed over the filtered set.
+    val w = Window.partitionBy(col("segment")).orderBy(col("avg_product_price").desc)
+    agg
+      .filter(col("segment") =!= "Very High End")
+      .withColumn("supplier_rank", rank().over(w))
+      .select(
+        col("s_name").as("supplier_name"),
+        col("segment"),
+        col("supplier_rank"),
+        round(col("avg_product_price"), 2).as("avg_product_price_usd"))
+      .orderBy(col("segment"), col("supplier_rank"))
+  }
+
+  val segmentationOracle: String =
+    """SELECT supplier_name, segment, supplier_rank, round(avg_product_price, 2) AS avg_product_price_usd
+      |FROM (
+      |  SELECT supplier_name, segment,
+      |         RANK() OVER (PARTITION BY segment ORDER BY avg_product_price DESC) AS supplier_rank,
+      |         avg_product_price
+      |  FROM (
+      |    SELECT s.s_name AS supplier_name,
+      |           CASE WHEN a.avg_product_price < 52000 THEN 'Normal'
+      |                WHEN a.avg_product_price BETWEEN 52000 AND 54000 THEN 'High End'
+      |                ELSE 'Very High End' END AS segment,
+      |           a.avg_product_price
+      |    FROM (
+      |      SELECT l.l_suppkey,
+      |             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_product_price
+      |      FROM lineitem l
+      |      JOIN part p ON p.p_partkey = l.l_partkey
+      |      WHERE regexp_matches(lower(p.p_type), '(economy|promo|standard)')
+      |      GROUP BY l.l_suppkey
+      |    ) a
+      |    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+      |  ) b
+      |  WHERE segment <> 'Very High End'
+      |) c
+      |ORDER BY segment, supplier_rank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segmentation" -> segmentation
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_segmentation" -> segmentationOracle
+  )
+}
