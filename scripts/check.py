@@ -56,7 +56,8 @@ def main():
         for c in got.columns:
             a, b = got[c], exp[c]
             if pd.api.types.is_datetime64_any_dtype(a) or pd.api.types.is_datetime64_any_dtype(b):
-                same = pd.to_datetime(a).astype("int64").equals(pd.to_datetime(b).astype("int64"))
+                same = (pd.to_datetime(a).astype("datetime64[ns]").astype("int64")
+                        .equals(pd.to_datetime(b).astype("datetime64[ns]").astype("int64")))
             elif a.dtype.kind in "fc" or b.dtype.kind in "fc":
                 same = ((a.isna() & b.isna()) | (a == b)).all()
             else:

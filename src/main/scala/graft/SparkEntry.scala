@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RelationalQueries
+import graft.operators.{OperatorCatalog, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,9 @@ import graft.operators.RelationalQueries
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    OperatorCatalog,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

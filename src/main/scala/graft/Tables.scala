@@ -26,7 +26,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which the Spark
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+    * nanos via the legacy conf and convert to micros TimestampType with
+    * integer division (floor — matches DuckDB's ns→us truncation; a
+    * double division would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

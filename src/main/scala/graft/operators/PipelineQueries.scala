@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.pipeline.Upsert
+
+/** Pipeline-layer capabilities of the reference exposed as named
+  * queries: JSON payload parsing (the `parse_data` projections P1-P4 /
+  * JSON:API flattening §1.2), list flattening (P6), and the idempotent
+  * upsert sink (K1/T2) expressed through [[graft.pipeline.Upsert]].
+  */
+object PipelineQueries extends graft.QueryModule {
+
+  // ===== P1-P4/E7/E12 shape: parse JSON payload column, cast, aggregate =====
+  def jsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+
+  // ===== P6: flatten (nested list -> rows), token counting =====
+  def flattenTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+
+  // ===== K1/T2: idempotent upsert (db.py:51-67) as a query =====
+  /** Derives an update batch from `orders` (every 100th key gets a new
+    * status and a +10% price, computed in exact decimal), merges it
+    * last-writer-wins on the PK via [[Upsert]], and projects the merged
+    * state. Semantics mirrored: updated PKs overwrite wholesale, new
+    * PKs insert (the derived batch has no new PKs — insert-new is
+    * covered by the unit tests), untouched PKs pass through.
+    */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val updates = orders
+      .filter(col("o_orderkey") % 100 === 0)
+      .withColumn(
+        "o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("U"))
+    Upsert(orders, updates, Seq("o_orderkey"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_parse" -> jsonParse,
+    "q_flatten" -> flattenTokens,
+    "q_upsert" -> upsertMerge
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_json_parse" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       max(CAST(ts AS TIMESTAMP)) AS max_ts
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_flatten" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok""".stripMargin,
+    "q_upsert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rn
+        |  FROM (
+        |    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS prio FROM orders
+        |    UNION ALL
+        |    SELECT o_orderkey, 'U' AS o_orderstatus,
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS o_totalprice,
+        |           1 AS prio
+        |    FROM orders WHERE o_orderkey % 100 = 0
+        |  ) u
+        |) m WHERE rn = 1""".stripMargin
+  )
+}

@@ -82,7 +82,7 @@ object RelationalQueries extends graft.QueryModule {
     """SELECT supplier_name, segment, supplier_rank, round(avg_product_price, 2) AS avg_product_price_usd
       |FROM (
       |  SELECT supplier_name, segment,
-      |         RANK() OVER (PARTITION BY segment ORDER BY avg_product_price DESC) AS supplier_rank,
+      |         CAST(RANK() OVER (PARTITION BY segment ORDER BY avg_product_price DESC) AS INT) AS supplier_rank,
       |         avg_product_price
       |  FROM (
       |    SELECT s.s_name AS supplier_name,
