@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{OperatorCatalog, PipelineQueries, RelationalQueries}
+import graft.operators.{DedupQueries, OperatorCatalog, PipelineQueries, RelationalQueries, SimilarityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,9 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     OperatorCatalog,
-    PipelineQueries
+    PipelineQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

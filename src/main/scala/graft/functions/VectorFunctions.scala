@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` embedding columns.
+  *
+  * Two precision modes:
+  *  - [[cosine]] / [[dot]]: full float precision via `zip_with` +
+  *    `aggregate` — codegen-friendly Catalyst built-ins, the fast path
+  *    for production scoring where bit-reproducibility across engines
+  *    is not required.
+  *  - [[quantized]]: `round(x*1000)` int64 components. Downstream
+  *    integer sums are exact and order-insensitive, which is what the
+  *    cross-engine-verified queries (DedupQueries/SimilarityQueries)
+  *    build their dot products from.
+  */
+object VectorFunctions {
+
+  /** Float-path dot product: sum of elementwise products (left fold in
+    * index order, whole-stage-codegen'd by Catalyst).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Float-path cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantize components to int64 at 1/`scale` resolution (default
+    * 1e-3). `round` is half-away-from-zero in both Spark and DuckDB.
+    */
+  def quantized(v: Column, scale: Int = 1000): Column =
+    transform(v, x => round(x * lit(scale)).cast("bigint"))
+}

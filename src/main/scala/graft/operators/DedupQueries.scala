@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` fixture
+  * tables — the LLM-training-data-pipeline surface (BASELINE.json north
+  * star; these go beyond the reference, which only has exact-set dedup
+  * at `etl.py:52`).
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - Hashes are `md5` hex strings — identical in Spark and DuckDB, so
+  *    MinHash/SimHash signatures agree bit-for-bit.
+  *  - Jaccard thresholds compare integers (`9*inter >= 4*(na+nb)` is
+  *    `jaccard >= 0.8` rearranged) — no float boundary hazard.
+  *  - Vector math quantizes components to `round(x*1000)` int64 once,
+  *    then every aggregate is an exact integer sum (order-insensitive);
+  *    only the final cosine division/sqrt happens in double, one IEEE
+  *    op per engine on identical inputs.
+  *
+  * Scale design: everything is shuffle-by-key dataflow — shingling is a
+  * per-doc window (docs are bounded), LSH banding turns the quadratic
+  * near-dup search into equi-joins on band keys, and the exact-verify
+  * join only touches LSH candidates. No driver-side collection
+  * anywhere; each stage is a plain shuffle that partitions by doc/band
+  * key and would spread across executors unchanged at 100 TB.
+  */
+object DedupQueries extends graft.QueryModule {
+
+  // ===== exact dedup: hash-groupBy on content =====
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Distinct word-3-shingles per doc, built with a per-doc window
+    * (lead), which both engines express identically. `concat` (not
+    * concat_ws) so trailing incomplete shingles are NULL and drop out.
+    */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(
+        col("doc_id"),
+        concat(
+          col("tok"), lit(" "),
+          lead(col("tok"), 1).over(w), lit(" "),
+          lead(col("tok"), 2).over(w)).as("s"))
+      .filter(col("s").isNotNull)
+      .distinct()
+  }
+
+  // ===== MinHash + LSH banding + exact verify =====
+  /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
+    * rows -> candidate pairs sharing any band, then exact-Jaccard
+    * verification of candidates only. Threshold 0.8 via integer
+    * comparison. This is the scale path for near-dedup: banding makes
+    * the candidate join an equi-join, so cost tracks the number of
+    * true near-dups, not n^2.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+
+    val nSeeds = 9
+    val minhashCols = (0 until nSeeds).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhashCols.head, minhashCols.tail: _*)
+
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
+        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
+        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
+      )).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    val inter = cand
+      .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+
+    inter
+      .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(lit(9) * col("c") >= lit(4) * (col("za.n_sh") + col("zb.n_sh"))) // jaccard >= 0.8
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("za.n_sh") + col("zb.n_sh") - col("c")).cast("double"))
+          .as("jaccard"))
+  }
+
+  // ===== SimHash: 32-bit signature from md5 nibbles =====
+  /** Token-multiset SimHash: per token, the first 8 md5 hex chars give
+    * 32 bits; bit j contributes +1/-1; signature bit = sum > 0. Both
+    * engines derive bits from the same md5 nibbles via the same
+    * strpos/shift arithmetic, so signatures match exactly.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 8).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bitpos"))
+      // `bitpos div 4`, not `/`: int `/` is true division in both engines
+      // but the double->int cast then TRUNCATES in Spark and ROUNDS in
+      // DuckDB — explicit integer division keeps them identical.
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h, cast(bitpos div 4 as int) + 1, 1)) - 1"))
+      .withColumn("v", expr("CASE WHEN ((nib >> (bitpos % 4)) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("bitpos"))
+      .agg(sum(col("v")).as("sv"))
+      .withColumn("b", when(col("sv") > 0, "1").otherwise("0"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(bitpos, b))), x -> x.b)"), "")
+          .as("simhash"))
+
+  // ===== n-gram (word bigram) Jaccard near-dup, inverted-index join =====
+  /** All-pairs exact bigram Jaccard >= 0.7, with a length-difference
+    * block (|n_chars delta| <= 30) — the classic inverted-index +
+    * blocking shape: candidate pairs come from co-occurring bigrams,
+    * never from a cross join.
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("n_chars"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+      .cache()
+
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+
+    val inter = grams.alias("a").join(grams.alias("b"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 30)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+
+    inter
+      .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(lit(17) * col("c") >= lit(7) * (col("za.n_g") + col("zb.n_g"))) // jaccard >= 0.7
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("za.n_g") + col("zb.n_g") - col("c")).cast("double"))
+          .as("jaccard"))
+  }
+
+  // ===== embedding near-dup: quantized cosine within label blocks =====
+  /** Near-duplicate vectors by cosine >= 0.45 among same-label pairs
+    * (label = the blocking key; at scale this is the LSH/IVF bucket).
+    * Components quantized to int64 so dot products and norms are exact
+    * integer sums; see class doc.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(embedding, x -> cast(round(x * 1000) as bigint))"))
+          .as(Seq("p", "q")))
+      .cache()
+
+    val norms = q.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+
+    val dots = q.alias("a").join(q.alias("b"),
+        col("a.p") === col("b.p") &&
+          col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"))
+      .agg(sum(col("a.q") * col("b.q")).as("dot"))
+
+    dots
+      .join(norms.alias("na"), col("vec_a") === col("na.vec_id"))
+      .join(norms.alias("nb"), col("vec_b") === col("nb.vec_id"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "label", "cosine")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_embedding" -> dedupEmbedding
+  )
+
+  /** Shared CTE: distinct word-3-shingles, lead-window construction —
+    * textually identical semantics to [[shingles]].
+    */
+  private val shinglesCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
+        |         min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+        |         min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || m4 || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || m7 || m8 FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS c
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+        |  GROUP BY doc_a, doc_b
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes za ON za.doc_id = doc_a
+        |JOIN sizes zb ON zb.doc_id = doc_b
+        |WHERE 9 * c >= 4 * (za.n_sh + zb.n_sh)""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, substring(md5(unnest(string_split(text,' '))), 1, 8) AS h
+        |  FROM documents
+        |), bits AS (
+        |  SELECT doc_id, h, unnest(range(0, 32)) AS bitpos FROM tok
+        |), v AS (
+        |  SELECT doc_id, bitpos,
+        |         CASE WHEN (((strpos('0123456789abcdef', substring(h, CAST(bitpos // 4 AS INT) + 1, 1)) - 1)
+        |                    >> (bitpos % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v
+        |  FROM bits
+        |), sums AS (
+        |  SELECT doc_id, bitpos, sum(v) AS sv FROM v GROUP BY doc_id, bitpos
+        |)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+        |FROM sums GROUP BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, n_chars, tok || ' ' || lead(tok) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), grams AS (SELECT DISTINCT doc_id, n_chars, g FROM g0 WHERE g IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM grams a JOIN grams b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(c AS DOUBLE) / CAST(za.n_g + zb.n_g - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes za ON za.doc_id = doc_a
+        |JOIN sizes zb ON zb.doc_id = doc_b
+        |WHERE 17 * c >= 7 * (za.n_g + zb.n_g)""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         generate_subscripts(embedding, 1) AS p,
+        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS q
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM q a JOIN q b
+        |    ON a.p = b.p AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT vec_a, vec_b, label,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.vec_id = vec_a
+        |JOIN norms nb ON nb.vec_id = vec_b
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45""".stripMargin
+  )
+}
