@@ -39,6 +39,22 @@ object Dev {
           println(s"\n========== $name ==========")
           fn(spark, dir).explain("formatted")
         }
+      case "stream" :: op :: dir :: Nil =>
+        import graft.streaming.StreamingOps
+        val events = StreamingOps.eventStream(spark, dir)
+        val df = op match {
+          case "windows"  => StreamingOps.windowedCounts(events)
+          case "sessions" => StreamingOps.sessionCounts(events)
+          case "dedup"    => StreamingOps.dedupWithinWatermark(events)
+          case "totals"   => StreamingOps.userRunningTotals(spark, events).toDF()
+        }
+        val mode = if (op == "dedup") "append" else if (op == "totals") "update" else "complete"
+        val q = df.writeStream.outputMode(mode).format("memory").queryName("dev_stream").start()
+        q.processAllAvailable()
+        q.stop()
+        val out = spark.table("dev_stream")
+        println(s"rows: ${out.count()}")
+        out.show(10, truncate = false)
       case other =>
         System.err.println(s"unknown args: $other")
         sys.exit(2)

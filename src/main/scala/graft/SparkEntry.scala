@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupQueries, OperatorCatalog, PipelineQueries, RelationalQueries, SimilarityQueries}
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,10 @@ object SparkEntry {
     OperatorCatalog,
     PipelineQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    TextAnalysisQueries,
+    EventQueries,
+    graft.multimodal.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

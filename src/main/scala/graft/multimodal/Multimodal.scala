@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal column support: media as opaque `binary` payloads with a
+  * typed metadata struct, plus the decode / feature-extract / resize /
+  * frame-sample plumbing an image/audio pipeline needs.
+  *
+  * The actual codec is STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] derives deterministic "features" from the
+  * raw bytes. Everything around the stub — schema, binary handling,
+  * partition-preserving mapPartitions with an explicit output encoder,
+  * batched iteration — is the real Spark shape a production decoder
+  * drops into (in PySpark this is mapInPandas; the JVM-native
+  * equivalent is mapPartitions over batched rows).
+  *
+  * Scale: decode is embarrassingly parallel per partition; metadata
+  * lives in a struct column so pruning can skip payload bytes when a
+  * query touches only metadata (columnar parquet stores them
+  * separately).
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("n_frames", IntegerType)))
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes
+    * (deterministic stand-in for encoded media), metadata derived from
+    * document stats.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        col("n_chars").cast(IntegerType).as("width"),
+        lit(1).as("height"),
+        lit("txt").as("format"),
+        size(split(col("text"), " ")).as("n_frames")).as("meta"))
+
+  val N_BINS = 16
+
+  /** STUB decoder: byte histogram over `payload % 16`. A real decoder
+    * (JPEG -> pixels, PCM -> spectrogram) replaces only this function;
+    * the mapPartitions harness around it stays.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](N_BINS)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % N_BINS) += 1
+      i += 1
+    }
+    hist
+  }
+
+  /** Feature extraction over the media table: partition-parallel decode
+    * with an explicit row encoder — the JVM analog of a batched
+    * mapInPandas UDF.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }(enc)
+  }
+
+  /** STUB resize: updates metadata and truncates the payload
+    * proportionally (a real implementation re-encodes pixels).
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame =
+    media
+      .withColumn("payload", expr(s"substring(payload, 1, $width)"))
+      .withColumn("meta", struct(
+        lit(width).as("width"), lit(height).as("height"),
+        col("meta.format").as("format"), col("meta.n_frames").as("n_frames")))
+
+  /** Frame sampling: one output row per kept frame (every `everyN`-th),
+    * payload sliced per frame — the explode shape a video pipeline uses.
+    */
+  def frameSample(media: DataFrame, everyN: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"), col("meta"),
+        explode(expr(s"sequence(0, meta.n_frames - 1, $everyN)")).as("frame_no"))
+      .withColumn("frame_payload",
+        expr("substring(payload, frame_no * greatest(1, length(payload) div meta.n_frames) + 1, " +
+          "greatest(1, length(payload) div meta.n_frames))"))
+      .select("media_id", "frame_no", "frame_payload", "meta")
+}
+
+/** Driver-checked query surface for the multimodal plumbing: the
+  * feature histogram is SQL-expressible on the text stand-in, so the
+  * mapPartitions decode path gets a DuckDB oracle.
+  */
+object MultimodalQueries extends graft.QueryModule {
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
+    val cols = (0 until Multimodal.N_BINS).map(i => col("features").getItem(i).as(s"f$i"))
+    feats.select(col("media_id") +: cols: _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> mediaFeatures
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_media_features" -> {
+      val bins = (0 until Multimodal.N_BINS)
+        .map(i => s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n        ")
+      s"""SELECT doc_id AS media_id,
+        |        $bins
+        |FROM (
+        |  SELECT doc_id, ord(substring(text, i, 1)) % ${Multimodal.N_BINS} AS b
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) g
+        |) t GROUP BY doc_id""".stripMargin
+    }
+  )
+}

@@ -169,7 +169,7 @@ object DedupQueries extends graft.QueryModule {
   }
 
   // ===== embedding near-dup: quantized cosine within label blocks =====
-  /** Near-duplicate vectors by cosine >= 0.45 among same-label pairs
+  /** Near-duplicate vectors by cosine >= 0.40 among same-label pairs
     * (label = the blocking key; at scale this is the LSH/IVF bucket).
     * Components quantized to int64 so dot products and norms are exact
     * integer sums; see class doc.
@@ -197,7 +197,7 @@ object DedupQueries extends graft.QueryModule {
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= 0.40)
       .select("vec_a", "vec_b", "label", "cosine")
   }
 
@@ -315,6 +315,6 @@ object DedupQueries extends graft.QueryModule {
         |FROM dots
         |JOIN norms na ON na.vec_id = vec_a
         |JOIN norms nb ON nb.vec_id = vec_b
-        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45""".stripMargin
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40""".stripMargin
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Event-time operators over the `events` table: tumbling, sliding and
+  * session windows plus keyed dedup — the batch expression of the
+  * semantics the streaming module (graft.streaming) runs incrementally
+  * with watermarks. The reference's own incremental machinery is
+  * processing-time only (SURVEY §2.10 T5); these add real event-time
+  * handling.
+  *
+  * Scale: all window aggregations key on (bucket, type) or user_id —
+  * plain hash shuffles; the session build is a per-user sort window
+  * (users are bounded); nothing accumulates unbounded driver state.
+  */
+object EventQueries extends graft.QueryModule {
+
+  private def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ===== tumbling window (15 min), epoch-aligned in both engines =====
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ===== sliding window (30 min window, 10 min slide) =====
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ===== session window (30 min gap) per user =====
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  // ===== keyed dedup: first event per (user, type), deterministic =====
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_window" -> tumbling,
+    "q_sliding_window" -> sliding,
+    "q_session_window" -> sessionize,
+    "q_dedup_events" -> dedupEvents
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS win_start,
+        |       time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 15 MINUTE AS win_end,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) - k.k * INTERVAL 10 MINUTE AS win_start,
+        |       time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) - k.k * INTERVAL 10 MINUTE + INTERVAL 30 MINUTE AS win_end,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+        |), numbered AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged
+        |)
+        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |       user_id, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sess_id""".stripMargin,
+    "q_dedup_events" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events
+        |) e WHERE rn = 1""".stripMargin
+  )
+}

@@ -70,11 +70,20 @@ object OperatorCatalog extends graft.QueryModule {
       .select("p_partkey", "p_brand", "p_type")
 
   // ===== F9/A1: post-aggregation filter on derived column =====
-  def havingFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
+  /** Brands whose average retail price beats the global average — the
+    * threshold is data-relative so the filter stays non-trivial at
+    * every scale factor. Both engines derive the global average with
+    * the same exact-decimal arithmetic, so the comparison literal is
+    * bit-identical.
+    */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val globalAvg = part.agg(exactAvg(col("p_retailprice"))).head().getDouble(0)
+    part
       .groupBy(col("p_brand"))
       .agg(exactAvg(col("p_retailprice")).as("avg_retail"))
-      .filter(col("avg_retail") > 950)
+      .filter(col("avg_retail") > globalAvg)
+  }
 
   // ===== F2/J3/T1/E4/O5: incremental recency anti-join (etl.py:14-20) =====
   def incremental(spark: SparkSession, dir: String): DataFrame = {
@@ -278,7 +287,8 @@ object OperatorCatalog extends graft.QueryModule {
       """SELECT p_brand,
         |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_retail
         |FROM part GROUP BY p_brand
-        |HAVING CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) > 950""".stripMargin,
+        |HAVING CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) >
+        |       (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) FROM part)""".stripMargin,
     "q_incremental" ->
       """SELECT DISTINCT c_custkey, c_name FROM customer
         |WHERE lower(c_name) NOT IN (

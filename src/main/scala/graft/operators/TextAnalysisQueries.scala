@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the LLM-pipeline quality
+  * toolkit: language ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Determinism: all scoring sums are integer counts (no float log-prob
+  * sums, which would be summation-order-dependent across engines);
+  * ratios are single double divisions of exact integers; argmax picks
+  * carry an explicit tiebreak.
+  *
+  * Scale design: the only non-per-row state is the language profile
+  * (langs x vocabulary) — tiny, so its join broadcasts; everything else
+  * is per-document map work or a per-doc window, which partitions
+  * freely. At 100 TB the profile build is one shuffle over (lang, tok)
+  * and the scorer stays a broadcast join.
+  */
+object TextAnalysisQueries extends graft.QueryModule {
+
+  /** Unigram-profile language ID: the corpus' own (lang, token) counts
+    * are the model; a doc's score for a language is the sum of that
+    * language's counts over the doc's token occurrences (integer-
+    * exact); prediction = argmax score, ties to the alphabetically
+    * first language.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val profile = toks.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val scores = toks
+      .join(broadcast(profile), col("tok") === col("p_tok"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("cnt")).as("score"))
+
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Heuristic quality score from length/diversity/stopword signals.
+    * All ratios are double divisions of exact integer counts.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val stats = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"),
+      sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(stats, Seq("doc_id"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_tok_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) *
+          (lit(0.5) + lit(0.5) * col("distinct_ratio")))
+      .select("doc_id", "n_tokens", "n_distinct", "n_stop",
+        "distinct_ratio", "stop_ratio", "avg_tok_len", "quality")
+  }
+
+  /** Whitespace token count plus a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word, integer arithmetic).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("ws_tokens"),
+        sum(expr("(length(tok) + 3) div 4")).as("subword_est"))
+      .select("doc_id", "n_chars", "ws_tokens", "subword_est")
+
+  /** Winnowing fingerprint: md5 rolling hashes of token 4-grams, local
+    * minima over a 5-hash sliding window, digest = md5 of the sorted
+    * distinct minima. Standard winnowing guarantees shared substrings
+    * of length >= window+gram-1 produce shared fingerprints.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        md5(concat(
+          col("tok"), lit(" "),
+          lead(col("tok"), 1).over(w), lit(" "),
+          lead(col("tok"), 2).over(w), lit(" "),
+          lead(col("tok"), 3).over(w))).as("h"))
+      .filter(col("h").isNotNull)
+
+    val winMin = grams
+      .withColumn("minh", min(col("h")).over(w.rowsBetween(0, 4)))
+      .select(col("doc_id"), col("minh"))
+      .distinct()
+
+    winMin.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"),
+      md5(array_join(array_sort(collect_list(col("minh"))), "")).as("digest"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> langId,
+    "q_text_quality" -> qualityScore,
+    "q_token_count" -> tokenCount,
+    "q_fingerprint" -> fingerprint
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents
+        |), profile AS (
+        |  SELECT lang AS p_lang, tok AS p_tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+        |), scores AS (
+        |  SELECT t.doc_id, t.lang, p.p_lang, CAST(sum(p.cnt) AS BIGINT) AS score
+        |  FROM toks t JOIN profile p ON t.tok = p.p_tok
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, lang, p_lang AS pred_lang, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn
+        |  FROM scores
+        |) r WHERE rn = 1""".stripMargin,
+    "q_text_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+        |         CAST(sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM toks GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, s.n_tokens, s.n_distinct, s.n_stop,
+        |       CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS distinct_ratio,
+        |       CAST(s.n_stop AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS stop_ratio,
+        |       CAST(d.n_chars - s.n_tokens + 1 AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS avg_tok_len,
+        |       least(CAST(s.n_tokens AS DOUBLE) / 50.0, 1.0) *
+        |         (0.5 + 0.5 * (CAST(s.n_distinct AS DOUBLE) / CAST(s.n_tokens AS DOUBLE))) AS quality
+        |FROM documents d JOIN stats s ON d.doc_id = s.doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, n_chars, count(*) AS ws_tokens,
+        |       CAST(sum((length(tok) + 3) // 4) AS BIGINT) AS subword_est
+        |FROM (SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS tok FROM documents) t
+        |GROUP BY doc_id, n_chars""".stripMargin,
+    "q_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pos,
+        |         md5(tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w || ' ' || lead(tok,3) OVER w) AS h
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), hashed AS (SELECT doc_id, pos, h FROM grams WHERE h IS NOT NULL),
+        |winmin AS (
+        |  SELECT DISTINCT doc_id,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS minh
+        |  FROM hashed
+        |)
+        |SELECT doc_id, count(*) AS n_fp,
+        |       md5(string_agg(minh, '' ORDER BY minh)) AS digest
+        |FROM winmin GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming expression of the engine's incremental
+  * semantics (SURVEY §2.10): the reference's batch pipeline re-runs
+  * with a recency watermark + idempotent sink; the streaming-native
+  * form is event-time watermarks + windowed/stateful operators +
+  * idempotent micro-batch commits via foreachBatch.
+  *
+  * All transforms take the streaming DataFrame as input and return a
+  * streaming DataFrame, so they compose under any sink/trigger. Tests
+  * drive them with a memory sink + processAllAvailable (batch parquet
+  * as a one-batch stream).
+  *
+  * Scale: state stores are keyed by (window, type) / user — bounded by
+  * key cardinality and pruned by the watermark; no per-record unbounded
+  * state.
+  */
+object StreamingOps {
+
+  /** Raw parquet schema of `events` (ts is INT64 nanos on disk; see
+    * graft.Tables.events for the batch-side handling).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table: nanos -> micros TimestampType,
+    * same conversion as the batch reader.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource streams DIRECTORIES of arriving files (its
+    // production contract). The fixture keeps several tables in one
+    // dir, so stage a directory containing just the events file
+    // (symlink — no data copy).
+    val eventsFile = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), eventsFile)
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 15-minute counts with a 1-hour watermark: late events
+    * beyond the watermark are dropped, finalized windows emit once
+    * (append mode capable).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user under a watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("user_id"), col("n"))
+
+  /** Streaming exactly-once-effect dedup on the natural key: state for
+    * a key is dropped once the watermark passes — the streaming
+    * equivalent of the reference's idempotent upsert (db.py:51-67).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * flatMapGroupsWithState — the escape hatch for semantics the
+    * built-in aggregations can't express.
+    */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotal(userId, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Idempotent micro-batch sink: each batch MERGEs into the target via
+    * the batch Upsert (K4/T3 in SURVEY — per-page eager commit). The
+    * path writes last-writer-wins parquet snapshots per batch.
+    */
+  def foreachBatchUpsert(
+      stream: DataFrame, pk: Seq[String], targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val target = try {
+        spark.read.parquet(targetPath)
+      } catch {
+        case _: Throwable => batch.limit(0)
+      }
+      val merged = graft.pipeline.Upsert(target, batch, pk)
+      // Two-phase write: parquet cannot overwrite in place from itself.
+      val tmp = targetPath + s"_batch$batchId"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+    }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity invariants over the query catalog at sf0.001 (the DuckDB
+  * hash-compare is the primary gate — these are fast structural
+  * checks + the reference-fidelity cases from FIXTURES.md).
+  */
+class CatalogSpec extends SparkSpec {
+
+  test("every query has a unique name and every oracle points at a query") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("entry (flagship) returns rows at smoke scale with both segments ranked from 1") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bySegment = rows.groupBy(_.getString(1))
+    bySegment.foreach { case (_, rs) => assert(rs.map(_.getInt(2)).min == 1) }
+    // reference drops the top bucket (sql.py:23)
+    assert(!bySegment.contains("Very High End"))
+  }
+
+  test("segmentation CASE boundaries are inclusive (BETWEEN, sql.py:15)") {
+    import spark.implicits._
+    val df = Seq(51999.99, 52000.0, 54000.0, 54000.01).toDF("v")
+      .withColumn("segment",
+        when(col("v") < 52000, "Normal")
+          .when(col("v").between(52000, 54000), "High End")
+          .otherwise("Very High End"))
+    assert(df.as[(Double, String)].collect().toSeq ==
+      Seq((51999.99, "Normal"), (52000.0, "High End"),
+        (54000.0, "High End"), (54000.01, "Very High End")))
+  }
+
+  test("rank has gaps after ties (RANK not DENSE_RANK, sql.py:8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("s", 10.0), ("s", 10.0), ("s", 5.0)).toDF("seg", "v")
+    val rk = df.withColumn("r", rank().over(Window.partitionBy("seg").orderBy(col("v").desc)))
+      .select("r").as[Int].collect().sorted.toSeq
+    assert(rk == Seq(1, 1, 3))
+  }
+
+  test("every catalog query executes non-empty at sf0.001") {
+    val allowEmpty = Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+}

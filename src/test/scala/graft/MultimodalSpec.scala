@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table carries binary payload + typed metadata struct") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.metaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(media.count() == 500)
+  }
+
+  test("feature extraction decodes per partition, preserving row count") {
+    val media = Multimodal.mediaTable(spark, sf0001).repartition(3)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 500)
+    val r = feats.orderBy("media_id").head()
+    val hist = r.getSeq[Long](1)
+    assert(hist.length == Multimodal.N_BINS)
+    // histogram mass equals payload length
+    val len = media.orderBy("media_id").select(length(col("payload"))).head().getInt(0)
+    assert(hist.sum == len)
+  }
+
+  test("resize updates metadata and truncates payload") {
+    val out = Multimodal.resize(Multimodal.mediaTable(spark, sf0001), 16, 16)
+    val r = out.head()
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 16)
+    assert(r.getAs[Array[Byte]]("payload").length <= 16)
+  }
+
+  test("frame sampling emits every Nth frame with sliced payload") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val frames = Multimodal.frameSample(media, everyN = 4)
+    val perDoc = frames.groupBy("media_id").count()
+      .join(media.select(col("media_id"), col("meta.n_frames")), "media_id")
+      .withColumn("expected", ceil(col("n_frames") / 4.0))
+      .filter(col("count") =!= col("expected"))
+    assert(perDoc.count() == 0)
+    assert(frames.filter(col("frame_no") % 4 =!= 0).count() == 0)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{IncrementalFilter, Parse, Upsert}
+
+/** Unit tests for the pipeline layer, covering the fixture cases of
+  * FIXTURES.md §B (anti-join recency, upsert semantics, JSON:API
+  * parse).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ===== IncrementalFilter (F2/J3/T1, etl.py:14-20) =====
+
+  test("incremental filter drops recent keys case-insensitively") {
+    val candidates = Seq("Nike", "Adidas", "VANS", "Converse").toDF("name")
+    val recent = Seq("nike", "vans").toDF("name")
+    val out = IncrementalFilter(candidates, recent, "name", "name").as[String].collect().sorted
+    assert(out.toSeq == Seq("Adidas", "Converse"))
+  }
+
+  test("incremental filter dedups candidates (set semantics, etl.py:20)") {
+    val candidates = Seq("A", "A", "B").toDF("name")
+    val recent = Seq.empty[String].toDF("name")
+    assert(IncrementalFilter(candidates, recent, "name", "name").count() == 2)
+  }
+
+  test("incremental filter with empty recent set keeps all distinct candidates") {
+    val candidates = Seq(1, 2, 3).toDF("id")
+    val recent = Seq.empty[Int].toDF("id")
+    assert(IncrementalFilter(candidates, recent, "id", "id", caseInsensitive = false).count() == 3)
+  }
+
+  test("recency watermark is strictly greater-than (etl.py:15)") {
+    val sink = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-06-01 12:00:00")),
+      (2, java.sql.Timestamp.valueOf("2024-06-01 12:00:01"))).toDF("id", "updated_at")
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    val recent = IncrementalFilter.recent(sink, "updated_at", cutoff)
+    assert(recent.select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  // ===== Upsert (K1/T2, db.py:51-67) =====
+
+  private val base = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "s", "v")
+
+  test("upsert inserts new PKs and overwrites existing wholesale") {
+    val updates = Seq((2, "B2", 99.0), (3, "c", 30.0)).toDF("id", "s", "v")
+    val out = Upsert(base, updates, Seq("id")).orderBy("id")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(out == Seq((1, "a", 10.0), (2, "B2", 99.0), (3, "c", 30.0)))
+  }
+
+  test("upsert is idempotent (T2: at-least-once + idempotent = effectively-once)") {
+    val updates = Seq((2, "B2", 99.0)).toDF("id", "s", "v")
+    val once = Upsert(base, updates, Seq("id"))
+    val twice = Upsert(once, updates, Seq("id"))
+    assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
+  }
+
+  test("upsert leaves absent PKs absent (T4: absence is not knowledge)") {
+    val updates = Seq.empty[(Int, String, Double)].toDF("id", "s", "v")
+    assert(Upsert(base, updates, Seq("id")).count() == 2)
+  }
+
+  test("applyAll: later batches win over earlier ones (T3 eager commits)") {
+    val b1 = Seq((1, "x1", 1.0)).toDF("id", "s", "v")
+    val b2 = Seq((1, "x2", 2.0)).toDF("id", "s", "v")
+    val out = Upsert.applyAll(base, Seq(b1, b2), Seq("id"))
+      .filter($"id" === 1).as[(Int, String, Double)].collect().toSeq
+    assert(out == Seq((1, "x2", 2.0)))
+  }
+
+  test("upsert supports composite PKs") {
+    val b = Seq((1, "us", 10.0), (1, "eu", 11.0)).toDF("id", "region", "v")
+    val u = Seq((1, "eu", 99.0)).toDF("id", "region", "v")
+    val out = Upsert(b, u, Seq("id", "region")).orderBy("region")
+      .as[(Int, String, Double)].collect().toSeq
+    assert(out == Seq((1, "eu", 99.0), (1, "us", 10.0)))
+  }
+
+  // ===== Parse (P1-P6, db.py:79-158) =====
+
+  private val offerJson =
+    """{"data": [
+      |  {"id": "off-1", "attributes": {"product_id": "11", "retailer_id": "7",
+      |    "original_currency": "USD", "price_usd": "129.99", "price_gbp": "99.50",
+      |    "price_eur": "119.00"}},
+      |  {"id": "off-2", "attributes": {"product_id": "12", "retailer_id": "8",
+      |    "original_currency": "EUR", "price_usd": "89.00", "price_gbp": "70.10",
+      |    "price_eur": "82.35"}}
+      |], "meta": {"page": {"total_count": 2, "current_page": 1}}}""".stripMargin
+
+  test("parseOffers: string PK, int FK casts, exact decimal prices (db.py:99-112)") {
+    val out = Parse.parseOffers(Seq(offerJson).toDF("payload"), "payload", fixedClock)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getString(0) == "off-1")
+    assert(r.getInt(1) == 11 && r.getInt(2) == 7)
+    assert(r.getDecimal(4) == new java.math.BigDecimal("129.99"))
+    assert(out.schema("price_usd").dataType.typeName == "decimal(18,2)")
+    assert(r.getTimestamp(7) == java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+  }
+
+  test("parseProducts injects constant brand_id (P5, wdn_api.py:32-36)") {
+    val json =
+      """{"data": [{"id": "5", "attributes": {"name": "Air", "description": "d",
+        |"release_at": "2024-01-02 00:00:00", "brand_names": "Nike, Jordan"}}],
+        |"meta": {"page": {"total_count": 1, "current_page": 1}}}""".stripMargin
+    val out = Parse.parseProducts(Seq(json).toDF("payload"), "payload", brandId = 42, fixedClock)
+    val r = out.collect().head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 42)
+    assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+  }
+
+  test("flattenEnvelope yields zero rows for empty data (T4, wdn_api.py:81-87)") {
+    val json = """{"data": [], "meta": {"page": {"total_count": 0, "current_page": 1}}}"""
+    assert(Parse.parseBrands(Seq(json).toDF("payload"), "payload", fixedClock).count() == 0)
+  }
+
+  test("parseRetailers flattens one nesting level and casts id (P1, db.py:79-85)") {
+    val json =
+      """{"data": [{"id": "9", "attributes": {"name": "FootLocker", "website": "fl.com"}}],
+        |"meta": {"page": {"total_count": 1, "current_page": 1}}}""".stripMargin
+    val out = Parse.parseRetailers(Seq(json).toDF("payload"), "payload", fixedClock)
+    val r = out.collect().head
+    assert(r.getInt(0) == 9 && r.getString(1) == "FootLocker" && r.getString(2) == "fl.com")
+  }
+}

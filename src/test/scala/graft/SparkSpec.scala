@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for test suites (one per suite, lazy). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val sf0001 = "/root/testdata/sf0.001"
+
+  def fixedClock: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+}
