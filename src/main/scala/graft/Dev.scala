@@ -34,6 +34,33 @@ object Dev {
         SparkEntry.queries(q)(spark, dir).show(n, truncate = false)
       case "explain" :: q :: dir :: Nil =>
         SparkEntry.queries(q)(spark, dir).explain("formatted")
+      case "time" :: dir :: rest =>
+        val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toList.sorted
+        val times = names.map { name =>
+          val fn = SparkEntry.queries(name)
+          fn(spark, dir).count() // warm: plan + scans cached by OS, JIT warmed
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        times.sortBy(-_._2).foreach { case (n, t) => println(f"$t%8.2fs  $n") }
+        println(f"total (steady-state): ${times.map(_._2).sum}%.1fs")
+      case "cosbench" :: dir :: Nil =>
+        // fused codegen expression vs composable zip_with/aggregate path
+        import org.apache.spark.sql.functions._
+        val emb = Tables.embeddings(spark, dir).cache()
+        emb.count()
+        def timeIt(label: String, c: org.apache.spark.sql.Column): Unit = {
+          val df = emb.alias("a").crossJoin(emb.alias("b")).select(sum(c).as("s"))
+          df.count() // warm
+          val t0 = System.nanoTime()
+          df.count()
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        timeIt("composable (zip_with+aggregate)",
+          graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+        timeIt("fused codegen (CosineSimilarity)",
+          graft.functions.CosineSimilarity.cosine_fast(col("a.embedding"), col("b.embedding")))
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")

@@ -20,6 +20,7 @@ object SparkEntry {
     SimilarityQueries,
     TextAnalysisQueries,
     EventQueries,
+    AsOfQueries,
     graft.multimodal.MultimodalQueries
   )
 

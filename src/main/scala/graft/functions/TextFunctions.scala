@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array-expression text kernels. These build shingles/hashes as
+  * row-level higher-order-function chains (transform / slice /
+  * aggregate), which Catalyst evaluates inside whole-stage codegen —
+  * no explode, no per-document window sort, no shuffle. At 100 TB this
+  * is the difference between a map-only stage and a full sort+shuffle
+  * of every token.
+  *
+  * The exploded/window formulations (which DuckDB oracles mirror)
+  * produce identical values; these kernels are the fast path the
+  * operators actually execute.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** All n-word shingles (space-joined), in order, possibly with
+    * duplicates; empty array when the doc has fewer than n tokens.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** md5 of every element. */
+  def md5All(arr: Column): Column = transform(arr, x => md5(x))
+
+  /** Seeded MinHash value: min over md5(seed:element). */
+  def minhash(arr: Column, seed: Int): Column =
+    array_min(transform(arr, x => md5(concat(lit(s"$seed:"), x))))
+
+  /** Winnowing minima: for each position, the min of the `window`
+    * hashes starting there (window truncates at the end — slice
+    * semantics match ROWS BETWEEN CURRENT AND k FOLLOWING).
+    */
+  def winnowMinima(hashes: Column, window: Int): Column =
+    transform(
+      sequence(lit(0), size(hashes) - lit(1)),
+      i => array_min(slice(hashes, i + lit(1), lit(window))))
+
+  /** Integer value of the first 8 md5 hex chars of every token —
+    * precomputed once per doc so the 32 SimHash bit-votes reuse it.
+    */
+  val tokenHashValuesExpr: String =
+    "transform(split(text, ' '), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+
+  /** 32-bit SimHash signature over a precomputed `hvs` int array (see
+    * [[tokenHashValuesExpr]]). Bit b reads hex char b div 4 (hex chars
+    * are high-order-first, hence the 7 - ... shift) and nibble bit
+    * b % 4 — the exact mapping the DuckDB oracle spells out with
+    * strpos over hex chars. Pure expression tree, codegen-evaluated.
+    */
+  val simhash32Expr: String =
+    """array_join(
+      |  transform(sequence(0, 31), b ->
+      |    CASE WHEN aggregate(hvs, 0, (acc, hv) ->
+      |           acc + CASE WHEN (hv >> (4 * (7 - cast(b div 4 as int)) + b % 4)) & 1 = 1
+      |                      THEN 1 ELSE -1 END) > 0
+      |         THEN '1' ELSE '0' END),
+      |  '')""".stripMargin
+}

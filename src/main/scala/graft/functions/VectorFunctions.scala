@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Float-path dot product: sum of elementwise products (left fold in
-    * index order, whole-stage-codegen'd by Catalyst).
+  /** Dot product: sum of elementwise products (left fold in index
+    * order, whole-stage-codegen'd by Catalyst). Elements promote to
+    * double BEFORE multiplying — a bare float*float product would
+    * round to float32 first and lose ~1e-7 relative precision vs the
+    * fused CosineSimilarity kernel.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of join — the canonical operator Spark lacks natively: for every
+  * left row, attach the latest right row with `rightTime <= leftTime`
+  * within the same key.
+  *
+  * Implementation (preference order (a): compose built-ins): tag both
+  * sides, union, and run ONE window pass per key ordered by (time,
+  * side) carrying the last-seen right payload forward
+  * (`last(_, ignoreNulls = true)` over unbounded-preceding). Cost is a
+  * single shuffle on the key + a per-key sort — the same lower bound a
+  * native sort-merge as-of implementation pays — instead of the
+  * O(n x m) range join a naive `t2 <= t1` theta-join would produce.
+  * Right rows sort before left rows at equal timestamps, so an exact
+  * tie matches (ASOF <= semantics, as in DuckDB's ASOF JOIN).
+  *
+  * Scale: partitions by join key; state per row is one carried struct.
+  * Skewed keys shard like any window (salt the key, as-of within
+  * shard, merge) — documented tradeoff, not needed at fixture scale.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (keeps all rows — left-join semantics)
+    * @param right      quote side; its `payload` columns are carried
+    * @param key        equi-join key column name (same name both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payload    right-side columns to attach (prefixed `asof_`)
+    */
+  def apply(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType(right, payload)))
+    val r = right
+      .select((col(key) +: col(rightTime).as("__t") +:
+        struct(payload.map(col): _*).as("__payload") +: Nil): _*)
+      .withColumn("__side", lit(0))
+
+    val unioned = l.select(
+      (col(key) +: col("__t") +: col("__side") +: col("__payload") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val out = leftCols.map(col) ++
+      payload.map(p => col("__last").getField(p).as(s"asof_$p"))
+    matched.select(out: _*)
+  }
+
+  private def payloadType(right: DataFrame, payload: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+}
+
+/** Driver-checked as-of query: each purchase event matched to the
+  * user's latest click at-or-before it. Oracle = DuckDB's native
+  * ASOF JOIN.
+  */
+object AsOfQueries extends graft.QueryModule {
+
+  def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofClicks
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id,
+        |                       CAST(ts AS TIMESTAMP) AS click_ts
+        |                FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+  )
+}

@@ -36,23 +36,25 @@ object DedupQueries extends graft.QueryModule {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Distinct word-3-shingles per doc, built with a per-doc window
-    * (lead), which both engines express identically. `concat` (not
-    * concat_ws) so trailing incomplete shingles are NULL and drop out.
+  /** Per-doc DISTINCT word-3-shingle ARRAY, built as a row-level array
+    * expression (graft.functions.TextFunctions.wordShingles) — no
+    * explode, no per-doc window sort, no shuffle; the whole shingling
+    * stage stays inside whole-stage codegen. The DuckDB oracle spells
+    * the same set out with a lead() window; values are identical.
     */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(
-        col("doc_id"),
-        concat(
-          col("tok"), lit(" "),
-          lead(col("tok"), 1).over(w), lit(" "),
-          lead(col("tok"), 2).over(w)).as("s"))
-      .filter(col("s").isNotNull)
-      .distinct()
+  private def shingleArrays(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.select(
+      col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+        .as("sh_arr"))
   }
+
+  /** Exploded (doc_id, shingle) rows — only needed by the exact-verify
+    * join, which touches LSH candidates alone.
+    */
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleArrays(docs).select(col("doc_id"), explode(col("sh_arr")).as("s"))
 
   // ===== MinHash + LSH banding + exact verify =====
   /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
@@ -63,13 +65,15 @@ object DedupQueries extends graft.QueryModule {
     * true near-dups, not n^2.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    import graft.functions.TextFunctions
+    val shArr = shingleArrays(Tables.documents(spark, dir)).cache()
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("s"))
 
+    // signatures as row-level array_min expressions — no groupBy shuffle
     val nSeeds = 9
-    val minhashCols = (0 until nSeeds).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashCols.head, minhashCols.tail: _*)
+    val sig = shArr.select(
+      col("doc_id") +:
+        (0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
 
     val bands = sig.select(
       col("doc_id"),
@@ -87,7 +91,7 @@ object DedupQueries extends graft.QueryModule {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
 
     val inter = cand
       .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
@@ -111,25 +115,18 @@ object DedupQueries extends graft.QueryModule {
     * engines derive bits from the same md5 nibbles via the same
     * strpos/shift arithmetic, so signatures match exactly.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    // Whole signature as a row-level expression chain (hash values
+    // precomputed once per doc, 32 bit-votes aggregate over the array):
+    // map-only stage, no explode/shuffle. The oracle derives the same
+    // bits from the same md5 hex chars with strpos — note its `//`
+    // (DuckDB casts double->int by ROUNDING, Spark by truncating, so
+    // both sides must use explicit integer division).
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), substring(md5(col("tok")), 1, 8).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bitpos"))
-      // `bitpos div 4`, not `/`: int `/` is true division in both engines
-      // but the double->int cast then TRUNCATES in Spark and ROUNDS in
-      // DuckDB — explicit integer division keeps them identical.
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, cast(bitpos div 4 as int) + 1, 1)) - 1"))
-      .withColumn("v", expr("CASE WHEN ((nib >> (bitpos % 4)) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col("doc_id"), col("bitpos"))
-      .agg(sum(col("v")).as("sv"))
-      .withColumn("b", when(col("sv") > 0, "1").otherwise("0"))
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          expr("transform(array_sort(collect_list(struct(bitpos, b))), x -> x.b)"), "")
-          .as("simhash"))
+      .withColumn("hvs", expr(TextFunctions.tokenHashValuesExpr))
+      .select(col("doc_id"), expr(TextFunctions.simhash32Expr).as("simhash"))
+  }
 
   // ===== n-gram (word bigram) Jaccard near-dup, inverted-index join =====
   /** All-pairs exact bigram Jaccard >= 0.7, with a length-difference
@@ -138,21 +135,31 @@ object DedupQueries extends graft.QueryModule {
     * never from a cross join.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
     val docs = Tables.documents(spark, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = docs
-      .select(col("doc_id"), col("n_chars"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("n_chars"),
-        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)).as("g"))
-      .filter(col("g").isNotNull)
-      .distinct()
+    val gramArr = docs.select(
+      col("doc_id"), col("n_chars"),
+      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+        .as("g_arr"))
       .cache()
+    val grams = gramArr.select(col("doc_id"), col("n_chars"), explode(col("g_arr")).as("g"))
 
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val sizes = gramArr.select(col("doc_id"), size(col("g_arr")).cast("long").as("n_g"))
 
-    val inter = grams.alias("a").join(grams.alias("b"),
+    // Length-bucket blocking as an EQUI-join key: |delta n_chars| <= 30
+    // implies bucket(n_chars div 30) differs by at most 1, so the left
+    // side fans out to its 3 neighboring buckets and the join key
+    // becomes (gram, bucket) — shrinking each hash bucket ~an order of
+    // magnitude before the exact |delta| predicate runs. Each pair still
+    // matches exactly once per shared gram (the right side keeps its
+    // single bucket).
+    val bucketed = grams.withColumn("bkt", expr("cast(n_chars div 30 as int)"))
+    val fanned = bucketed.withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+
+    val inter = fanned.alias("a").join(bucketed.alias("b"),
         col("a.g") === col("b.g") &&
+          col("a.bkt") === col("b.bkt") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 30)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -246,7 +246,22 @@ object OperatorCatalog extends graft.QueryModule {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"), exactSum(col("c_acctbal")).as("sum_bal"))
 
+  // ===== gap item: HLL approximate distinct (SURVEY §2.6) =====
+  /** No DuckDB oracle: HyperLogLog implementations differ across
+    * engines by design, so the driver records the weaker rows-only
+    * check. The exact count rides along so the estimate's error is
+    * observable.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> approxDistinct,
     "q_filter_range" -> filterRange,
     "q_ci_lookup" -> ciLookup,
     "q_isin" -> isinFilter,

@@ -48,18 +48,20 @@ object TextAnalysisQueries extends graft.QueryModule {
   }
 
   /** Heuristic quality score from length/diversity/stopword signals.
-    * All ratios are double divisions of exact integer counts.
+    * All ratios are double divisions of exact integer counts. Counts
+    * are row-level array expressions (size / array_distinct / filter)
+    * — a map-only stage, no explode+groupBy shuffle; the oracle spells
+    * the same counts out with unnest+GROUP BY.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val stats = toks.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("tok")).as("n_distinct"),
-      sum(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
-
-    docs.select(col("doc_id"), col("n_chars"))
-      .join(stats, Seq("doc_id"))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long").as("n_stop"))
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / col("n_tokens").cast("double"))
       .withColumn("stop_ratio",
@@ -74,16 +76,17 @@ object TextAnalysisQueries extends graft.QueryModule {
   }
 
   /** Whitespace token count plus a BPE-ish subword estimate
-    * (ceil(len/4) pieces per word, integer arithmetic).
+    * (ceil(len/4) pieces per word, integer arithmetic). Row-level
+    * array aggregate — map-only, no shuffle.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(
-        count(lit(1)).as("ws_tokens"),
-        sum(expr("(length(tok) + 3) div 4")).as("subword_est"))
-      .select("doc_id", "n_chars", "ws_tokens", "subword_est")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        expr("aggregate(toks, 0L, (acc, tok) -> acc + (length(tok) + 3) div 4)")
+          .as("subword_est"))
 
   /** Winnowing fingerprint: md5 rolling hashes of token 4-grams, local
     * minima over a 5-hash sliding window, digest = md5 of the sorted
@@ -91,25 +94,22 @@ object TextAnalysisQueries extends graft.QueryModule {
     * of length >= window+gram-1 produce shared fingerprints.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"),
-        md5(concat(
-          col("tok"), lit(" "),
-          lead(col("tok"), 1).over(w), lit(" "),
-          lead(col("tok"), 2).over(w), lit(" "),
-          lead(col("tok"), 3).over(w))).as("h"))
-      .filter(col("h").isNotNull)
-
-    val winMin = grams
-      .withColumn("minh", min(col("h")).over(w.rowsBetween(0, 4)))
-      .select(col("doc_id"), col("minh"))
-      .distinct()
-
-    winMin.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_fp"),
-      md5(array_join(array_sort(collect_list(col("minh"))), "")).as("digest"))
+    import graft.functions.TextFunctions
+    // Entire winnowing pipeline as row-level array expressions (gram
+    // hashes -> sliding minima -> sorted distinct -> digest): map-only,
+    // no explode, no window shuffle. The oracle mirrors it with
+    // lead()/min() OVER windows; values are identical.
+    Tables.documents(spark, dir)
+      .withColumn("hs",
+        TextFunctions.md5All(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 4)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("fps",
+        array_sort(array_distinct(TextFunctions.winnowMinima(col("hs"), 5))))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(array_join(col("fps"), "")).as("digest"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -23,6 +23,37 @@ class VectorSpec extends SparkSpec {
     assert(q == Seq(2L, -2L, 510L))
   }
 
+  test("codegen cosine_sim matches the composable float path on real embeddings") {
+    import graft.functions.CosineSimilarity
+    val emb = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val pairs = emb.alias("a").crossJoin(emb.alias("b"))
+      .select(
+        CosineSimilarity.cosine_fast(col("a.embedding"), col("b.embedding")).as("fast"),
+        cosine(col("a.embedding"), col("b.embedding")).as("slow"))
+    assert(pairs.filter(abs(col("fast") - col("slow")) > 1e-9).count() == 0)
+  }
+
+  test("cosine_sim registers as a SQL function with type checking") {
+    import graft.functions.CosineSimilarity
+    CosineSimilarity.register(spark)
+    graft.Tables.embeddings(spark, sf0001).limit(5).createOrReplaceTempView("emb_v")
+    val n = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) c FROM emb_v a JOIN emb_v b").count()
+    assert(n == 25)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(1, 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("as-of join: every purchase row kept; matched click is <= purchase time") {
+    val out = graft.operators.AsOfQueries.asofClicks(spark, sf0001)
+    val purchases = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == purchases)
+    assert(out.filter(col("asof_click_ts") > col("ts")).count() == 0)
+  }
+
   test("brute-force KNN self-consistency: neighbors ranked by descending cosine") {
     val knn = graft.operators.SimilarityQueries.knnBrute(spark, sf0001)
     val w = org.apache.spark.sql.expressions.Window
