@@ -12,14 +12,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Dev {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[8]")
       .appName("graft-dev")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // `ext` drives the SparkSessionExtensions install path
+    val spark =
+      (if (args.headOption.contains("ext"))
+        builder.withExtensions(new graft.plans.GraftExtensions) else builder)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try args.toList match {
       case "schema" :: table :: dir :: Nil =>
@@ -61,6 +65,37 @@ object Dev {
           graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
         timeIt("fused codegen (CosineSimilarity)",
           graft.functions.CosineSimilarity.cosine_fast(col("a.embedding"), col("b.embedding")))
+      case "ingest" :: Nil =>
+        // End-to-end pipeline slice with a fake transport: paginated
+        // fetch -> JSON:API parse -> last-writer-wins upsert (the
+        // reference's per-brand stage dataflow, etl.py:34-57).
+        import graft.sources.PaginatedSource
+        import graft.pipeline.{Parse, Upsert}
+        import org.apache.spark.sql.functions._
+        val fakeApi: Int => (Seq[String], Long) = page => {
+          val recs = ((page - 1) * 3 until page * 3).map(i =>
+            s"""{"data": [{"id": "$i", "attributes": {"name": "Retailer$i",
+               |"website": "r$i.example"}}],
+               |"meta": {"page": {"total_count": 8, "current_page": $page}}}""".stripMargin)
+          (recs.take(math.max(0, math.min(3, 8 - (page - 1) * 3))), 8L)
+        }
+        val raw = PaginatedSource.fetchPages(spark, fakeApi, pageSize = 3,
+          onPage = recs => println(s"[ingest] page committed: ${recs.size} records"))
+        val parsed = Parse.parseRetailers(raw, "payload",
+          lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+        val existing = parsed.filter(col("id") < 4)
+          .withColumn("name", concat(lit("OLD_"), col("name")))
+        val merged = Upsert(existing, parsed, Seq("id"))
+        println(s"[ingest] merged rows: ${merged.count()}")
+        merged.orderBy("id").show(truncate = false)
+      case "ext" :: dir :: Nil =>
+        // cosine_sim resolves through the injected function registry
+        Tables.embeddings(spark, dir).limit(10).createOrReplaceTempView("emb")
+        spark.sql(
+          """SELECT a.vec_id, b.vec_id AS other,
+            |       round(cosine_sim(a.embedding, b.embedding), 4) AS cs
+            |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            |ORDER BY cs DESC LIMIT 5""".stripMargin).show(truncate = false)
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")
