@@ -65,6 +65,21 @@ object Dev {
           graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
         timeIt("fused codegen (CosineSimilarity)",
           graft.functions.CosineSimilarity.cosine_fast(col("a.embedding"), col("b.embedding")))
+      case "salt" :: Nil =>
+        // skew demo: hot key joined via salted (key, salt) equi-join
+        import graft.pipeline.Salting
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val probe = ((1 to 9000).map(i => (1L, i)) ++
+          (1 to 1000).map(i => (i.toLong + 1, i))).toDF("k", "v")
+        val build = (1L to 1001L).map(k => (k, s"dim$k")).toDF("k", "name")
+        val plain = probe.join(build, Seq("k"))
+        val salted = Salting.saltedJoin(probe, build, "k", buckets = 8, tiebreak = "v")
+        val equal = salted.except(plain).count() == 0 && plain.except(salted).count() == 0
+        println(s"[salt] plain=${plain.count()} salted=${salted.count()} equal=$equal")
+        probe.filter(col("k") === 1)
+          .select(Salting.salt(col("v"), 8).as("salt_bucket"))
+          .groupBy("salt_bucket").count().orderBy("salt_bucket").show()
       case "ingest" :: Nil =>
         // End-to-end pipeline slice with a fake transport: paginated
         // fetch -> JSON:API parse -> last-writer-wins upsert (the

@@ -21,6 +21,7 @@ object SparkEntry {
     TextAnalysisQueries,
     EventQueries,
     AsOfQueries,
+    ExtendedCatalog,
     graft.multimodal.MultimodalQueries
   )
 

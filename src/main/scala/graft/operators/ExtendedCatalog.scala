@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Second breadth wave: multidimensional aggregates (cube/pivot),
+  * NULL-handling semantics, calendar functions, exact percentiles, and
+  * the SQL front-end path (spark.sql over registered views) — rounding
+  * out the surface a user migrating off the reference's
+  * Postgres-backed queries would reach for next.
+  */
+object ExtendedCatalog extends graft.QueryModule {
+
+  private def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ===== CUBE (SURVEY §2.6 gap list, beyond rollup) =====
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n"), exactSum(col("c_acctbal")).as("sum_bal"))
+
+  // ===== PIVOT: status counts per order priority =====
+  /** Spark `.pivot` with explicit values (never let it scan for
+    * values — that is a hidden extra job and nondeterministic column
+    * order). Cells with no rows are NULL, matching the oracle's
+    * `sum(CASE WHEN ... THEN 1 END)`.
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+
+  // ===== NULL semantics: nullif / coalesce / null-safe equality =====
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("nullif(l_returnflag, 'N')").as("rf_or_null"),
+        coalesce(expr("nullif(l_returnflag, 'N')"), lit("none")).as("rf_defaulted"),
+        expr("nullif(l_returnflag, 'N')").eqNullSafe(lit(null).cast("string")).as("was_n"),
+        isnull(expr("nullif(l_returnflag, 'N')")).as("is_null_flag"))
+
+  // ===== calendar functions =====
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"), // 1 = Sunday
+        datediff(col("o_orderdate"), lit(java.time.LocalDate.parse("1995-01-01")))
+          .as("days_since_epoch95"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("plus_week"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+
+  // ===== exact percentiles (interpolated), per group =====
+  def medianAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_total"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_total"),
+        count(lit(1)).as("n"))
+
+  // ===== SQL front-end: same engine through spark.sql =====
+  /** Revenue per nation in ASIA for one order-year, expressed as SQL
+    * over registered temp views — demonstrates the `spark.sql` entry
+    * point produces identical results to the DataFrame API (it is the
+    * same Catalyst pipeline underneath).
+    */
+  def sqlRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM v_lineitem
+        |JOIN v_orders ON l_orderkey = o_orderkey
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> cubeAgg,
+    "q_pivot" -> pivotAgg,
+    "q_null_handling" -> nullHandling,
+    "q_date_funcs" -> dateFuncs,
+    "q_median" -> medianAgg,
+    "q_sql_revenue" -> sqlRevenue
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT c_mktsegment, n_name, count(*) AS n,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_null_handling" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       nullif(l_returnflag, 'N') AS rf_or_null,
+        |       coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_defaulted,
+        |       nullif(l_returnflag, 'N') IS NOT DISTINCT FROM NULL AS was_n,
+        |       nullif(l_returnflag, 'N') IS NULL AS is_null_flag
+        |FROM lineitem""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(extract(year FROM o_orderdate) AS INT) AS y,
+        |       CAST(extract(month FROM o_orderdate) AS INT) AS m,
+        |       CAST(extract(day FROM o_orderdate) AS INT) AS d,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch95,
+        |       o_orderdate + INTERVAL 7 DAY AS plus_week,
+        |       date_trunc('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin,
+    "q_median" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS median_total,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_total,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_sql_revenue" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin
+  )
+}
