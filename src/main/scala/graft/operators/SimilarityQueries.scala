@@ -88,15 +88,21 @@ object SimilarityQueries extends graft.QueryModule {
           col("vcdot").cast("double") /
             (sqrt(col("vn.n2").cast("double")) * sqrt(col("cn.c2").cast("double"))))
 
+    // One affinity pass + one ranking window serves both the index
+    // build (rank 1 = assignment) and the query probes (rank <=
+    // NPROBE on the query subset) — halves the exchanges vs computing
+    // affinities twice.
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("aff").desc, col("clabel"))
-    val assigned = affinities(q)
+    val ranked = affinities(q)
       .withColumn("arnk", row_number().over(wAssign))
+      .cache()
+
+    val assigned = ranked
       .filter(col("arnk") === 1)
       .select(col("vid").as("vec_id"), col("clabel").as("list_id"))
 
-    val probes = affinities(q.filter(col("vec_id") < NQ))
-      .withColumn("prnk", row_number().over(wAssign))
-      .filter(col("prnk") <= NPROBE)
+    val probes = ranked
+      .filter(col("vid") < NQ && col("arnk") <= NPROBE)
       .select(col("vid").as("query_id"), col("clabel").as("list_id"))
 
     // candidate set: vectors assigned to a probed list (minus self)
