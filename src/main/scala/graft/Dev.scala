@@ -121,6 +121,7 @@ object Dev {
         val events = StreamingOps.eventStream(spark, dir)
         val df = op match {
           case "windows"  => StreamingOps.windowedCounts(events)
+          case "sliding"  => StreamingOps.slidingCounts(events)
           case "sessions" => StreamingOps.sessionCounts(events)
           case "dedup"    => StreamingOps.dedupWithinWatermark(events)
           case "totals"   => StreamingOps.userRunningTotals(spark, events).toDF()

@@ -208,7 +208,31 @@ object DedupQueries extends graft.QueryModule {
       .select("vec_a", "vec_b", "label", "cosine")
   }
 
+  // ===== group-level MinHash via a typed Aggregator (SURVEY §2.11) =====
+  /** Language-level MinHash signatures: per-doc signatures merge by
+    * element-wise min through [[graft.functions.MinHashAggregator]] —
+    * the mergeable-sketch aggregation path (partial signatures combine
+    * map-side; the shuffle carries sketches, not shingles). The oracle
+    * exploits the same union property: min over every shingle in the
+    * language.
+    */
+  def minhashByLang(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MinHashAggregator, TextFunctions}
+    val nSeeds = 9
+    val docsSig = Tables.documents(spark, dir)
+      .withColumn("sh_arr",
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)))
+      .select(col("lang"),
+        array((0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i)): _*)
+          .as("sig"))
+    val mh = udaf(new MinHashAggregator(nSeeds))
+    val grouped = docsSig.groupBy(col("lang")).agg(mh(col("sig")).as("lang_sig"))
+    grouped.select(
+      col("lang") +: (0 until nSeeds).map(i => col("lang_sig").getItem(i).as(s"m$i")): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_by_lang" -> minhashByLang,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -230,6 +254,16 @@ object DedupQueries extends graft.QueryModule {
       |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_minhash_by_lang" ->
+      s"""WITH $shinglesCte,
+        |langsh AS (
+        |  SELECT d.lang, s.s FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+        |)
+        |SELECT lang,
+        |       min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
+        |       min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+        |       min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |FROM langsh GROUP BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -83,8 +83,10 @@ object EventQueries extends graft.QueryModule {
     "q_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         -- strict >: an event at EXACTLY gap distance still merges
+        |         -- (Spark session_window extends while event <= session end)
         |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-        |                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+        |                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))

@@ -64,6 +64,17 @@ object StreamingOps {
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding windows (30-minute window, 10-minute slide): each event
+    * lands in three overlapping windows.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Session windows (30-minute gap) per user under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

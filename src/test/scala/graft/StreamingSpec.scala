@@ -27,6 +27,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("win_start", "event_type", "n").except(want).count() == 0)
   }
 
+  test("streaming sliding windows place each event in exactly 3 windows") {
+    val stream = StreamingOps.eventStream(spark, sf0001)
+    val got = runToMemory(StreamingOps.slidingCounts(stream), "slide_counts", "complete")
+    val events = graft.Tables.events(spark, sf0001).count()
+    assert(got.agg(sum("n")).head().getLong(0) == 3 * events)
+    val want = graft.operators.EventQueries.sliding(spark, sf0001)
+      .select("win_start", "event_type", "n")
+    assert(got.select("win_start", "event_type", "n").except(want).count() == 0)
+  }
+
+  test("session gap boundary: exactly-gap merges, gap+1s splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Spark session_window extends while event <= session end, so a
+    // gap of EXACTLY 30:00 still merges; only > 30:00 starts a new
+    // session (the oracle's gaps-and-islands flag uses strict >).
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0)),            // session A
+      (1L, at(1800)),         // exactly 30:00 later -> still session A
+      (1L, at(1800 + 1801))   // 30:01 later -> session B
+    ).toDF("user_id", "ts")
+    val sessions = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    assert(sessions.count() == 2)
+    assert(sessions.agg(max("count")).head().getLong(0) == 2)
+  }
+
   test("streaming session windows produce the batch session count") {
     val stream = StreamingOps.eventStream(spark, sf0001)
     val got = runToMemory(StreamingOps.sessionCounts(stream), "sess_counts", "complete")
