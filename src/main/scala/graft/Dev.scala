@@ -122,11 +122,16 @@ object Dev {
         val df = op match {
           case "windows"  => StreamingOps.windowedCounts(events)
           case "sliding"  => StreamingOps.slidingCounts(events)
+          case "attrib"   => StreamingOps.clickAttribution(events)
           case "sessions" => StreamingOps.sessionCounts(events)
           case "dedup"    => StreamingOps.dedupWithinWatermark(events)
           case "totals"   => StreamingOps.userRunningTotals(spark, events).toDF()
         }
-        val mode = if (op == "dedup") "append" else if (op == "totals") "update" else "complete"
+        val mode = op match {
+          case "dedup" | "attrib" => "append"
+          case "totals"           => "update"
+          case _                  => "complete"
+        }
         val q = df.writeStream.outputMode(mode).format("memory").queryName("dev_stream").start()
         q.processAllAvailable()
         q.stop()

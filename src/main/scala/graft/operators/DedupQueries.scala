@@ -208,6 +208,27 @@ object DedupQueries extends graft.QueryModule {
       .select("vec_a", "vec_b", "label", "cosine")
   }
 
+  // ===== edit-distance verification of LSH candidates =====
+  /** Levenshtein verification over the MinHash-LSH candidate pairs:
+    * the two-stage near-dedup pattern where a cheap sketch proposes
+    * and an expensive exact measure (O(len^2) edit distance) disposes
+    * — affordable precisely because LSH shrank the pair set from
+    * O(n^2) to the true near-dups.
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        (lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+          .as("edit_sim"))
+  }
+
   // ===== group-level MinHash via a typed Aggregator (SURVEY §2.11) =====
   /** Language-level MinHash signatures: per-doc signatures merge by
     * element-wise min through [[graft.functions.MinHashAggregator]] —
@@ -232,6 +253,7 @@ object DedupQueries extends graft.QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_edit" -> dedupEditDistance,
     "q_minhash_by_lang" -> minhashByLang,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -253,7 +275,23 @@ object DedupQueries extends graft.QueryModule {
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  private lazy val minhashOracle: String = oraclesBase("q_dedup_minhash")
+
+  def oracles: Map[String, String] = oraclesBase ++ Map(
+    // the minhash oracle runs as a subquery producing the candidate pairs
+    "q_dedup_edit" ->
+      s"""SELECT p.doc_a, p.doc_b,
+        |       CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+        |       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        |             CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_sim
+        |FROM (
+        |$minhashOracle
+        |) p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b""".stripMargin
+  )
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_minhash_by_lang" ->
       s"""WITH $shinglesCte,
         |langsh AS (

@@ -93,6 +93,31 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so state for
+    * unmatched rows is evicted once the watermark passes — the
+    * streaming form of click attribution.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

@@ -86,6 +86,22 @@ class StreamingSpec extends SparkSpec {
     assert(mismatched.count() == 0)
   }
 
+  test("stream-stream interval join matches the batch time-range join") {
+    val stream = StreamingOps.eventStream(spark, sf0001)
+    val got = runToMemory(StreamingOps.clickAttribution(stream), "attribution")
+    val ev = graft.Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("click_ts"))
+    val want = p.join(c,
+      col("user_id") === col("cu") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+    assert(got.count() == want.count())
+    assert(got.count() > 0)
+  }
+
   test("foreachBatchUpsert merges micro-batches idempotently into the sink") {
     val tmp = java.nio.file.Files.createTempDirectory("upsert_sink").toString + "/t"
     val stream = StreamingOps.eventStream(spark, sf0001)
