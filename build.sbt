@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // static conf; keeps bucketed-table tests out of the repo tree
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
+  "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
