@@ -119,6 +119,24 @@ object Dev {
       case "stream" :: op :: dir :: Nil =>
         import graft.streaming.StreamingOps
         val events = StreamingOps.eventStream(spark, dir)
+        if (op == "upsertsink") {
+          // drive the foreachBatch merge sink end-to-end and prove the
+          // staging snapshots are cleaned up
+          val sinkDir = java.nio.file.Files.createTempDirectory("dev_sink").toString
+          val target = sinkDir + "/t"
+          val q = StreamingOps.foreachBatchUpsert(
+            events.select("user_id", "event_type", "ts"),
+            Seq("user_id", "event_type"), target)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", sinkDir + "/ckpt")
+            .start()
+          q.awaitTermination(120000)
+          val merged = spark.read.parquet(target)
+          val leftovers = new java.io.File(sinkDir).listFiles()
+            .map(_.getName).filter(_.startsWith("t_batch"))
+          println(s"[upsertsink] merged rows: ${merged.count()}, leftover staging dirs: ${leftovers.length}")
+          return
+        }
         val df = op match {
           case "windows"  => StreamingOps.windowedCounts(events)
           case "sliding"  => StreamingOps.slidingCounts(events)

@@ -47,6 +47,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      // null element -> null result, matching the composable
+      // zip_with/aggregate path (getFloat would silently read 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -71,12 +74,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = (double) $x.getFloat($i);
          |    double $yv = (double) $y.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
-         |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |      ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

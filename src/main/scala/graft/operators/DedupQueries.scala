@@ -243,6 +243,10 @@ object DedupQueries extends graft.QueryModule {
     val docsSig = Tables.documents(spark, dir)
       .withColumn("sh_arr",
         array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)))
+      // docs with no shingles contribute nothing (all-null signature
+      // rows would otherwise surface languages the oracle's
+      // shingle-driven GROUP BY never sees)
+      .filter(size(col("sh_arr")) > 0)
       .select(col("lang"),
         array((0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i)): _*)
           .as("sig"))

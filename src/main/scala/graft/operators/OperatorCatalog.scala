@@ -38,7 +38,11 @@ object OperatorCatalog extends graft.QueryModule {
     // minusDays matches DuckDB's `ts - INTERVAL n DAY` exactly and is
     // independent of the JVM/session timezone.
     val maxTs = df.agg(max(col(tsCol))).head().getAs[java.time.LocalDateTime](0)
-    lit(maxTs.minusDays(days.toLong))
+    // empty table -> max is null -> null cutoff; the comparison is then
+    // NULL and filters everything, exactly like the oracle's scalar
+    // subquery over an empty table (a raw .minusDays would NPE)
+    if (maxTs == null) lit(null).cast("timestamp_ntz")
+    else lit(maxTs.minusDays(days.toLong))
   }
 
   // ===== F1: timestamp-range filter (etl.py:15) =====

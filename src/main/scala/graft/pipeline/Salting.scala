@@ -35,17 +35,22 @@ object Salting {
     salted.join(fanned, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Decomposable aggregate over a skewed key in two phases. `partial`
-    * and `merge` must satisfy merge(partial(A), partial(B)) =
-    * partial(A ++ B) — true for sum/count/min/max and any algebraic
-    * aggregate.
+  /** Decomposable aggregate over a skewed key in two phases. `merge`
+    * combines the per-salt partials and must satisfy
+    * merge(partial(A), partial(B)) = partial(A ++ B). For sum/min/max
+    * the merge IS the partial (the default); for count the merge is
+    * `sum` — pass it explicitly (counting with the default would count
+    * the partials, not the rows).
     */
   def twoPhaseAgg(df: DataFrame, key: String, tiebreak: String, buckets: Int,
-      partial: Column => Column, valueCol: String, outCol: String): DataFrame =
+      partial: Column => Column, valueCol: String, outCol: String,
+      merge: Column => Column = null): DataFrame = {
+    val mergeFn = Option(merge).getOrElse(partial)
     df
       .withColumn("__salt", salt(col(tiebreak), buckets))
       .groupBy(col(key), col("__salt"))
       .agg(partial(col(valueCol)).as("__partial"))
       .groupBy(col(key))
-      .agg(partial(col("__partial")).as(outCol))
+      .agg(mergeFn(col("__partial")).as(outCol))
+  }
 }

@@ -26,11 +26,21 @@ object Upsert {
     * @param pk       primary-key column names
     * @return the merged table: every PK once; for PKs present in
     *         `updates` the update row wins wholesale
+    *
+    * If `updates` carries the same PK twice (an at-least-once source
+    * delivering duplicates within one batch), the winner is chosen
+    * deterministically by ordering the duplicate rows on their non-PK
+    * columns — re-running the merge always yields the same row.
+    * (Postgres `ON CONFLICT` would instead error on intra-statement
+    * duplicates, db.py:62; deterministic-pick is the streaming-friendly
+    * relaxation.)
     */
   def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame = {
     val tagged = existing.withColumn("__src_priority", lit(0))
       .unionByName(updates.withColumn("__src_priority", lit(1)))
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__src_priority").desc)
+    val nonPk = updates.columns.filterNot(pk.contains).toSeq
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col("__src_priority").desc +: nonPk.map(c => col(c).asc_nulls_last): _*)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -45,7 +55,9 @@ object Upsert {
     val tagged = batches.zipWithIndex
       .map { case (b, i) => b.withColumn("__src_priority", lit(i + 1)) }
       .foldLeft(existing.withColumn("__src_priority", lit(0)))(_ unionByName _)
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__src_priority").desc)
+    val nonPk = existing.columns.filterNot(pk.contains).toSeq
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col("__src_priority").desc +: nonPk.map(c => col(c).asc_nulls_last): _*)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

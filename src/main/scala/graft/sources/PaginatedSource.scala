@@ -105,7 +105,11 @@ object PaginatedSource {
     */
   def searchExact(results: DataFrame, nameCol: String, query: String): org.apache.spark.sql.Row = {
     import org.apache.spark.sql.functions._
-    val hits = results.filter(lower(col(nameCol)) === query.toLowerCase).head(1)
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-
+    // locale toLowerCase would diverge under e.g. tr-TR ("NIKE" -> dotless i)
+    val hits = results
+      .filter(lower(col(nameCol)) === query.toLowerCase(java.util.Locale.ROOT))
+      .head(1)
     if (hits.isEmpty)
       throw new NoSuchElementException(s"no exact match for '$query' in $nameCol")
     hits.head

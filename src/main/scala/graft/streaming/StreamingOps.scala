@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Raw parquet schema of `events` (ts is INT64 nanos on disk; see
     * graft.Tables.events for the batch-side handling).
     */
@@ -151,15 +156,19 @@ object StreamingOps {
       stream: DataFrame, pk: Seq[String], targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val target = try {
-        spark.read.parquet(targetPath)
-      } catch {
-        case _: Throwable => batch.limit(0)
-      }
+      // Only a missing target means "first batch"; any other read
+      // failure must propagate — swallowing it would merge against an
+      // empty table and the overwrite below would destroy the sink.
+      val target =
+        if (new java.io.File(targetPath).exists()) spark.read.parquet(targetPath)
+        else batch.limit(0)
       val merged = graft.pipeline.Upsert(target, batch, pk)
       // Two-phase write: parquet cannot overwrite in place from itself.
       val tmp = targetPath + s"_batch$batchId"
       merged.write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+      // the staging snapshot is dead once copied — without this the
+      // sink leaks one full snapshot per micro-batch
+      deleteRecursively(new java.io.File(tmp))
     }
 }

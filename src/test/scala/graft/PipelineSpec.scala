@@ -71,6 +71,16 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1, "x2", 2.0)))
   }
 
+  test("upsert picks a deterministic winner for duplicate PKs within one batch") {
+    val dupes = Seq((2, "zz", 1.0), (2, "aa", 2.0)).toDF("id", "s", "v")
+    val out1 = Upsert(base, dupes, Seq("id")).filter($"id" === 2)
+      .as[(Int, String, Double)].collect().toSeq
+    val out2 = Upsert(base, dupes.orderBy($"v".desc), Seq("id")).filter($"id" === 2)
+      .as[(Int, String, Double)].collect().toSeq
+    assert(out1 == out2)                     // input order irrelevant
+    assert(out1 == Seq((2, "aa", 2.0)))      // non-PK-column ordering decides
+  }
+
   test("upsert supports composite PKs") {
     val b = Seq((1, "us", 10.0), (1, "eu", 11.0)).toDF("id", "region", "v")
     val u = Seq((1, "eu", 99.0)).toDF("id", "region", "v")

@@ -23,6 +23,16 @@ class SaltingSpec extends SparkSpec {
     assert(salts == 8)
   }
 
+  test("two-phase count requires sum as the merge phase") {
+    val df = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    val twoPhase = Salting
+      .twoPhaseAgg(df, "k", "v", 8, c => count(c), "v", "n", merge = c => sum(c))
+      .orderBy("k")
+    assert(twoPhase.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("two-phase aggregate equals direct aggregate") {
     val df = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong)))
       .toDF("k", "v")
