@@ -229,6 +229,60 @@ object DedupQueries extends graft.QueryModule {
           .as("edit_sim"))
   }
 
+  // ===== dedup clustering: connected components over near-dup pairs =====
+  /** Groups near-duplicate documents into clusters: the minhash pairs
+    * form an undirected graph; each doc's cluster id is the minimum
+    * doc_id reachable from it. Implemented as min-label propagation —
+    * the standard distributed connected-components loop (each round is
+    * one shuffle; rounds ≤ component diameter, and near-dup components
+    * are tiny). The driver loop only checks a convergence count, never
+    * collects data. Oracle: DuckDB recursive CTE computing the same
+    * transitive closure.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // The edge list (true near-dup pairs) is orders of magnitude
+    // smaller than the corpus; coalesce the propagation state so each
+    // round is a single-task job. At real scale the coalesce target
+    // grows with |edges| — the loop's shape is unchanged.
+    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b").cache()
+    pairs.count() // materialize the expensive LSH pipeline at FULL
+    // parallelism — a bare coalesce(1) below would otherwise pull the
+    // whole minhash build into a single task
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .coalesce(1)
+      .cache()
+
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .coalesce(1)
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .coalesce(1)
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   // ===== group-level MinHash via a typed Aggregator (SURVEY §2.11) =====
   /** Language-level MinHash signatures: per-doc signatures merge by
     * element-wise min through [[graft.functions.MinHashAggregator]] —
@@ -258,6 +312,7 @@ object DedupQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_edit" -> dedupEditDistance,
+    "q_dedup_clusters" -> dedupClusters,
     "q_minhash_by_lang" -> minhashByLang,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -282,6 +337,21 @@ object DedupQueries extends graft.QueryModule {
   private lazy val minhashOracle: String = oraclesBase("q_dedup_minhash")
 
   def oracles: Map[String, String] = oraclesBase ++ Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |$minhashOracle
+        |  ) m
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+        |)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     // the minhash oracle runs as a subquery producing the candidate pairs
     "q_dedup_edit" ->
       s"""SELECT p.doc_a, p.doc_b,

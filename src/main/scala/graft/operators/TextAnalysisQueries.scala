@@ -112,7 +112,29 @@ object TextAnalysisQueries extends graft.QueryModule {
         md5(array_join(col("fps"), "")).as("digest"))
   }
 
+  /** TF-IDF-style top-5 terms per doc. Score = tf * N / df computed as
+    * one exact integer product and one double division (identical in
+    * both engines); no log() — libm implementations are only
+    * 1-ulp-accurate and would risk cross-engine rank flips, and the
+    * ranking is monotone-equivalent anyway.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("tok"))
+      .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "tok", "tf", "df", "score", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> tfidfTop,
     "q_lang_id" -> langId,
     "q_text_quality" -> qualityScore,
     "q_token_count" -> tokenCount,
@@ -120,6 +142,22 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |         CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN df d ON t.tok = d.tok
+        |)
+        |SELECT doc_id, tok, tf, df, score, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rnk
+        |  FROM scored
+        |) r WHERE rnk <= 5""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents
