@@ -54,6 +54,27 @@ class VectorSpec extends SparkSpec {
     assert(out.filter(col("asof_click_ts") > col("ts")).count() == 0)
   }
 
+  test("cosine_fast edge cases: zero vector -> 0.0, length mismatch and null element -> null") {
+    import graft.functions.CosineSimilarity.cosine_fast
+    val zero = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(cosine_fast(col("a"), col("b"))).head()
+    assert(zero.getDouble(0) == 0.0)
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(cosine_fast(col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0))
+    val withNull = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(cosine_fast(col("a").cast("array<float>"), col("b").cast("array<float>"))).head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("winnowMinima on empty input returns an empty array, not an error") {
+    import graft.functions.TextFunctions
+    val out = Seq(Tuple1(Array.empty[String])).toDF("hs")
+      .select(TextFunctions.winnowMinima(col("hs"), 5).as("m")).head()
+    assert(out.getSeq[String](0).isEmpty)
+  }
+
   test("brute-force KNN self-consistency: neighbors ranked by descending cosine") {
     val knn = graft.operators.SimilarityQueries.knnBrute(spark, sf0001)
     val w = org.apache.spark.sql.expressions.Window
