@@ -130,7 +130,8 @@ object Dev {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .option("checkpointLocation", sinkDir + "/ckpt")
             .start()
-          q.awaitTermination(120000)
+          val finished = q.awaitTermination(120000)
+          if (!finished) { q.stop(); sys.error("upsertsink did not finish in 120s") }
           val merged = spark.read.parquet(target)
           val leftovers = new java.io.File(sinkDir).listFiles()
             .map(_.getName).filter(_.startsWith("t_batch"))

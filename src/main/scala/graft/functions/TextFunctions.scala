@@ -41,12 +41,14 @@ object TextFunctions {
     * semantics match ROWS BETWEEN CURRENT AND k FOLLOWING).
     */
   def winnowMinima(hashes: Column, window: Int): Column =
-    // empty-input guard: sequence(0, -1) would produce a DESCENDING
-    // [0, -1] and slice(_, 0, _) throws — return an empty array instead
-    when(size(hashes) >= 1,
-      transform(
-        sequence(lit(0), size(hashes) - lit(1)),
-        i => array_min(slice(hashes, i + lit(1), lit(window)))))
+    // NULL input propagates NULL (standard SQL); empty input returns []
+    // — without the guard sequence(0, -1) would produce a DESCENDING
+    // [0, -1] and slice(_, 0, _) throws
+    when(isnull(hashes), lit(null).cast("array<string>"))
+      .when(size(hashes) >= 1,
+        transform(
+          sequence(lit(0), size(hashes) - lit(1)),
+          i => array_min(slice(hashes, i + lit(1), lit(window)))))
       .otherwise(array().cast("array<string>"))
 
   /** Integer value of the first 8 md5 hex chars of every token —

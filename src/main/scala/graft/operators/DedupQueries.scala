@@ -280,6 +280,11 @@ object DedupQueries extends graft.QueryModule {
       converged = changed == 0
       rounds += 1
     }
+    // never return partially propagated labels — a silent wrong answer
+    require(converged,
+      s"label propagation did not converge in $rounds rounds (component diameter > $rounds)")
+    edges.unpersist()
+    pairs.unpersist()
     labels.orderBy("doc_id")
   }
 

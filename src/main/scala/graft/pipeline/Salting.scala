@@ -37,15 +37,15 @@ object Salting {
 
   /** Decomposable aggregate over a skewed key in two phases. `merge`
     * combines the per-salt partials and must satisfy
-    * merge(partial(A), partial(B)) = partial(A ++ B). For sum/min/max
-    * the merge IS the partial (the default); for count the merge is
-    * `sum` — pass it explicitly (counting with the default would count
-    * the partials, not the rows).
+    * merge(partial(A), partial(B)) = partial(A ++ B): for sum/min/max
+    * pass the same function again; for count the merge is `sum`. The
+    * parameter is deliberately required — defaulting it to `partial`
+    * made count silently return the number of salt buckets.
     */
   def twoPhaseAgg(df: DataFrame, key: String, tiebreak: String, buckets: Int,
-      partial: Column => Column, valueCol: String, outCol: String,
-      merge: Column => Column = null): DataFrame = {
-    val mergeFn = Option(merge).getOrElse(partial)
+      partial: Column => Column, merge: Column => Column,
+      valueCol: String, outCol: String): DataFrame = {
+    val mergeFn = merge
     df
       .withColumn("__salt", salt(col(tiebreak), buckets))
       .groupBy(col(key), col("__salt"))

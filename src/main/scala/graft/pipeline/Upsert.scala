@@ -38,13 +38,30 @@ object Upsert {
   def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame = {
     val tagged = existing.withColumn("__src_priority", lit(0))
       .unionByName(updates.withColumn("__src_priority", lit(1)))
-    val nonPk = updates.columns.filterNot(pk.contains).toSeq
     val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col("__src_priority").desc +: nonPk.map(c => col(c).asc_nulls_last): _*)
+      .orderBy(col("__src_priority").desc +: dupTiebreak(updates, pk): _*)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src_priority", "__rn")
+  }
+
+  /** Deterministic ordering for duplicate-PK rows: the ORDERABLE
+    * non-PK columns ascending (maps and other unorderable types are
+    * excluded — putting them in a window ORDER BY fails analysis).
+    * Rows identical on all orderable columns are interchangeable.
+    */
+  private def dupTiebreak(df: DataFrame, pk: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => orderable(et)
+      case StructType(fields) => fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    df.schema.fields
+      .filter(f => !pk.contains(f.name) && orderable(f.dataType))
+      .map(f => col(f.name).asc_nulls_last).toSeq
   }
 
   /** Multi-batch variant: later batches win over earlier ones, all win
@@ -55,9 +72,8 @@ object Upsert {
     val tagged = batches.zipWithIndex
       .map { case (b, i) => b.withColumn("__src_priority", lit(i + 1)) }
       .foldLeft(existing.withColumn("__src_priority", lit(0)))(_ unionByName _)
-    val nonPk = existing.columns.filterNot(pk.contains).toSeq
     val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col("__src_priority").desc +: nonPk.map(c => col(c).asc_nulls_last): _*)
+      .orderBy(col("__src_priority").desc +: dupTiebreak(existing, pk): _*)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -22,11 +22,6 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
   /** Raw parquet schema of `events` (ts is INT64 nanos on disk; see
     * graft.Tables.events for the batch-side handling).
     */
@@ -156,19 +151,24 @@ object StreamingOps {
       stream: DataFrame, pk: Seq[String], targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      // Only a missing target means "first batch"; any other read
-      // failure must propagate — swallowing it would merge against an
-      // empty table and the overwrite below would destroy the sink.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val targetP = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = targetP.getFileSystem(hconf) // works for file:/, hdfs:/, s3a:/ ...
+      // Only a genuinely missing target means "first batch"; any read
+      // failure must propagate — merging against an empty stand-in and
+      // overwriting would destroy the sink.
       val target =
-        if (new java.io.File(targetPath).exists()) spark.read.parquet(targetPath)
+        if (fs.exists(targetP)) spark.read.parquet(targetPath)
         else batch.limit(0)
       val merged = graft.pipeline.Upsert(target, batch, pk)
-      // Two-phase write: parquet cannot overwrite in place from itself.
-      val tmp = targetPath + s"_batch$batchId"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
-      // the staging snapshot is dead once copied — without this the
-      // sink leaks one full snapshot per micro-batch
-      deleteRecursively(new java.io.File(tmp))
+      // Stage the merged snapshot, then swap via delete + rename —
+      // rename is a metadata operation (atomic on HDFS), so the
+      // no-target window is tiny; a direct overwrite would leave the
+      // sink empty for the whole rewrite duration.
+      val tmpP = new org.apache.hadoop.fs.Path(targetPath + s"_batch$batchId")
+      merged.write.mode("overwrite").parquet(tmpP.toString)
+      fs.delete(targetP, true)
+      if (!fs.rename(tmpP, targetP))
+        throw new java.io.IOException(s"rename $tmpP -> $targetP failed")
     }
 }

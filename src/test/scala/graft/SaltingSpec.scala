@@ -28,7 +28,7 @@ class SaltingSpec extends SparkSpec {
       .toDF("k", "v")
     val direct = df.groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
     val twoPhase = Salting
-      .twoPhaseAgg(df, "k", "v", 8, c => count(c), "v", "n", merge = c => sum(c))
+      .twoPhaseAgg(df, "k", "v", 8, c => count(c), c => sum(c), "v", "n")
       .orderBy("k")
     assert(twoPhase.collect().toSeq == direct.collect().toSeq)
   }
@@ -37,7 +37,7 @@ class SaltingSpec extends SparkSpec {
     val df = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong)))
       .toDF("k", "v")
     val direct = df.groupBy("k").agg(sum("v").as("total")).orderBy("k")
-    val twoPhase = Salting.twoPhaseAgg(df, "k", "v", 8, sum, "v", "total").orderBy("k")
+    val twoPhase = Salting.twoPhaseAgg(df, "k", "v", 8, sum, sum, "v", "total").orderBy("k")
     assert(twoPhase.collect().toSeq == direct.collect().toSeq)
   }
 }
