@@ -68,6 +68,22 @@ object ExtendedCatalog extends graft.QueryModule {
         expr("percentile(o_totalprice, 0.9)").as("p90_total"),
         count(lit(1)).as("n"))
 
+  // ===== distribution window functions =====
+  /** ntile / percent_rank / cume_dist over suppliers by account
+    * balance — percent_rank's (rank-1)/(n-1) and cume_dist's
+    * peers/n are single divisions of exact integers, identical across
+    * engines.
+    */
+  def windowRanksExtra(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_nationkey")).orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(spark, dir).select(
+      col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   // ===== SQL front-end: same engine through spark.sql =====
   /** Revenue per nation in ASIA for one order-year, expressed as SQL
     * over registered temp views — demonstrates the `spark.sql` entry
@@ -102,10 +118,18 @@ object ExtendedCatalog extends graft.QueryModule {
     "q_null_handling" -> nullHandling,
     "q_date_funcs" -> dateFuncs,
     "q_median" -> medianAgg,
+    "q_window_ranks_extra" -> windowRanksExtra,
     "q_sql_revenue" -> sqlRevenue
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_ranks_extra" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cume
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""".stripMargin,
     "q_cube" ->
       """SELECT c_mktsegment, n_name, count(*) AS n,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
