@@ -66,8 +66,10 @@ object DedupQueries extends graft.QueryModule {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // cached: used by the signature build and both sides of the
+    // verify join (3 uses — recomputing the chain measured ~2x slower
+    // than the columnar cache despite array-of-string cache cost)
     val shArr = shingleArrays(Tables.documents(spark, dir)).cache()
-    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("s"))
 
     // signatures as row-level array_min expressions — no groupBy shuffle
     val nSeeds = 9
@@ -91,21 +93,23 @@ object DedupQueries extends graft.QueryModule {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
-
-    val inter = cand
-      .join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-
-    inter
-      .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
-      .filter(lit(9) * col("c") >= lit(4) * (col("za.n_sh") + col("zb.n_sh"))) // jaccard >= 0.8
+    // Exact verification per candidate ROW: both shingle sets are
+    // already arrays, so the intersection is a row-level
+    // array_intersect — no explode, no intersection join, no groupBy.
+    // The oracle spells the same counts out with an exploded join;
+    // values are identical (integer counts, one double division).
+    cand
+      .join(shArr.alias("za"), col("doc_a") === col("za.doc_id"))
+      .join(shArr.alias("zb"), col("doc_b") === col("zb.doc_id"))
       .select(
         col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("za.n_sh") + col("zb.n_sh") - col("c")).cast("double"))
+        size(array_intersect(col("za.sh_arr"), col("zb.sh_arr"))).as("c"),
+        size(col("za.sh_arr")).as("n_a"),
+        size(col("zb.sh_arr")).as("n_b"))
+      .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b"))) // jaccard >= 0.8
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
   }
 
