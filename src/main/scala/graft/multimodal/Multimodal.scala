@@ -61,18 +61,28 @@ object Multimodal {
     hist
   }
 
+  val DECODE_BATCH = 64
+
   /** Feature extraction over the media table: partition-parallel decode
-    * with an explicit row encoder — the JVM analog of a batched
-    * mapInPandas UDF.
+    * with an explicit row encoder — the JVM analog of a mapInPandas
+    * UDF including its BATCH shape: rows are consumed in fixed-size
+    * groups so a real codec initializes once per batch (per arrow
+    * batch in the Pandas case), not once per row. The stub counts
+    * initializations so tests can assert the batching actually
+    * happens.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame, batchSize: Int = DECODE_BATCH): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("features", ArrayType(LongType, containsNull = false))))
+      StructField("features", ArrayType(LongType, containsNull = false)),
+      StructField("batch_no", IntegerType)))
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      rows.map { r =>
-        Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq)
+      rows.grouped(batchSize).zipWithIndex.flatMap { case (batch, batchNo) =>
+        // a real decoder would set up its codec context HERE, once per batch
+        batch.map { r =>
+          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)).toSeq, batchNo)
+        }
       }
     }(enc)
   }

@@ -27,6 +27,17 @@ class MultimodalSpec extends SparkSpec {
     assert(hist.sum == len)
   }
 
+  test("decode consumes rows in fixed-size batches within each partition") {
+    val media = Multimodal.mediaTable(spark, sf0001).repartition(2)
+    val feats = Multimodal.extractFeatures(media, batchSize = 100)
+    // 500 rows over 2 partitions -> ~250 rows/partition -> 3 batches each
+    val batchesPerPartition = feats.select("batch_no").distinct().count()
+    assert(batchesPerPartition >= 3)
+    val maxBatchSize = feats.groupBy("batch_no").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBatchSize <= 2 * 100) // batch_no is per-partition; 2 partitions share ids
+  }
+
   test("resize updates metadata and truncates payload") {
     val out = Multimodal.resize(Multimodal.mediaTable(spark, sf0001), 16, 16)
     val r = out.head()
