@@ -15,8 +15,7 @@ object Bench {
     // whichever query happens to execute first (map order is
     // arbitrary, so that cost would land on a random query each run).
     try {
-      spark.read.parquet(s"$sfDir/supplier.parquet")
-        .groupBy("s_nationkey").count().count()
+      Tables.supplier(spark, sfDir).groupBy("s_nationkey").count().count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -67,11 +67,16 @@ object Multimodal {
     * with an explicit row encoder — the JVM analog of a mapInPandas
     * UDF including its BATCH shape: rows are consumed in fixed-size
     * groups so a real codec initializes once per batch (per arrow
-    * batch in the Pandas case), not once per row. The stub counts
-    * initializations so tests can assert the batching actually
-    * happens.
+    * batch in the Pandas case), not once per row.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = DECODE_BATCH): DataFrame = {
+  def extractFeatures(media: DataFrame, batchSize: Int = DECODE_BATCH): DataFrame =
+    extractFeaturesTagged(media, batchSize).drop("batch_no")
+
+  /** Test/diagnostic variant exposing the per-partition batch index —
+    * batch_no is a physical artifact (changes with partitioning), so
+    * the public [[extractFeatures]] schema stays logical.
+    */
+  private[graft] def extractFeaturesTagged(media: DataFrame, batchSize: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("features", ArrayType(LongType, containsNull = false)),

@@ -50,12 +50,6 @@ object DedupQueries extends graft.QueryModule {
         .as("sh_arr"))
   }
 
-  /** Exploded (doc_id, shingle) rows — only needed by the exact-verify
-    * join, which touches LSH candidates alone.
-    */
-  private def shingles(docs: DataFrame): DataFrame =
-    shingleArrays(docs).select(col("doc_id"), explode(col("sh_arr")).as("s"))
-
   // ===== MinHash + LSH banding + exact verify =====
   /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
     * rows -> candidate pairs sharing any band, then exact-Jaccard
@@ -331,7 +325,7 @@ object DedupQueries extends graft.QueryModule {
   )
 
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
-    * textually identical semantics to [[shingles]].
+    * textually identical semantics to [[shingleArrays]].
     */
   private val shinglesCte: String =
     """toks AS (

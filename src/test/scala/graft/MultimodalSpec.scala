@@ -29,13 +29,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("decode consumes rows in fixed-size batches within each partition") {
     val media = Multimodal.mediaTable(spark, sf0001).repartition(2)
-    val feats = Multimodal.extractFeatures(media, batchSize = 100)
-    // 500 rows over 2 partitions -> ~250 rows/partition -> 3 batches each
-    val batchesPerPartition = feats.select("batch_no").distinct().count()
-    assert(batchesPerPartition >= 3)
+    val feats = Multimodal.extractFeaturesTagged(media, batchSize = 100)
+    // 500 rows over 2 even partitions -> 250 rows each -> EXACTLY 3
+    // batches per partition (a degenerate grouped(1) would give 250)
+    assert(feats.select("batch_no").distinct().count() == 3)
     val maxBatchSize = feats.groupBy("batch_no").count()
       .agg(max("count")).head().getLong(0)
     assert(maxBatchSize <= 2 * 100) // batch_no is per-partition; 2 partitions share ids
+    // public schema stays logical: no physical batch artifact
+    assert(!Multimodal.extractFeatures(media).columns.contains("batch_no"))
   }
 
   test("resize updates metadata and truncates payload") {
