@@ -51,6 +51,18 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("orc round-trip preserves values and pushes filters") {
+    val src = Tables.orders(spark, sf0001)
+    val orcPath = tmp("orc_rt")
+    src.write.orc(orcPath)
+    val back = spark.read.orc(orcPath)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      src.orderBy("o_orderkey").collect().toSeq)
+    val filtered = back.filter(col("o_totalprice") > 400000.0)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"))
+  }
+
   test("csv and json round-trips preserve values") {
     val src = Tables.supplier(spark, sf0001)
     val csvPath = tmp("csv_rt")
