@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at-or-before each left row") {
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2")).toDF("k", "t", "name")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 13:00:00"), 120.0)).toDF("k", "qt", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"))
+      .orderBy("t").select("name", "asof_price").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("p1", 100.0), ("p2", 110.0)))
+  }
+
+  test("as-of join includes an exact-timestamp tie (<= semantics, like DuckDB ASOF)") {
+    val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0)).toDF("k", "qt", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"))
+    assert(out.select("asof_price").head().getDouble(0) == 99.0)
+  }
+
+  test("as-of join keeps unmatched left rows with null payload (left semantics)") {
+    val probes = Seq((1L, ts("2024-01-01 08:00:00"), "early")).toDF("k", "t", "name")
+    val quotes = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "qt", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"))
+    assert(out.count() == 1)
+    assert(out.select("asof_price").head().isNullAt(0))
+  }
+
+  test("as-of join never matches across keys") {
+    val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val quotes = Seq((2L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "qt", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"))
+    assert(out.select("asof_price").head().isNullAt(0))
+  }
+}
