@@ -84,6 +84,35 @@ object ExtendedCatalog extends graft.QueryModule {
       cume_dist().over(w).as("cume"))
   }
 
+  // ===== string-function battery, second wave =====
+  def stringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      trim(col("p_name")).as("trimmed"),
+      lpad(col("p_brand"), 12, "*").as("lpadded"),
+      rpad(col("p_type"), 12, ".").as("rpadded"),
+      regexp_replace(col("p_name"), " ", "_").as("snake"),
+      translate(col("p_brand"), "#", "-").as("dashed"),
+      reverse(col("p_type")).as("reversed"),
+      substring_index(col("p_brand"), "#", 1).as("brand_prefix"),
+      repeat(col("p_brand"), 2).as("doubled"))
+
+  // ===== UNION (distinct) vs UNION ALL =====
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    cn.union(sn).distinct()
+  }
+
+  // ===== GROUPING SETS via the SQL front-end =====
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))""".stripMargin)
+  }
+
   // ===== SQL front-end: same engine through spark.sql =====
   /** Revenue per nation in ASIA for one order-year, expressed as SQL
     * over registered temp views — demonstrates the `spark.sql` entry
@@ -119,10 +148,32 @@ object ExtendedCatalog extends graft.QueryModule {
     "q_date_funcs" -> dateFuncs,
     "q_median" -> medianAgg,
     "q_window_ranks_extra" -> windowRanksExtra,
+    "q_string_funcs2" -> stringFuncs2,
+    "q_union_distinct" -> unionDistinct,
+    "q_grouping_sets" -> groupingSets,
     "q_sql_revenue" -> sqlRevenue
   )
 
   def oracles: Map[String, String] = Map(
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |       trim(p_name) AS trimmed,
+        |       lpad(p_brand, 12, '*') AS lpadded,
+        |       rpad(p_type, 12, '.') AS rpadded,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS snake,
+        |       translate(p_brand, '#', '-') AS dashed,
+        |       reverse(p_type) AS reversed,
+        |       split_part(p_brand, '#', 1) AS brand_prefix,
+        |       repeat(p_brand, 2) AS doubled
+        |FROM part""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))""".stripMargin,
     "q_window_ranks_extra" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal,
         |       CAST(NTILE(4) OVER w AS INT) AS quartile,
