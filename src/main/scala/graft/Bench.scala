@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,15 +18,28 @@ object Bench {
     try {
       Tables.supplier(spark, sfDir).groupBy("s_nationkey").count().count()
     } catch { case _: Throwable => () }
+    // Per-query timing plus explicit failure tracking: a query that
+    // throws is recorded with its error and counted in "failed", so a
+    // broken query can never masquerade as a fast one in the JSON line.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, err) =>
+      jstr(k) + ":" + err.fold(v.toString)(_ => "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      jstr(k) + ":" + jstr(e.take(200)) }.mkString("{", ",", "}")
+    val failed = results.count(_._3.isDefined)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

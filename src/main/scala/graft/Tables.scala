@@ -31,6 +31,12 @@ object Tables {
     * nanos via the legacy conf and convert to micros TimestampType with
     * integer division (floor — matches DuckDB's ns→us truncation; a
     * double division would lose precision above 2^53 ns).
+    *
+    * NOTE on the conf: `spark.sql.legacy.parquet.nanosAsLong` is set at
+    * session construction by every entry point (Bench/Verify/Dev/test
+    * base). The set below is a documented, idempotent safety net for
+    * externally-built sessions; its only effect is how INT64(NANOS)
+    * parquet columns are typed, which no other table in this engine has.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -131,17 +131,36 @@ object MultimodalQueries extends graft.QueryModule {
     "q_media_features" -> mediaFeatures
   )
 
+  // BYTE-exact oracle: the Spark side histograms UTF-8 payload bytes,
+  // so the oracle must too. `hex(encode(text))` yields two hex chars
+  // per byte, and because N_BINS = 16, `byte % 16` IS the low nibble —
+  // decoded via strpos into '0123456789ABCDEF'. The LEFT JOIN +
+  // coalesce keeps empty-text docs as all-zero rows (the Spark side
+  // emits a row per doc unconditionally). This stays correct for
+  // non-ASCII and empty text, unlike a per-character ord() histogram.
   def oracles: Map[String, String] = Map(
     "q_media_features" -> {
-      val bins = (0 until Multimodal.N_BINS)
-        .map(i => s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+      require(Multimodal.N_BINS == 16,
+        "low-nibble oracle encoding requires exactly 16 bins")
+      val outer = (0 until Multimodal.N_BINS)
+        .map(i => s"CAST(coalesce(t.f$i, 0) AS BIGINT) AS f$i")
         .mkString(",\n        ")
-      s"""SELECT doc_id AS media_id,
-        |        $bins
-        |FROM (
-        |  SELECT doc_id, ord(substring(text, i, 1)) % ${Multimodal.N_BINS} AS b
-        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) g
-        |) t GROUP BY doc_id""".stripMargin
+      val inner = (0 until Multimodal.N_BINS)
+        .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS f$i")
+        .mkString(",\n          ")
+      s"""SELECT d.doc_id AS media_id,
+        |        $outer
+        |FROM documents d
+        |LEFT JOIN (
+        |  SELECT doc_id,
+        |          $inner
+        |  FROM (
+        |    SELECT doc_id,
+        |           strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) - 1 AS b
+        |    FROM documents,
+        |         LATERAL (SELECT unnest(range(1, octet_length(encode(text)) + 1)) AS i) g
+        |  ) raw GROUP BY doc_id
+        |) t ON d.doc_id = t.doc_id""".stripMargin
     }
   )
 }

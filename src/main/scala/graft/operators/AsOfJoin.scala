@@ -31,26 +31,46 @@ object AsOfJoin {
     * @param leftTime   event-time column on `left`
     * @param rightTime  event-time column on `right`
     * @param payload    right-side columns to attach (prefixed `asof_`)
+    * @param tiebreak   right-side column breaking ties among right rows
+    *                   sharing (key, rightTime): the row with the
+    *                   GREATEST tiebreak value wins. Without it the
+    *                   carried row among such ties is whichever the
+    *                   shuffle happened to order last — nondeterministic
+    *                   across runs/partitionings. Pass the right side's
+    *                   unique id whenever duplicates are possible.
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tiebreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns
+    val tieOf: DataFrame => Column = df =>
+      tiebreak.map(df.col).getOrElse(lit(null).cast("long"))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(
+        tiebreak.map(right.schema(_).dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)))
       .withColumn("__payload", lit(null).cast(payloadType(right, payload)))
     val r = right
       .select((col(key) +: col(rightTime).as("__t") +:
+        tieOf(right).as("__tie") +:
         struct(payload.map(col): _*).as("__payload") +: Nil): _*)
       .withColumn("__side", lit(0))
 
     val unioned = l.select(
-      (col(key) +: col("__t") +: col("__side") +: col("__payload") +:
+      (col(key) +: col("__t") +: col("__side") +: col("__tie") +: col("__payload") +:
         leftCols.filterNot(_ == key).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
 
+    // Right rows (__side=0) sort before left rows at an equal timestamp
+    // (ASOF <= tie matches); among right rows sharing (key, __t), the
+    // ascending __tie puts the greatest-tiebreak row last, so
+    // last(ignoreNulls) carries it — deterministic under any input
+    // order. Left rows have a null __tie, irrelevant because their
+    // relative order never affects last(__payload, ignoreNulls=true).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
@@ -81,22 +101,30 @@ object AsOfQueries extends graft.QueryModule {
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
     AsOfJoin(purchases, clicks, key = "user_id",
-      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"))
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
+      tiebreak = Some("click_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofClicks
   )
 
+  // Deterministic oracle: a LATERAL top-1 with an explicit
+  // (ts DESC, event_id DESC) order — the same "latest click, greatest
+  // id among exact-timestamp ties" rule the Spark side's window
+  // tiebreak applies. DuckDB's native ASOF JOIN picks arbitrarily among
+  // duplicate (key, ts) right rows, which could flake the hash compare.
   def oracles: Map[String, String] = Map(
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |      FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, event_id AS click_id,
-        |                       CAST(ts AS TIMESTAMP) AS click_ts
-        |                FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP) <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin
   )
 }

@@ -33,8 +33,15 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  // One staging dir per source dir per JVM, removed on exit — repeated
+  // eventStream calls reuse it instead of leaking a tempdir+symlink each.
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Streaming scan of the events table: nanos -> micros TimestampType,
-    * same conversion as the batch reader.
+    * same conversion as the batch reader. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
+    * builder in this engine; see graft.Tables.events).
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,10 +49,15 @@ object StreamingOps {
     // production contract). The fixture keeps several tables in one
     // dir, so stage a directory containing just the events file
     // (symlink — no data copy).
-    val eventsFile = java.nio.file.Paths.get(dir, "events.parquet")
-    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), eventsFile)
+    val streamDir = stagingDirs.computeIfAbsent(dir, { d =>
+      val eventsFile = java.nio.file.Paths.get(d, "events.parquet")
+      val staged = java.nio.file.Files.createTempDirectory("events_stream")
+      val link = staged.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link, eventsFile)
+      link.toFile.deleteOnExit()
+      staged.toFile.deleteOnExit()
+      staged
+    })
     spark.readStream
       .schema(rawSchema)
       .parquet(streamDir.toString)
@@ -146,6 +158,16 @@ object StreamingOps {
   /** Idempotent micro-batch sink: each batch MERGEs into the target via
     * the batch Upsert (K4/T3 in SURVEY — per-page eager commit). The
     * path writes last-writer-wins parquet snapshots per batch.
+    *
+    * Crash safety: the swap is rename-aside (target -> target_prev),
+    * rename-into-place (tmp -> target), delete prev. Every crash window
+    * leaves a readable snapshot: before the first rename the old target
+    * is intact; between the renames `target_prev` holds it and the read
+    * path recovers from it; after the second rename the new target is
+    * live and a stale `_prev` is cleared at the top of the next batch.
+    * A delete-then-rename swap would instead leave NO snapshot if the
+    * process died between the two calls — checkpoint replay would then
+    * take the first-batch path and silently discard all merged history.
     */
   def foreachBatchUpsert(
       stream: DataFrame, pk: Seq[String], targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -153,22 +175,25 @@ object StreamingOps {
       val spark = batch.sparkSession
       val hconf = spark.sparkContext.hadoopConfiguration
       val targetP = new org.apache.hadoop.fs.Path(targetPath)
+      val prevP = new org.apache.hadoop.fs.Path(targetPath + "_prev")
       val fs = targetP.getFileSystem(hconf) // works for file:/, hdfs:/, s3a:/ ...
-      // Only a genuinely missing target means "first batch"; any read
-      // failure must propagate — merging against an empty stand-in and
-      // overwriting would destroy the sink.
+      // Only a genuinely missing target AND missing prev snapshot means
+      // "first batch"; any read failure must propagate — merging against
+      // an empty stand-in and overwriting would destroy the sink.
       val target =
         if (fs.exists(targetP)) spark.read.parquet(targetPath)
+        else if (fs.exists(prevP)) spark.read.parquet(prevP.toString)
         else batch.limit(0)
       val merged = graft.pipeline.Upsert(target, batch, pk)
-      // Stage the merged snapshot, then swap via delete + rename —
-      // rename is a metadata operation (atomic on HDFS), so the
-      // no-target window is tiny; a direct overwrite would leave the
-      // sink empty for the whole rewrite duration.
+      // Staging write fully consumes the target read before any rename.
       val tmpP = new org.apache.hadoop.fs.Path(targetPath + s"_batch$batchId")
       merged.write.mode("overwrite").parquet(tmpP.toString)
-      fs.delete(targetP, true)
+      fs.delete(prevP, true) // stale aside from a crashed earlier batch
+      if (fs.exists(targetP) && !fs.rename(targetP, prevP))
+        throw new java.io.IOException(s"rename $targetP -> $prevP failed")
       if (!fs.rename(tmpP, targetP))
         throw new java.io.IOException(s"rename $tmpP -> $targetP failed")
+      fs.delete(prevP, true)
+      ()
     }
 }

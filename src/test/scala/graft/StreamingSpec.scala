@@ -116,4 +116,33 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_type").distinct().count()
     assert(sink.count() == keys)
   }
+
+  test("foreachBatchUpsert recovers merged state from the _prev aside after a mid-swap crash") {
+    val base = java.nio.file.Files.createTempDirectory("upsert_crash").toString
+    val tmp = base + "/t"
+    val stream = StreamingOps.eventStream(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamingOps.foreachBatchUpsert(stream, Seq("user_id", "event_type"), tmp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    runOnce(base + "/ckpt1")
+    val merged = spark.read.parquet(tmp).count()
+    assert(merged > 0)
+    // Simulate a crash between rename-aside and rename-into-place:
+    // target gone, _prev holds the last good snapshot.
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(tmp + "_prev")))
+    // Replay (fresh checkpoint = redelivery of the same batch). The old
+    // delete+rename swap would have merged against empty here and
+    // silently dropped all prior sink state.
+    runOnce(base + "/ckpt2")
+    assert(spark.read.parquet(tmp).count() == merged)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "_prev")))
+  }
 }
