@@ -112,6 +112,57 @@ object Dev {
             |       round(cosine_sim(a.embedding, b.embedding), 4) AS cs
             |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             |ORDER BY cs DESC LIMIT 5""".stripMargin).show(truncate = false)
+      case "profminhash" :: dir :: Nil =>
+        // stage-level timing of the minhash pipeline
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+            if (ms > 200)
+              println(f"    [stage ${i.stageId}%3d] ${ms / 1e3}%5.2fs wall, " +
+                f"${i.taskMetrics.executorRunTime / 1e3}%5.2fs cpu-sum, ${i.numTasks} tasks: ${i.name.take(60)}")
+          }
+        })
+        def t(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"${(System.nanoTime() - t0) / 1e9}%6.2fs  $label (n=$n)")
+        }
+        val docs = Tables.documents(spark, dir)
+        t("scan docs")(docs.count())
+        val shArr = docs.select(col("doc_id"),
+          array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)).as("sh_arr"))
+        t("shingle arrays (no cache)")(shArr.count())
+        val cached = shArr.cache()
+        t("cache build")(cached.count())
+        t("cache reread")(cached.count())
+        val sig = cached.select(col("doc_id") +:
+          (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+        t("signatures (9x md5 min)")(sig.count())
+        val bands = sig.select(col("doc_id"), explode(array(
+          struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
+          struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
+          struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
+        )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+        t("cand: plan only")({ cand.queryExecution.executedPlan; 0L })
+        t("bands + candidate join")(cand.count())
+        val ver = cand
+          .join(cached.alias("za"), col("doc_a") === col("za.doc_id"))
+          .join(cached.alias("zb"), col("doc_b") === col("zb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("za.sh_arr"), col("zb.sh_arr"))).as("c"),
+            size(col("za.sh_arr")).as("n_a"), size(col("zb.sh_arr")).as("n_b"))
+          .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
+        t("verify join")(ver.count())
+        cached.unpersist()
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")

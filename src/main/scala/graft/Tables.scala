@@ -19,13 +19,32 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a scan across the cluster when the source's natural split
+    * count is below the session's parallelism. The fixture files are
+    * single-row-group parquet, so without this EVERY pipeline over them
+    * — including each BroadcastExchange build side, which executes with
+    * its child's partitioning — runs as ONE task and serializes the
+    * CPU-dense kernels (md5 shingling, vector math) onto one core. At
+    * production scale a table scan has thousands of row-group splits,
+    * the partition count exceeds defaultParallelism, and this is a
+    * no-op — the round-robin exchange exists only when the data is too
+    * small for the scan to parallelize itself, exactly when it's cheap.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  private def readSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, read(spark, dir, name))
+
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "lineitem")
   /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which the Spark
     * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
     * nanos via the legacy conf and convert to micros TimestampType with
@@ -40,9 +59,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    spread(spark, read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "embeddings")
 }
