@@ -39,4 +39,22 @@ object VectorFunctions {
     */
   def quantized(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x * lit(scale)).cast("bigint"))
+
+  /** Exact integer dot product of two quantized (int64) vectors — a
+    * row-level fold, so a pairwise score needs NO position-explode
+    * join and NO aggregation shuffle. Integer sums are
+    * order-insensitive, so this matches an oracle that computes the
+    * same dot as SUM over position-joined components.
+    */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine from exact integer dot/norms: one double division of
+    * bit-identical inputs per engine.
+    */
+  def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 }

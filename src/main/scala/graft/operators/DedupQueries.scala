@@ -177,31 +177,25 @@ object DedupQueries extends graft.QueryModule {
   /** Near-duplicate vectors by cosine >= 0.40 among same-label pairs
     * (label = the blocking key; at scale this is the LSH/IVF bucket).
     * Components quantized to int64 so dot products and norms are exact
-    * integer sums; see class doc.
+    * integer sums; see class doc. Pair scores are ROW-LEVEL array
+    * kernels (VectorFunctions.qdot) over a label equi-join — no
+    * position-explode join and no per-pair aggregation shuffle; the
+    * shuffle cost is one label-hash exchange of the vectors, and each
+    * pair is scored exactly once inside the join.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(expr("transform(embedding, x -> cast(round(x * 1000) as bigint))"))
-          .as(Seq("p", "q")))
-      .cache()
+    import graft.functions.VectorFunctions._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
 
-    val norms = q.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
-
-    val dots = q.alias("a").join(q.alias("b"),
-        col("a.p") === col("b.p") &&
-          col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"))
-      .agg(sum(col("a.q") * col("b.q")).as("dot"))
-
-    dots
-      .join(norms.alias("na"), col("vec_a") === col("na.vec_id"))
-      .join(norms.alias("nb"), col("vec_b") === col("nb.vec_id"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))))
+    vecs.alias("a")
+      .join(vecs.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= 0.40)
       .select("vec_a", "vec_b", "label", "cosine")
   }

@@ -16,15 +16,18 @@ import graft.Tables
   * division of exact inputs, and all top-k orderings carry an id
   * tiebreak — so Spark and DuckDB produce identical rows.
   *
-  * Scale design: the dot products are computed as an equi-join on the
-  * component position plus a hash aggregate — the sparse-matrix-multiply
-  * dataflow shape. Brute force is O(Q x N) and only sane for small
-  * query sets (it is the oracle baseline); IVF probes `nprobe=2` of 10
-  * centroid lists, cutting the candidate scan ~5x here and ~n_lists/
-  * nprobe at scale, where the assignment table would be partitioned by
-  * list id. For single-machine hot paths the float expression in
-  * VectorFunctions is the faster kernel; the join shape is what
-  * distributes.
+  * Scale design: every pairwise score is a ROW-LEVEL integer array
+  * kernel (`zip_with` product + `aggregate` fold, VectorFunctions.qdot)
+  * — no position-explode join, no per-pair aggregation shuffle. Pair
+  * generation is the only relational step: brute force broadcasts the
+  * tiny query set against the corpus scan (O(Q x N) scores, the oracle
+  * baseline); IVF broadcasts the 10 centroid vectors for assignment,
+  * probes `nprobe=2` lists, and scores only those candidates —
+  * ~n_lists/nprobe less work at scale, where the assignment table
+  * would be partitioned by list id and the centroid table is always
+  * broadcast-sized. The one explode+shuffle left is the centroid
+  * BUILD (element-wise sums), which reduces N x dim rows to
+  * n_lists x dim — the natural tall-skinny-matrix-sum dataflow.
   */
 object SimilarityQueries extends graft.QueryModule {
 
@@ -32,35 +35,39 @@ object SimilarityQueries extends graft.QueryModule {
   private val NQ = 5      // query vectors: vec_id < NQ
   private val NPROBE = 2  // IVF centroid lists probed
 
-  /** Quantized component rows: (vec_id, label, p, q). */
-  private def comps(spark: SparkSession, dir: String): DataFrame =
+  import graft.functions.VectorFunctions._
+
+  /** Quantized vectors with precomputed squared norms:
+    * (vec_id, label, qv: array<bigint>, n2).
+    */
+  private def qvecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(expr("transform(embedding, x -> cast(round(x * 1000) as bigint))"))
-          .as(Seq("p", "q")))
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
 
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val q = comps(spark, dir).cache()
-    val norms = q.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
-    val queries = q.filter(col("vec_id") < NQ)
-
-    val dots = queries.alias("a")
-      .join(q.alias("b"), col("a.p") === col("b.p") && col("a.vec_id") =!= col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
-      .agg(sum(col("a.q") * col("b.q")).as("dot"))
-
-    val scored = dots
-      .join(norms.alias("na"), col("query_id") === col("na.vec_id"))
-      .join(norms.alias("nb"), col("neighbor_id") === col("nb.vec_id"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))))
-
+  /** Top-k per query by (cosine desc, neighbor_id): one window over the
+    * scored pairs. Spark plans partial+final WindowGroupLimit for the
+    * rank-filter shape, so only k rows per query survive each side of
+    * the exchange.
+    */
+  private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("query_id", "neighbor_id", "rnk", "cosine")
+  }
+
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = qvecs(spark, dir)
+    val queries = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    // broadcast the query set; one corpus scan, dot + cosine per row
+    val scored = vecs
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        qcosine(qdot(col("q_qv"), col("qv")), col("q_n2"), col("n2")).as("cosine"))
+    topK(scored)
   }
 
   /** IVF: centroids = exact per-label component sums (the mean's 1/n
@@ -69,67 +76,49 @@ object SimilarityQueries extends graft.QueryModule {
     * NPROBE nearest centroid lists and scans only those.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val q = comps(spark, dir).cache()
-    val norms = q.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+    val vecs = qvecs(spark, dir).cache()
 
-    // centroid component sums and squared norms (integer-exact)
-    val cent = q.groupBy(col("label"), col("p")).agg(sum(col("q")).as("sumq")).cache()
-    val centNorm = cent.groupBy(col("label")).agg(sum(col("sumq") * col("sumq")).as("c2"))
+    // centroid BUILD: element-wise component sums per label, rebuilt
+    // into an array — the one explode+shuffle in the pipeline
+    // (N x dim rows down to n_lists rows)
+    val cent = vecs
+      .select(col("label"), posexplode(col("qv")).as(Seq("p", "q")))
+      .groupBy(col("label"), col("p")).agg(sum(col("q")).as("sumq"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("sumq")))),
+        s => s.getField("sumq")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"), qnorm2(col("cv")).as("c2"))
 
-    // affinity(v, centroid): cos = dot(v, sum_c) / (|v| * |sum_c|) — n cancels
-    def affinities(vecs: DataFrame): DataFrame =
-      vecs.alias("v")
-        .join(cent.alias("c"), col("v.p") === col("c.p"))
-        .groupBy(col("v.vec_id").as("vid"), col("c.label").as("clabel"))
-        .agg(sum(col("v.q") * col("c.sumq")).as("vcdot"))
-        .join(norms.alias("vn"), col("vid") === col("vn.vec_id"))
-        .join(centNorm.alias("cn"), col("clabel") === col("cn.label"))
-        .withColumn("aff",
-          col("vcdot").cast("double") /
-            (sqrt(col("vn.n2").cast("double")) * sqrt(col("cn.c2").cast("double"))))
-
-    // One affinity pass + one ranking window serves both the index
-    // build (rank 1 = assignment) and the query probes (rank <=
-    // NPROBE on the query subset) — halves the exchanges vs computing
-    // affinities twice.
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("aff").desc, col("clabel"))
-    val ranked = affinities(q)
+    // affinity(v, centroid) = dot(v, sum_c)/(|v||sum_c|) — row-level
+    // kernel against the broadcast 10-row centroid table; one window
+    // pass serves both the assignment (rank 1) and the query probes
+    // (rank <= NPROBE).
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("aff").desc, col("clabel"))
+    val ranked = vecs
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("clabel"),
+        qcosine(qdot(col("qv"), col("cv")), col("n2"), col("c2")).as("aff"))
       .withColumn("arnk", row_number().over(wAssign))
-      .cache()
 
     val assigned = ranked
       .filter(col("arnk") === 1)
-      .select(col("vid").as("vec_id"), col("clabel").as("list_id"))
+      .select(col("vec_id"), col("clabel").as("list_id"))
 
     val probes = ranked
-      .filter(col("vid") < NQ && col("arnk") <= NPROBE)
-      .select(col("vid").as("query_id"), col("clabel").as("list_id"))
+      .filter(col("vec_id") < NQ && col("arnk") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("clabel").as("p_list"))
+      .join(vecs.select(col("vec_id"), col("qv").as("q_qv"), col("n2").as("q_n2")),
+        col("query_id") === col("vec_id"))
+      .select("query_id", "p_list", "q_qv", "q_n2")
 
-    // candidate set: vectors assigned to a probed list (minus self)
-    val candidates = probes
-      .join(assigned, Seq("list_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    val dots = candidates
-      .join(q.alias("a"), col("query_id") === col("a.vec_id"))
-      .join(q.alias("b"),
-        col("neighbor_id") === col("b.vec_id") && col("a.p") === col("b.p"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("a.q") * col("b.q")).as("dot"))
-
-    val scored = dots
-      .join(norms.alias("na"), col("query_id") === col("na.vec_id"))
-      .join(norms.alias("nb"), col("neighbor_id") === col("nb.vec_id"))
-      .withColumn("cosine",
-        col("dot").cast("double") /
-          (sqrt(col("na.n2").cast("double")) * sqrt(col("nb.n2").cast("double"))))
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select("query_id", "neighbor_id", "rnk", "cosine")
+    // scan only the probed lists; score candidates row-level
+    val scored = assigned
+      .join(vecs, Seq("vec_id"))
+      .join(broadcast(probes),
+        col("p_list") === col("list_id") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        qcosine(qdot(col("q_qv"), col("qv")), col("q_n2"), col("n2")).as("cosine"))
+    topK(scored)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
