@@ -21,6 +21,29 @@ object Bench {
     try {
       Tables.supplier(spark, sfDir).groupBy("s_nationkey").count().count()
     } catch { case _: Throwable => () }
+    // Warm the document/vector array-kernel codepaths (md5 shingling,
+    // minhash transforms, quantized dot products) on a 64-row sample:
+    // the generated loops are hot enough that C2 compilation dominates
+    // their first execution (~5s measured), and which query pays it is
+    // map-order luck. Standard steady-state benchmarking practice —
+    // sampled input, results discarded, nothing precomputed or cached
+    // for the measured queries.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextFunctions, VectorFunctions}
+      Tables.documents(spark, sfDir).limit(64)
+        .select(col("doc_id"),
+          TextFunctions.minhash(
+            array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)), 0)
+            .as("m"),
+          md5(array_join(TextFunctions.md5All(TextFunctions.tokens(col("text"))), "")).as("d"))
+        .count()
+      val qv = Tables.embeddings(spark, sfDir).limit(64)
+        .select(VectorFunctions.quantized(col("embedding")).as("qv"))
+      qv.alias("a").crossJoin(qv.alias("b"))
+        .select(VectorFunctions.qdot(col("a.qv"), col("b.qv")).as("d"))
+        .agg(sum(col("d"))).count()
+    } catch { case _: Throwable => () }
     // Per-query timing plus explicit failure tracking: a query that
     // throws is recorded with its error and counted in "failed", so a
     // broken query can never masquerade as a fast one in the JSON line.

@@ -17,7 +17,7 @@ object Dev {
       .appName("graft-dev")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // `ext` drives the SparkSessionExtensions install path
@@ -25,7 +25,7 @@ object Dev {
       (if (args.headOption.contains("ext"))
         builder.withExtensions(new graft.plans.GraftExtensions) else builder)
         .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "ERROR"))
     try args.toList match {
       case "schema" :: table :: dir :: Nil =>
         val df = table match {
@@ -43,13 +43,16 @@ object Dev {
         val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toList.sorted
         val times = names.map { name =>
           val fn = SparkEntry.queries(name)
-          fn(spark, dir).count() // warm: plan + scans cached by OS, JIT warmed
+          val c0 = System.nanoTime()
+          fn(spark, dir).count() // cold: plan compile + codegen + JIT
+          val cold = (System.nanoTime() - c0) / 1e9
           val t0 = System.nanoTime()
           fn(spark, dir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          (name, cold, (System.nanoTime() - t0) / 1e9)
         }
-        times.sortBy(-_._2).foreach { case (n, t) => println(f"$t%8.2fs  $n") }
-        println(f"total (steady-state): ${times.map(_._2).sum}%.1fs")
+        times.sortBy(-_._3).foreach { case (n, c, t) =>
+          println(f"$t%8.2fs steady $c%8.2fs cold  $n") }
+        println(f"total: steady ${times.map(_._3).sum}%.1fs cold ${times.map(_._2).sum}%.1fs")
       case "cosbench" :: dir :: Nil =>
         // fused codegen expression vs composable zip_with/aggregate path
         import org.apache.spark.sql.functions._

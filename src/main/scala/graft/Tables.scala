@@ -21,30 +21,49 @@ object Tables {
 
   /** Spread a scan across the cluster when the source's natural split
     * count is below the session's parallelism. The fixture files are
-    * single-row-group parquet, so without this EVERY pipeline over them
-    * — including each BroadcastExchange build side, which executes with
+    * single-row-group parquet, so without this a pipeline over them —
+    * including each BroadcastExchange build side, which executes with
     * its child's partitioning — runs as ONE task and serializes the
-    * CPU-dense kernels (md5 shingling, vector math) onto one core. At
-    * production scale a table scan has thousands of row-group splits,
-    * the partition count exceeds defaultParallelism, and this is a
-    * no-op — the round-robin exchange exists only when the data is too
-    * small for the scan to parallelize itself, exactly when it's cheap.
+    * CPU-dense kernels (md5 shingling, vector math) onto one core.
+    *
+    * Two guards keep this from taxing queries that don't need it
+    * (round 2 spread EVERY big-table read and regressed eight cheap
+    * relational queries up to 13x — the round-robin Exchange cost more
+    * than the query):
+    *  - POLICY: only the CPU-dense tables (`documents`, `embeddings`,
+    *    `events`) are spread. Scan-bound relational tables
+    *    (`orders`/`lineitem`) keep their natural file splits; their
+    *    per-row work is a few comparisons, so an extra full-table
+    *    exchange can only lose.
+    *  - SIZE: the split count is estimated from file metadata (total
+    *    bytes / files.maxPartitionBytes — the same arithmetic
+    *    FilePartition uses), NOT from `df.rdd.getNumPartitions`, which
+    *    forces a full physical-planning pass per read. At production
+    *    scale the estimate exceeds defaultParallelism and this is a
+    *    no-op; the exchange exists only when the table is too small for
+    *    the scan to parallelize itself, exactly when it's cheap.
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def spreadIfSmall(spark: SparkSession, dir: String, name: String, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(path).getLength
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (estSplits >= target) df else df.repartition(target)
   }
 
   private def readSpread(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, read(spark, dir, name))
+    spreadIfSmall(spark, dir, name, read(spark, dir, name))
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which the Spark
     * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
     * nanos via the legacy conf and convert to micros TimestampType with
@@ -59,7 +78,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spread(spark, read(spark, dir, "events")
+    spreadIfSmall(spark, dir, "events", read(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "documents")

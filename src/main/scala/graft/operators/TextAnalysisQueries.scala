@@ -35,8 +35,12 @@ object TextAnalysisQueries extends graft.QueryModule {
     val profile = toks.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
       .agg(count(lit(1)).as("cnt"))
 
+    // No broadcast hint: the profile is (lang x vocabulary)-sized, which
+    // grows with the corpus — a forced broadcast OOMs at scale. AQE
+    // picks broadcast at runtime whenever the built side is actually
+    // small (it is on every fixture SF).
     val scores = toks
-      .join(broadcast(profile), col("tok") === col("p_tok"))
+      .join(profile, col("tok") === col("p_tok"))
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
       .agg(sum(col("cnt")).as("score"))
 
@@ -124,7 +128,9 @@ object TextAnalysisQueries extends graft.QueryModule {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), Seq("tok"))
+    // df is vocabulary-sized — no broadcast hint (see langId); AQE
+    // broadcasts it at runtime when small.
+    val scored = tf.join(df, Seq("tok"))
       .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     scored
