@@ -37,10 +37,20 @@ object TextFunctions {
     array_min(transform(arr, x => md5(concat(lit(s"$seed:"), x))))
 
   /** Winnowing minima: for each position, the min of the `window`
-    * hashes starting there (window truncates at the end — slice
-    * semantics match ROWS BETWEEN CURRENT AND k FOLLOWING).
+    * hashes starting there (window truncates at the end — semantics
+    * match ROWS BETWEEN CURRENT AND k FOLLOWING). Delegates to the
+    * O(n) monotonic-deque codegen kernel [[SlidingMin]]; the
+    * composable O(n*window) form below exists as its differential
+    * test oracle.
     */
   def winnowMinima(hashes: Column, window: Int): Column =
+    SlidingMin.sliding_min(hashes, window)
+
+  /** Composable-expression formulation of [[winnowMinima]] — O(n*w)
+    * re-slicing per position; kept as the independent reference
+    * implementation the SlidingMin spec compares against.
+    */
+  def winnowMinimaComposable(hashes: Column, window: Int): Column =
     // NULL input propagates NULL (standard SQL); empty input returns []
     // — without the guard sequence(0, -1) would produce a DESCENDING
     // [0, -1] and slice(_, 0, _) throws

@@ -35,6 +35,48 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("SlidingMin matches the composable O(n*w) formulation on random arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { i =>
+      val n = rnd.nextInt(12) // includes 0-length
+      (i, (0 until n).map(_ => f"h${rnd.nextInt(8)}%02d").toArray)
+    } :+ (999, Array.empty[String])
+    for (w <- Seq(1, 2, 5, 9)) {
+      val df = cases.toDF("id", "hs").select(
+        col("id"),
+        TextFunctions.winnowMinima(col("hs"), w).as("fast"),
+        TextFunctions.winnowMinimaComposable(col("hs"), w).as("ref"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"window=$w id=${r.getInt(0)}")
+      }
+    }
+  }
+
+  test("SlidingMin null semantics: null array -> null, null elements skipped") {
+    val df = Seq(
+      (1, Array[String]("b", null, "a")),
+      (2, Array[String](null, null)),
+      (3, null)).toDF("id", "hs")
+      .select(col("id"), TextFunctions.winnowMinima(col("hs"), 2).as("m"))
+    val rows = df.orderBy("id").collect()
+    // window {b, null} -> b; {null, a} -> a; {a} -> a
+    assert(rows(0).getSeq[String](1) == Seq("b", "a", "a"))
+    // all-null windows -> null entries (array_min semantics)
+    assert(rows(1).getSeq[String](1) == Seq(null, null))
+    assert(rows(2).isNullAt(1))
+    // interpreted path agrees with codegen
+    import graft.functions.SlidingMin
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = SlidingMin(Literal.create(null, org.apache.spark.sql.types.StringType), Literal(2))
+    val in = new GenericArrayData(Array[Any](
+      UTF8String.fromString("b"), null, UTF8String.fromString("a")))
+    val out = e.nullSafeEval(in, 2).asInstanceOf[ArrayData]
+    assert((0 until 3).map(out.getUTF8String(_).toString) == Seq("b", "a", "a"))
+  }
+
   test("simhash expression matches a reference implementation on one doc") {
     val df = Seq("hello world hello").toDF("text")
       .withColumn("hvs", expr(TextFunctions.tokenHashValuesExpr))
