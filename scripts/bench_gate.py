@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares two bench results and FAILS (exit 1) when any query regressed
+more than THRESHOLD x — so a plan-level tradeoff that helps one family
+but taxes another (like round 2's scan-spread change, q_distinct 13.6x)
+cannot land unnoticed.
+
+Usage:
+    python3 scripts/bench_gate.py OLD.json NEW.json [threshold]
+
+Accepts either the raw one-line JSON printed by graft.Bench or the
+driver's BENCH_rN.json wrapper (JSON line embedded in a "tail" field).
+Queries faster than FLOOR seconds in both runs are ignored: at that
+scale the delta is scheduler noise, not a plan change.
+"""
+import json
+import re
+import sys
+
+FLOOR = 0.4  # seconds; below this in both runs -> noise, not signal
+
+
+def load_bench(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    # driver wrapper: the bench line is embedded in the "tail" text
+    tail = doc.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        m = re.search(r"\{\"metric\":.*\}", line)
+        if m:
+            return json.loads(m.group(0))
+    raise SystemExit(f"{path}: no bench JSON line found")
+
+
+def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+    oq, nq = old["queries"], new["queries"]
+    failures, improved = [], []
+    for name in sorted(set(oq) & set(nq)):
+        o, n = oq[name], nq[name]
+        if o is None or n is None:  # failed query: reported elsewhere
+            continue
+        if o < FLOOR and n < FLOOR:
+            continue
+        if n > o * threshold:
+            failures.append((name, o, n, n / o))
+        elif o > n * threshold:
+            improved.append((name, o, n, o / n))
+
+    new_failed = new.get("failed", 0)
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({new['value'] / old['value']:.2f}x), failed queries: {new_failed}")
+    for name, o, n, x in sorted(improved, key=lambda t: -t[3]):
+        print(f"  improved {x:5.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
+    for name, o, n, x in sorted(failures, key=lambda t: -t[3]):
+        print(f"  REGRESSED {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
+
+    if failures or new_failed:
+        print(f"GATE FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
+              f"regressed >{threshold}x, {new_failed} failed")
+        sys.exit(1)
+    print("GATE PASS")
+
+
+if __name__ == "__main__":
+    main()

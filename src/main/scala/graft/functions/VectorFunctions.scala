@@ -41,12 +41,21 @@ object VectorFunctions {
     transform(v, x => round(x * lit(scale)).cast("bigint"))
 
   /** Exact integer dot product of two quantized (int64) vectors — a
-    * row-level fold, so a pairwise score needs NO position-explode
+    * row-level kernel, so a pairwise score needs NO position-explode
     * join and NO aggregation shuffle. Integer sums are
     * order-insensitive, so this matches an oracle that computes the
-    * same dot as SUM over position-joined components.
+    * same dot as SUM over position-joined components. Delegates to the
+    * fused codegen kernel [[QDotLong]] (evaluated once per candidate
+    * pair in the LSH/ANN hot paths); the composable form below is its
+    * differential test oracle.
     */
-  def qdot(a: Column, b: Column): Column =
+  def qdot(a: Column, b: Column): Column = QDotLong.qdot_fast(a, b)
+
+  /** Composable-expression formulation of [[qdot]] — materializes the
+    * product array per pair; kept as the independent reference
+    * implementation the QDotLong spec compares against.
+    */
+  def qdotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact integer squared norm of a quantized vector. */

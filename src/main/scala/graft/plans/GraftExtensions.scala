@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, SlidingMin}
+import graft.functions.{CosineSimilarity, QDotLong, SlidingMin}
 
 /** Session-extension entry point: install the engine's custom Catalyst
   * surface via `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("sliding_min"),
         new ExpressionInfo(classOf[SlidingMin].getName, "sliding_min"),
         (children: Seq[Expression]) => SlidingMin(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("qdot_long"),
+        new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
+        (children: Seq[Expression]) => QDotLong(children(0), children(1))))
   }
 }

@@ -46,6 +46,26 @@ class VectorSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("array"))
   }
 
+  test("fused qdot matches the composable integer fold on real embeddings") {
+    val qv = graft.Tables.embeddings(spark, sf0001).limit(50)
+      .select(quantized(col("embedding")).as("q"))
+    val pairs = qv.alias("a").crossJoin(qv.alias("b"))
+      .select(
+        qdot(col("a.q"), col("b.q")).as("fast"),
+        qdotComposable(col("a.q"), col("b.q")).as("slow"))
+    assert(pairs.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("fused qdot edge cases: length mismatch and null element -> null") {
+    val mismatch = Seq((Array(1L), Array(1L, 2L))).toDF("a", "b")
+      .select(qdot(col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0))
+    val withNull = Seq((Array[java.lang.Long](1L, null), Array[java.lang.Long](2L, 3L)))
+      .toDF("a", "b")
+      .select(qdot(col("a").cast("array<bigint>"), col("b").cast("array<bigint>"))).head()
+    assert(withNull.isNullAt(0))
+  }
+
   test("as-of join: every purchase row kept; matched click is <= purchase time") {
     val out = graft.operators.AsOfQueries.asofClicks(spark, sf0001)
     val purchases = graft.Tables.events(spark, sf0001)
