@@ -64,6 +64,26 @@ object Upsert {
       .map(f => col(f.name).asc_nulls_last).toSeq
   }
 
+  /** Collapse duplicate-PK rows within one batch to a single
+    * deterministic winner — the same tiebreak rule [[apply]] uses, so
+    * a batch pre-deduplicated here merges identically through any
+    * sink, including the set-based [[JdbcSink]] MERGE (which, like
+    * Postgres ON CONFLICT, requires at most one source row per PK).
+    */
+  def dedupeByPk(updates: DataFrame, pk: Seq[String]): DataFrame = {
+    // all-PK schemas have no tiebreak columns; duplicates are then full
+    // rows and any non-empty ORDER BY (row_number requires one) works
+    val ord = dupTiebreak(updates, pk) match {
+      case Seq() => pk.map(col(_).asc)
+      case o => o
+    }
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ord: _*)
+    updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Multi-batch variant: later batches win over earlier ones, all win
     * over `existing` — the per-page eager-commit loop of the reference
     * (`wdn_api.py:121-122`, SURVEY T3) collapsed into one plan.

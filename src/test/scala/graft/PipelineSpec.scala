@@ -89,6 +89,43 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1, "eu", 99.0), (1, "us", 10.0)))
   }
 
+  // ===== JdbcSink (K1 against an RDBMS target, db.py:51-67) =====
+
+  test("JDBC sink upserts via staging + MERGE against embedded Derby") {
+    import graft.pipeline.JdbcSink
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", dbDir) // keep derby.log out of the repo
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val opts = Map(
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      // Derby maps Spark strings to CLOB, which it refuses to compare;
+      // the text column must be an explicit VARCHAR
+      "createTableColumnTypes" -> "name VARCHAR(64)")
+
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    JdbcSink.upsert(base, url, "sink_t", Seq("id"), opts)
+    // overwrite PK 2 wholesale, insert PK 3 — delivered twice in-batch
+    val updates = Seq((2L, "B2", 21.0), (3L, "c", 30.0), (3L, "c0", 29.0))
+      .toDF("id", "name", "v")
+    JdbcSink.upsert(updates, url, "sink_t", Seq("id"), opts)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "sink_t")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    // same semantics as the DataFrame-side Upsert: last writer wins
+    // wholesale, absent PKs stay, in-batch duplicates collapse to the
+    // deterministic tiebreak winner (name "c" < "c0")
+    assert(back == Seq((1L, "a", 10.0), (2L, "B2", 21.0), (3L, "c", 30.0)))
+    // staging table must not survive the merge
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%STAGING%", null)
+      assert(!rs.next(), "staging table left behind")
+    } finally conn.close()
+  }
+
   // ===== Parse (P1-P6, db.py:79-158) =====
 
   private val offerJson =
