@@ -327,10 +327,18 @@ object DedupQueries extends graft.QueryModule {
     * collects data. Oracle: DuckDB recursive CTE computing the same
     * transitive closure.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = sharedPairs(spark, dir)
-    val nPairs = pairs.count() // materialize the LSH pipeline once; both
-    // union branches below read the cache instead of re-running it
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(spark, sharedPairs(spark, dir))
+
+  /** Distributed connected components over an undirected pair list
+    * (columns doc_a, doc_b): each vertex's cluster id is the minimum
+    * vertex id reachable from it. The caller is responsible for the
+    * input's materialization (both union branches below re-read it).
+    * Property-tested against a union-find reference on random graphs
+    * and a path graph (PropertySpec).
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val nPairs = pairs.count() // materialize the (cached) pair input once
     // Partition count DERIVED from the edge volume (round 2 hardcoded
     // coalesce(1) "because edges are small" — a single-task stage that
     // could never scale past one core). ~50k edges per task keeps each
@@ -346,10 +354,19 @@ object DedupQueries extends graft.QueryModule {
       .repartition(parts, col("doc_b"))
       .cache()
 
+    // Loop state is eagerly localCheckpoint'ed each round, not cached:
+    // a cached DataFrame keeps its full logical plan, so round N's plan
+    // nests rounds 1..N-1 and analysis/optimization time GROWS per
+    // round (measured: 5s -> 11s by round 6 on a 50-node path).
+    // Checkpointing truncates the lineage to the materialized
+    // partitions — constant planning cost per round, and failure
+    // recovery restarts from the checkpoint instead of replaying every
+    // round. (Executor-local storage; a long-lived production job
+    // would point this at reliable checkpoint storage.)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .repartition(parts, col("doc_id"))
-      .cache()
+      .localCheckpoint()
     // AQE off for the iterative loop only (restored below): the loop's
     // state is cached and already partitioned by the |edges|-derived
     // count, so AQE's runtime re-planning can't improve the plan — it
@@ -375,12 +392,11 @@ object DedupQueries extends graft.QueryModule {
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
         .repartition(parts, col("doc_id"))
-        .cache()
+        .localCheckpoint()
       val changed = propagated.filter(col("cluster_id") =!= col("old_label")).count()
       if (changed == 0) {
         // propagation fixpoint: for every edge l(u)=l(v), so labels are
         // already constant per component (= the component min)
-        propagated.unpersist()
         converged = true
       } else {
         // (2) compress: pointer halving, label(v) := label(label(v)).
@@ -389,18 +405,14 @@ object DedupQueries extends graft.QueryModule {
         // making rounds O(log diameter) instead of O(diameter) — the
         // difference between 20 and 10^6 shuffles on a path-shaped
         // component at corpus scale. Both join sides read propagated's
-        // cache (materialized by the changed-count above).
-        val next = propagated.alias("v")
+        // checkpointed partitions.
+        labels = propagated.alias("v")
           .join(propagated.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")).alias("p"),
             col("v.cluster_id") === col("p_id"), "left")
           .select(col("v.doc_id").as("doc_id"),
             coalesce(col("p_label"), col("v.cluster_id")).as("cluster_id"))
           .repartition(parts, col("doc_id"))
-          .cache()
-        next.count()
-        labels.unpersist()
-        propagated.unpersist()
-        labels = next
+          .localCheckpoint()
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -410,7 +422,7 @@ object DedupQueries extends graft.QueryModule {
     require(converged,
       s"label propagation did not converge in $rounds rounds (component diameter > 2^$rounds)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    edges.unpersist() // pairs stays cached — it's the shared materialization
+    edges.unpersist() // the pair input stays cached — it's the caller's
     labels.select("doc_id", "cluster_id").orderBy("doc_id")
   }
 

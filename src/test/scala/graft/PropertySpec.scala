@@ -51,6 +51,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Independent reference: union-find with min-id representatives. */
+  private def unionFindMin(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  private def ccCheck(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("doc_a", "doc_b").cache()
+    val got = graft.operators.DedupQueries.connectedComponents(spark, df)
+      .as[(Long, Long)].collect().toMap
+    df.unpersist()
+    assert(got == unionFindMin(edges), s"edges=$edges")
+  }
+
+  test("connected components match union-find on random graphs") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L))).map(_.filter(e => e._1 != e._2))
+    (0 until 3).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(7000L + i)).getOrElse(Nil)
+      if (edges.nonEmpty) ccCheck(edges)
+    }
+  }
+
+  test("connected components handle a path graph (pointer-halving depth stress)") {
+    // diameter 49 (reversed chain + duplicate edges): plain
+    // min-propagation would need 49 rounds — more than the loop's
+    // 20-round budget; pointer halving must converge in O(log d)
+    ccCheck((0L until 49L).map(i => (i + 1, i)) ++ Seq((10L, 11L), (3L, 4L)))
+  }
+
   test("rank is within [1, partition size] and starts at 1") {
     val rk = graft.operators.OperatorCatalog.rankWindow(spark, sf0001)
     import org.apache.spark.sql.functions._
