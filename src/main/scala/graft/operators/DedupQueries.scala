@@ -154,36 +154,45 @@ object DedupQueries extends graft.QueryModule {
       .select(col("doc_id"), expr(TextFunctions.simhash32Expr).as("simhash"))
   }
 
-  // ===== n-gram (word bigram) Jaccard near-dup, inverted-index join =====
-  /** Bigram Jaccard >= 0.7 via a pruned inverted index: candidate
-    * pairs must co-occur on a RARE bigram (document frequency <= 10%
-    * of the corpus) inside a length block (|n_chars delta| <= 30);
-    * the exact Jaccard is then verified from the FULL bigram arrays
-    * (row-level array_intersect), so pruning affects candidate
-    * generation only, never the similarity value. The df cutoff is the
-    * standard stop-gram guard: a corpus-scale posting list for "of
-    * the" is quadratic in the number of documents containing it, and
-    * near-dup pairs are always also linked by their rare grams. The
-    * cutoff compares integers (df * 10 <= N) so both engines prune
-    * identically.
+  // ===== n-gram (word bigram) Jaccard near-dup, prefix-filtered join =====
+  /** All-pairs bigram Jaccard >= 0.7 within a length block
+    * (|n_chars delta| <= 30), with LOSSLESS prefix filtering
+    * (All-Pairs / PPJoin): order every gram by the global total order
+    * (document frequency asc, gram asc) and index only each doc's
+    * first `n_g - ceil(0.7 * n_g) + 1` grams. Any pair with
+    * Jaccard >= 0.7 shares >= ceil(0.7 * n_g) grams of either side, so
+    * skipping both prefixes is impossible — the candidate set provably
+    * loses no qualifying pair, while the inverted index shrinks to the
+    * ~30% rarest grams of each doc (exactly the short posting lists; a
+    * corpus-scale "of the" never enters the index). Exact Jaccard is
+    * then verified from the FULL arrays over candidates only. The
+    * ORACLE is the plain all-pairs formulation — a hash match also
+    * certifies the losslessness of the filter. The prefix length is
+    * integer arithmetic (`ceil(0.7 n) = (7n + 9) div 10`) so both
+    * engines would compute identical prefixes.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
     val gramArr = docs.select(
       col("doc_id"), col("n_chars"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
         .as("g_arr"))
       .cache()
-    val grams = gramArr.select(col("doc_id"), col("n_chars"), explode(col("g_arr")).as("g"))
+    val grams = gramArr.select(
+      col("doc_id"), col("n_chars"),
+      size(col("g_arr")).cast("long").as("n_g"),
+      explode(col("g_arr")).as("g"))
 
-    // document frequency per gram; posting lists for frequent grams are
-    // dropped BEFORE the self-join
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * lit(10) <= lit(nDocs))
-      .select("g")
-    val idx = grams.join(rare, Seq("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // cached: both sides of the candidate self-join read the prefix
+    // index — without this the explode+join+window chain runs twice
+    val prefix = grams.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_g") - expr("(7 * n_g + 9) div 10") + lit(1))
+      .select("doc_id", "n_chars", "g")
+      .cache()
 
     // Length-bucket blocking as an EQUI-join key: |delta n_chars| <= 30
     // implies bucket(n_chars div 30) differs by at most 1, so the left
@@ -192,7 +201,7 @@ object DedupQueries extends graft.QueryModule {
     // magnitude before the exact |delta| predicate runs. Each pair still
     // matches exactly once per shared gram (the right side keeps its
     // single bucket).
-    val bucketed = idx.withColumn("bkt", expr("cast(n_chars div 30 as int)"))
+    val bucketed = prefix.withColumn("bkt", expr("cast(n_chars div 30 as int)"))
     val fanned = bucketed.withColumn("bkt",
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
 
@@ -583,20 +592,10 @@ object DedupQueries extends graft.QueryModule {
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         |), grams AS (SELECT DISTINCT doc_id, n_chars, g FROM g0 WHERE g IS NOT NULL),
         |sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
-        |rare AS (
-        |  SELECT g FROM grams GROUP BY g
-        |  HAVING count(*) * 10 <= (SELECT count(*) FROM documents)
-        |), idx AS (
-        |  SELECT gr.doc_id, gr.n_chars, gr.g FROM grams gr JOIN rare r ON gr.g = r.g
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM idx a JOIN idx b
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM grams a JOIN grams b
         |    ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
-        |), inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS c
-        |  FROM cand c
-        |  JOIN grams ga ON ga.doc_id = c.doc_a
-        |  JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b,
