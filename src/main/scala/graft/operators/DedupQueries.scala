@@ -187,11 +187,12 @@ object DedupQueries extends graft.QueryModule {
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // cached: both sides of the candidate self-join read the prefix
-    // index — without this the explode+join+window chain runs twice
+    // index — without this the explode+join+window chain runs twice.
+    // rn/n_g ride along for the positional filter below.
     val prefix = grams.join(dfreq, Seq("g"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n_g") - expr("(7 * n_g + 9) div 10") + lit(1))
-      .select("doc_id", "n_chars", "g")
+      .select("doc_id", "n_chars", "g", "rn", "n_g")
       .cache()
 
     // Length-bucket blocking as an EQUI-join key: |delta n_chars| <= 30
@@ -205,15 +206,23 @@ object DedupQueries extends graft.QueryModule {
     val fanned = bucketed.withColumn("bkt",
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
 
+    // Positional filter (PPJoin): given a shared gram at prefix ranks
+    // (rn_a, rn_b), the overlap can't exceed 1 + min(remaining grams on
+    // either side). A qualifying pair's FIRST shared gram (in the
+    // global order) always satisfies the bound — its bound is an upper
+    // estimate of the true overlap, which meets the threshold — so
+    // OR-surviving any passing collision is lossless too.
     val cand = fanned.alias("a").join(bucketed.alias("b"),
         col("a.g") === col("b.g") &&
           col("a.bkt") === col("b.bkt") &&
           col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 30)
+          abs(col("a.n_chars") - col("b.n_chars")) <= 30 &&
+          lit(17) * (lit(1) + least(col("a.n_g") - col("a.rn"), col("b.n_g") - col("b.rn")))
+            >= lit(7) * (col("a.n_g") + col("b.n_g")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     if (sys.env.contains("GRAFT_NGRAM_DEBUG"))
-      println(s"[ngram] candidate pairs after df-cutoff: ${cand.count()}")
+      println(s"[ngram] candidate pairs after prefix+positional filter: ${cand.count()}")
 
     // exact verify over candidates only, from the full (unpruned)
     // bigram arrays — same row-level intersect shape as the minhash

@@ -52,4 +52,19 @@ class CatalogSpec extends SparkSpec {
       assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("no catalog plan contains a cartesian product or unexpected nested-loop join") {
+    // BroadcastNestedLoopJoin is legitimate only where a broadcast-tiny
+    // side joins under a non-equi predicate by design: the ANN queries
+    // (<= 5-row query set / 10-row centroid table). Anywhere else it —
+    // or a CartesianProduct — means an equi-key was lost and the plan
+    // went quadratic; this is the guard that keeps it from landing.
+    val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(nestedLoopOk.contains(name) || !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
 }
