@@ -139,15 +139,97 @@ object TextAnalysisQueries extends graft.QueryModule {
       .select("doc_id", "tok", "tf", "df", "score", "rnk")
   }
 
+  /** Gopher-style repetition filter: per doc, the duplicate-bigram
+    * fraction (1 - distinct/total) and the most-frequent-bigram
+    * fraction — the standard "remove boilerplate/chant text" quality
+    * gates of large-corpus pipelines. All counts are row-level array
+    * kernels over the (duplicate-preserving) bigram array — map-only;
+    * the flag compares integers (5*(n-nd) > n is dup_frac > 20%) so
+    * both engines agree exactly, and the reported fractions are single
+    * double divisions. Docs with no bigram (< 2 tokens) are excluded,
+    * mirroring the oracle's window-driven bigram derivation.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    Tables.documents(spark, dir)
+      .withColumn("bg", TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+      .filter(size(col("bg")) > 0)
+      .withColumn("n_bg", size(col("bg")).cast("long"))
+      .withColumn("nd_bg", size(array_distinct(col("bg"))).cast("long"))
+      // occurrences of the most frequent bigram: count each distinct
+      // bigram inside the row, take the max — O(n * distinct) on a
+      // bounded-length doc, still map-only
+      .withColumn("top_bg",
+        array_max(transform(array_distinct(col("bg")),
+          d => size(filter(col("bg"), x => x === d)))).cast("long"))
+      .select(
+        col("doc_id"), col("n_bg"),
+        ((col("n_bg") - col("nd_bg")).cast("double") / col("n_bg").cast("double"))
+          .as("dup_bigram_frac"),
+        (col("top_bg").cast("double") / col("n_bg").cast("double"))
+          .as("top_bigram_frac"),
+        (lit(5) * (col("n_bg") - col("nd_bg")) > col("n_bg") ||
+          lit(5) * col("top_bg") > col("n_bg")).as("repetitive"))
+  }
+
+  /** PII scrub over the customer table: mask every digit of the
+    * identifying name column, count the digits that were masked, and
+    * lift the numeric id into its own column — the detect/mask/measure
+    * shape of a pipeline PII pass (the fixture's only digit-bearing
+    * identifier is `c_name`, "Customer#000000007"). Deterministic
+    * across engines: Spark's regexp_replace is global by default,
+    * DuckDB's needs the 'g' flag (spelled in the oracle); digit counts
+    * are integer length arithmetic; extraction takes the first match
+    * in both engines.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("masked_name"),
+        (length(col("c_name")) - length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .as("n_digits_masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("extracted_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> tfidfTop,
     "q_lang_id" -> langId,
     "q_text_quality" -> qualityScore,
     "q_token_count" -> tokenCount,
-    "q_fingerprint" -> fingerprint
+    "q_fingerprint" -> fingerprint,
+    "q_repetition" -> repetition,
+    "q_pii_scrub" -> piiScrub
   )
 
   def oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), bg AS (SELECT doc_id, g FROM g0 WHERE g IS NOT NULL),
+        |per_gram AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+        |), stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |         CAST(count(*) AS BIGINT) AS nd_bg,
+        |         CAST(max(c) AS BIGINT) AS top_bg
+        |  FROM per_gram GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bg,
+        |       CAST(n_bg - nd_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS dup_bigram_frac,
+        |       CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac,
+        |       (5 * (n_bg - nd_bg) > n_bg OR 5 * top_bg > n_bg) AS repetitive
+        |FROM stats""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+        |       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT) AS n_digits_masked,
+        |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted_id
+        |FROM customer""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
