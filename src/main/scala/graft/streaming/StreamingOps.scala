@@ -196,4 +196,21 @@ object StreamingOps {
       fs.delete(prevP, true)
       ()
     }
+
+  /** Micro-batch MERGE into a JDBC target — the reference's actual
+    * dataflow (pages eagerly committed into Postgres as they arrive,
+    * `wdn_api.py:121-122` -> `db.py:51-67`) expressed as Structured
+    * Streaming: each batch runs [[graft.pipeline.JdbcSink.upsert]]'s
+    * staging-write + set-based MERGE. The MERGE is atomic on the
+    * database and last-writer-wins by PK, so checkpoint replay of a
+    * batch is idempotent — at-least-once delivery + this sink =
+    * effectively-once, same as the parquet path above.
+    */
+  def foreachBatchJdbcUpsert(
+      stream: DataFrame, pk: Seq[String], url: String, table: String,
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.pipeline.JdbcSink.upsert(batch, url, table, pk, options)
+      ()
+    }
 }

@@ -117,6 +117,37 @@ class StreamingSpec extends SparkSpec {
     assert(sink.count() == keys)
   }
 
+  test("foreachBatchJdbcUpsert merges a stream into a JDBC target idempotently") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val opts = Map(
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "createTableColumnTypes" -> "event_type VARCHAR(32)")
+    def runOnce(ckpt: String): Unit = {
+      val stream = StreamingOps.eventStream(spark, sf0001)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = StreamingOps
+        .foreachBatchJdbcUpsert(stream, Seq("user_id", "event_type"), url, "ev_counts", opts)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    runOnce(dbDir + "/ckpt1")
+    // replay from a fresh checkpoint: the MERGE overwrites by PK, so
+    // the target converges instead of duplicating (effectively-once)
+    runOnce(dbDir + "/ckpt2")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "ev_counts")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    val keys = graft.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(back.count() == keys)
+  }
+
   test("foreachBatchUpsert recovers merged state from the _prev aside after a mid-swap crash") {
     val base = java.nio.file.Files.createTempDirectory("upsert_crash").toString
     val tmp = base + "/t"
