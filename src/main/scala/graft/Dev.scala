@@ -166,6 +166,32 @@ object Dev {
           .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
         t("verify join")(ver.count())
         cached.unpersist()
+      case "stress" :: dir :: rest =>
+        // Scale-stress driver: stack the fixture corpus N times (ids
+        // offset so every copy is distinct) into a temp sf-dir, then
+        // run the heavy dedup/ANN queries against it. Duplicated docs
+        // make every original a 10-way near-dup clique, so candidate
+        // volumes grow ~N^2 within cliques — a deliberate worst case
+        // for the LSH/prefix pipelines.
+        import org.apache.spark.sql.functions._
+        val times = rest.headOption.map(_.toInt).getOrElse(10)
+        val out = java.nio.file.Files.createTempDirectory("graft_stress").toString
+        def stack(name: String, idCol: String): Unit = {
+          val src = Tables.read(spark, dir, name)
+          (0 until times).map(i => src.withColumn(idCol, col(idCol) + lit(i * 10000000L)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        }
+        stack("documents", "doc_id")
+        stack("embeddings", "vec_id")
+        println(s"[stress] ${times}x corpus at $out")
+        Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
+            "q_dedup_embedding", "q_knn_ivf", "q_fingerprint", "q_minhash_by_lang")
+          .foreach { name =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(name)(spark, out).count()
+            println(f"[stress] ${(System.nanoTime() - t0) / 1e9}%7.2fs  $name (rows=$n)")
+          }
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")

@@ -29,6 +29,16 @@ import graft.Tables
   */
 object DedupQueries extends graft.QueryModule {
 
+  /** All ordered (a < b) pairs from a sorted `members` array, as an
+    * exploded struct column — the duplicate-class pair expansion
+    * shared by the collapse-first dedup paths (ngram, embedding).
+    */
+  private def memberPairs(fieldA: String, fieldB: String): Column =
+    explode(expr(
+      s"""flatten(transform(members, (x, i) ->
+         |  transform(slice(members, i + 2, size(members)), y ->
+         |    named_struct('$fieldA', x, '$fieldB', y))))""".stripMargin))
+
   // ===== exact dedup: hash-groupBy on content =====
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -174,8 +184,27 @@ object DedupQueries extends graft.QueryModule {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, dir)
-    val gramArr = docs.select(
-      col("doc_id"), col("n_chars"),
+    // Exact-duplicate collapse BEFORE the fuzzy search — the standard
+    // pipeline composition (real corpora are 10-30% exact dups, and a
+    // k-way duplicated doc would otherwise contribute k^2 candidate
+    // rows to every posting list it touches; measured 165s -> 8s on a
+    // 10x-stacked stress corpus). Docs with identical (text, n_chars)
+    // form an equivalence class: intra-class pairs have Jaccard
+    // exactly 1.0 by definition and are emitted directly; the
+    // candidate join runs on ONE representative per class; verified
+    // representative pairs expand to all member pairs afterwards
+    // (gram sets and n_chars are constant within a class, so the
+    // expansion is exact). The oracle stays the plain all-pairs
+    // formulation — the hash match certifies the collapse is lossless.
+    val groups = docs
+      .groupBy(col("text"), col("n_chars"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        min(col("doc_id")).as("rep"))
+      .select("rep", "n_chars", "text", "members")
+      .cache()
+
+    val gramArr = groups.select(
+      col("rep").as("doc_id"), col("n_chars"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
         .as("g_arr"))
       .cache()
@@ -226,8 +255,8 @@ object DedupQueries extends graft.QueryModule {
 
     // exact verify over candidates only, from the full (unpruned)
     // bigram arrays — same row-level intersect shape as the minhash
-    // verify stage
-    cand
+    // verify stage. These are REPRESENTATIVE pairs.
+    val repPairs = cand
       .join(gramArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
       .join(gramArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
       .select(
@@ -240,6 +269,31 @@ object DedupQueries extends graft.QueryModule {
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
+
+    // intra-class pairs: every ordered pair within a duplicate class
+    // whose gram set is non-empty (docs with < 2 tokens share no gram,
+    // so the all-pairs formulation never pairs them), Jaccard 1.0
+    val intra = groups
+      .join(gramArr.filter(size(col("g_arr")) > 0).select(col("doc_id").as("rep")), Seq("rep"))
+      .filter(size(col("members")) >= 2)
+      .select(memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+
+    // cross-class pairs: expand each verified representative pair to
+    // the full member cross product (classes are disjoint, so each
+    // unordered doc pair appears exactly once; least/greatest restores
+    // the doc_a < doc_b convention)
+    val cross = repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+      .select(col("jaccard"), explode(col("ma")).as("a"), col("mb"))
+      .select(col("jaccard"), col("a"), explode(col("mb")).as("b"))
+      .select(
+        least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("jaccard"))
+
+    intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
 
   // ===== embedding near-dup: random-hyperplane LSH + exact verify =====
@@ -277,8 +331,20 @@ object DedupQueries extends graft.QueryModule {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+    // Exact-duplicate collapse first, as in dedupNgram: identical
+    // embedding arrays form an equivalence class, the LSH + verify
+    // runs on one representative each, and intra/cross pairs expand
+    // afterwards (10x-duplicated stress corpus: 55s -> seconds).
+    // Intra-class cosine is computed with the SAME n2/(sqrt*sqrt)
+    // arithmetic as every other pair — NOT a literal 1.0, which the
+    // IEEE sqrt round-trip does not exactly produce.
+    val groups = Tables.embeddings(spark, dir)
+      .groupBy(col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+        min(col("vec_id")).as("rep"))
+      .cache()
+    val vecs = groups
+      .select(col("rep").as("vec_id"), quantized(col("embedding")).as("qv"))
       .withColumn("n2", qnorm2(col("qv")))
       .cache() // band build + both sides of the verify join
 
@@ -303,7 +369,7 @@ object DedupQueries extends graft.QueryModule {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
 
-    cand
+    val repPairs = cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na")),
         Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb")),
@@ -311,7 +377,26 @@ object DedupQueries extends graft.QueryModule {
       .select(col("vec_a"), col("vec_b"),
         qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.40)
-      .select("vec_a", "vec_b", "cosine")
+
+    val intra = groups
+      .filter(size(col("members")) >= 2)
+      .join(vecs.select(col("vec_id").as("rep"), col("n2")), Seq("rep"))
+      .select(memberPairs("vec_a", "vec_b").as("p"),
+        qcosine(col("n2"), col("n2"), col("n2")).as("cosine"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("cosine"))
+      .filter(col("cosine") >= 0.40)
+
+    val cross = repPairs
+      .join(groups.select(col("rep").as("vec_a"), col("members").as("ma")), Seq("vec_a"))
+      .join(groups.select(col("rep").as("vec_b"), col("members").as("mb")), Seq("vec_b"))
+      .select(col("cosine"), explode(col("ma")).as("a"), col("mb"))
+      .select(col("cosine"), col("a"), explode(col("mb")).as("b"))
+      .select(
+        least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"),
+        col("cosine"))
+
+    intra.unionByName(cross).select("vec_a", "vec_b", "cosine")
   }
 
   // ===== edit-distance verification of LSH candidates =====
