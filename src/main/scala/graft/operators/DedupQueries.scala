@@ -97,11 +97,25 @@ object DedupQueries extends graft.QueryModule {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // Exact-duplicate collapse first, as in dedupNgram/dedupEmbedding:
+    // identical-text docs share their shingle set, so LSH banding +
+    // verify runs on one representative per text class and the pairs
+    // expand afterwards (intra-class Jaccard is c/(n+n-c) = 1.0
+    // exactly). Shingle sets derive from text alone, so text is the
+    // whole class key.
+    val groups = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        min(col("doc_id")).as("rep"))
+      .select("rep", "members")
+      .cache()
     // shared materialization: used by the signature build and both
     // sides of the verify join (3 uses here, plus the other dedup
     // queries — recomputing the chain measured ~2x slower than the
-    // columnar cache despite array-of-string cache cost)
+    // columnar cache despite array-of-string cache cost); restricted
+    // to class representatives
     val shArr = sharedShingles(spark, dir).select("doc_id", "sh_arr")
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
 
     // signatures as row-level array_min expressions — no groupBy shuffle
     val nSeeds = 9
@@ -130,7 +144,8 @@ object DedupQueries extends graft.QueryModule {
     // array_intersect — no explode, no intersection join, no groupBy.
     // The oracle spells the same counts out with an exploded join;
     // values are identical (integer counts, one double division).
-    cand
+    // These are REPRESENTATIVE pairs.
+    val repPairs = cand
       .join(shArr.alias("za"), col("doc_a") === col("za.doc_id"))
       .join(shArr.alias("zb"), col("doc_b") === col("zb.doc_id"))
       .select(
@@ -143,6 +158,27 @@ object DedupQueries extends graft.QueryModule {
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
+
+    // intra-class pairs: docs with no shingles never pair in the
+    // shingle-driven oracle, so empty-set classes are excluded;
+    // everyone else pairs at Jaccard c/(n+n-c) = 1.0 exactly
+    val intra = groups
+      .join(shArr.filter(size(col("sh_arr")) > 0).select(col("doc_id").as("rep")), Seq("rep"))
+      .filter(size(col("members")) >= 2)
+      .select(memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+
+    val cross = repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+      .select(col("jaccard"), explode(col("ma")).as("a"), col("mb"))
+      .select(col("jaccard"), col("a"), explode(col("mb")).as("b"))
+      .select(
+        least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("jaccard"))
+
+    intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
 
   // ===== SimHash: 32-bit signature from md5 nibbles =====
