@@ -42,6 +42,11 @@ def main():
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
     oq, nq = old["queries"], new["queries"]
+    # a query that existed before but is absent now is lost COVERAGE,
+    # not a pass — flag it before comparing the intersection
+    missing = sorted(set(oq) - set(nq))
+    for name in missing:
+        print(f"  MISSING: {name} present in old bench but absent in new")
     failures, improved = [], []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
@@ -49,9 +54,9 @@ def main():
             continue
         if o < FLOOR and n < FLOOR:
             continue
-        if n > o * threshold:
+        if o > 0 and n > o * threshold:
             failures.append((name, o, n, n / o))
-        elif o > n * threshold:
+        elif n > 0 and o > n * threshold:
             improved.append((name, o, n, o / n))
 
     new_failed = new.get("failed", 0)
@@ -62,9 +67,9 @@ def main():
     for name, o, n, x in sorted(failures, key=lambda t: -t[3]):
         print(f"  REGRESSED {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
 
-    if failures or new_failed:
+    if failures or new_failed or missing:
         print(f"GATE FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
-              f"regressed >{threshold}x, {new_failed} failed")
+              f"regressed >{threshold}x, {new_failed} failed, {len(missing)} missing")
         sys.exit(1)
     print("GATE PASS")
 

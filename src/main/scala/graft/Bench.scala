@@ -33,18 +33,21 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       import graft.functions.{TextFunctions, VectorFunctions}
+      // collect(), not count(): under count() the column pruner deletes
+      // the deterministic kernel expressions and the warmup would
+      // execute nothing
       Tables.documents(spark, sfDir).limit(64)
         .select(col("doc_id"),
           TextFunctions.minhash(
             array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)), 0)
             .as("m"),
           md5(array_join(TextFunctions.md5All(TextFunctions.tokens(col("text"))), "")).as("d"))
-        .count()
+        .collect()
       val qv = Tables.embeddings(spark, sfDir).limit(64)
         .select(VectorFunctions.quantized(col("embedding")).as("qv"))
       qv.alias("a").crossJoin(qv.alias("b"))
         .select(VectorFunctions.qdot(col("a.qv"), col("b.qv")).as("d"))
-        .agg(sum(col("d"))).count()
+        .agg(sum(col("d"))).collect()
     } catch { case _: Throwable => () }
     // Per-query timing plus explicit failure tracking: a query that
     // throws is recorded with its error and counted in "failed", so a

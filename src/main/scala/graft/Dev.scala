@@ -185,13 +185,20 @@ object Dev {
         stack("documents", "doc_id")
         stack("embeddings", "vec_id")
         println(s"[stress] ${times}x corpus at $out")
-        Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
-            "q_dedup_embedding", "q_knn_ivf", "q_fingerprint", "q_minhash_by_lang")
-          .foreach { name =>
-            val t0 = System.nanoTime()
-            val n = SparkEntry.queries(name)(spark, out).count()
-            println(f"[stress] ${(System.nanoTime() - t0) / 1e9}%7.2fs  $name (rows=$n)")
-          }
+        try {
+          Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
+              "q_dedup_embedding", "q_knn_ivf", "q_fingerprint", "q_minhash_by_lang")
+            .foreach { name =>
+              val t0 = System.nanoTime()
+              val n = SparkEntry.queries(name)(spark, out).count()
+              println(f"[stress] ${(System.nanoTime() - t0) / 1e9}%7.2fs  $name (rows=$n)")
+            }
+        } finally {
+          // the stacked corpus is sizeable; never leave it in /tmp
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(out)).deleteRecursively()
+          ()
+        }
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")

@@ -65,7 +65,16 @@ object DedupQueries extends graft.QueryModule {
     */
   private val shingleMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+
+  /** Entries keyed by stopped sessions are unreachable cached plans;
+    * purge them on each access so a long-lived JVM cycling sessions
+    * (test suites, notebooks) doesn't accumulate them.
+    */
+  private def purgeStopped[V](m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit =
+    m.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+
+  private def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
+    purgeStopped(shingleMemo)
     shingleMemo.computeIfAbsent((spark, dir), { _ =>
       import graft.functions.TextFunctions
       Tables.documents(spark, dir).select(
@@ -74,6 +83,7 @@ object DedupQueries extends graft.QueryModule {
           .as("sh_arr"))
         .cache()
     })
+  }
 
   /** Verified near-dup pair list, materialized once per (session,
     * sf-dir) like [[sharedShingles]]: in a production pipeline the
@@ -83,9 +93,11 @@ object DedupQueries extends graft.QueryModule {
     */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+  private def sharedPairs(spark: SparkSession, dir: String): DataFrame = {
+    purgeStopped(pairsMemo)
     pairsMemo.computeIfAbsent((spark, dir),
       { _ => dedupMinhash(spark, dir).select("doc_a", "doc_b").cache() })
+  }
 
   // ===== MinHash + LSH banding + exact verify =====
   /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3

@@ -75,7 +75,13 @@ object JdbcSink {
            else ""}
          |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
          |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
-    val conn = DriverManager.getConnection(url)
+    // the driver-side connection must authenticate the same way the
+    // executor writers did: forward the caller's connection options
+    // (user/password/...) and pre-load an explicitly named driver class
+    options.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, props)
     try {
       conn.createStatement().executeUpdate(merge)
       conn.createStatement().executeUpdate(s"DROP TABLE $staging")

@@ -47,9 +47,11 @@ object Upsert {
   }
 
   /** Deterministic ordering for duplicate-PK rows: the ORDERABLE
-    * non-PK columns ascending (maps and other unorderable types are
-    * excluded — putting them in a window ORDER BY fails analysis).
-    * Rows identical on all orderable columns are interchangeable.
+    * non-PK columns ascending (maps and other unorderable types can't
+    * go in a window ORDER BY — analysis fails), then a canonical JSON
+    * rendering of any unorderable columns as the final key, so rows
+    * that differ ONLY in a map column still pick a stable winner
+    * instead of a shuffle-dependent one.
     */
   private def dupTiebreak(df: DataFrame, pk: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
@@ -59,9 +61,12 @@ object Upsert {
       case StructType(fields) => fields.forall(f => orderable(f.dataType))
       case _ => true
     }
-    df.schema.fields
-      .filter(f => !pk.contains(f.name) && orderable(f.dataType))
-      .map(f => col(f.name).asc_nulls_last).toSeq
+    val (ord, unord) = df.schema.fields
+      .filter(f => !pk.contains(f.name))
+      .partition(f => orderable(f.dataType))
+    val ordCols = ord.map(f => col(f.name).asc_nulls_last).toSeq
+    if (unord.isEmpty) ordCols
+    else ordCols :+ to_json(struct(unord.map(f => col(f.name)).toSeq: _*)).asc_nulls_last
   }
 
   /** Collapse duplicate-PK rows within one batch to a single

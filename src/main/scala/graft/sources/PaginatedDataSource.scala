@@ -174,11 +174,18 @@ private class PagedReader(part: PagePartition, opts: Map[String, String])
         val records =
           if (page == part.startPage && part.seeded.nonEmpty) part.seeded
           else retry(transport.fetch(page))._1
-        // an empty page inside the planned range means the source
-        // shrank after planning; stop like the driver loop does
-        // (wdn_api.py:128-130) rather than erroring
-        if (records.isEmpty) exhausted = true
-        else { buffer = records.iterator; page += 1 }
+        // An empty page inside the PLANNED range means the source
+        // shrank between planning and execution. Parallel readers
+        // can't reproduce the sequential loop's stop-at-first-empty
+        // (a later partition would still emit its pages, leaving a
+        // silent page-range GAP), so the only consistent behaviors
+        // are fail-loud or silent holes — fail loud.
+        if (records.isEmpty)
+          throw new IllegalStateException(
+            s"page $page was planned from total_count but came back empty " +
+              "(source shrank mid-scan); re-run the read")
+        buffer = records.iterator
+        page += 1
       }
     }
     buffer.hasNext

@@ -50,7 +50,9 @@ object StreamingOps {
     // dir, so stage a directory containing just the events file
     // (symlink — no data copy).
     val streamDir = stagingDirs.computeIfAbsent(dir, { d =>
-      val eventsFile = java.nio.file.Paths.get(d, "events.parquet")
+      // absolute target: a relative path would resolve against the
+      // TEMP dir holding the link, producing a dangling symlink
+      val eventsFile = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
       val staged = java.nio.file.Files.createTempDirectory("events_stream")
       val link = staged.resolve("events.parquet")
       java.nio.file.Files.createSymbolicLink(link, eventsFile)
@@ -188,9 +190,18 @@ object StreamingOps {
       // Staging write fully consumes the target read before any rename.
       val tmpP = new org.apache.hadoop.fs.Path(targetPath + s"_batch$batchId")
       merged.write.mode("overwrite").parquet(tmpP.toString)
-      fs.delete(prevP, true) // stale aside from a crashed earlier batch
-      if (fs.exists(targetP) && !fs.rename(targetP, prevP))
-        throw new java.io.IOException(s"rename $targetP -> $prevP failed")
+      // The stale-aside delete happens ONLY when the target exists (the
+      // target is then the authoritative snapshot). When the target is
+      // absent, `prev` IS the last surviving snapshot — recovering from
+      // a crash mid-swap — and must outlive the rename below: deleting
+      // it first would open a window (crash before the rename) with NO
+      // readable snapshot, and the next replay would take the
+      // first-batch path and silently discard all merged history.
+      if (fs.exists(targetP)) {
+        fs.delete(prevP, true) // stale aside from a crashed earlier batch
+        if (!fs.rename(targetP, prevP))
+          throw new java.io.IOException(s"rename $targetP -> $prevP failed")
+      }
       if (!fs.rename(tmpP, targetP))
         throw new java.io.IOException(s"rename $tmpP -> $targetP failed")
       fs.delete(prevP, true)
