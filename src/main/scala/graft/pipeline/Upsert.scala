@@ -69,6 +69,29 @@ object Upsert {
     else ordCols :+ to_json(struct(unord.map(f => col(f.name)).toSeq: _*)).asc_nulls_last
   }
 
+  /** Version-column variant: duplicate-PK rows are resolved by the
+    * designated version column alone (highest wins, e.g. an
+    * `updated_at` ingest timestamp) instead of the all-orderable-
+    * columns tiebreak — at wide schemas that full sort key is an
+    * expensive per-row comparator, and pipelines that stamp P7 ingest
+    * timestamps already carry the natural winner. Determinism requires
+    * (pk, versionCol) to be unique within a batch; the remaining
+    * columns stay as a defensive final tiebreak but never decide when
+    * that holds.
+    */
+  def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String],
+      versionCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src_priority", lit(0))
+      .unionByName(updates.withColumn("__src_priority", lit(1)))
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col("__src_priority").desc +: col(versionCol).desc_nulls_last +:
+        dupTiebreak(updates, pk :+ versionCol): _*)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src_priority", "__rn")
+  }
+
   /** Collapse duplicate-PK rows within one batch to a single
     * deterministic winner — the same tiebreak rule [[apply]] uses, so
     * a batch pre-deduplicated here merges identically through any

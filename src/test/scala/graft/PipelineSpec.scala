@@ -81,6 +81,20 @@ class PipelineSpec extends SparkSpec {
     assert(out1 == Seq((2, "aa", 2.0)))      // non-PK-column ordering decides
   }
 
+  test("version-column upsert: highest version wins among duplicate PKs") {
+    val base = Seq((1, "old", 1L)).toDF("id", "v", "ver")
+    val dupes = Seq((1, "mid", 5L), (1, "new", 9L), (2, "x", 3L)).toDF("id", "v", "ver")
+    val out = Upsert(base, dupes, Seq("id"), versionCol = "ver").orderBy("id")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "new", 9L), (2, "x", 3L)))
+    // updates always beat existing, even at a lower version (the
+    // source priority outranks the version column)
+    val stale = Seq((1, "older", 0L)).toDF("id", "v", "ver")
+    val out2 = Upsert(out.toDF("id", "v", "ver"), stale, Seq("id"), versionCol = "ver")
+      .filter($"id" === 1).as[(Int, String, Long)].head()
+    assert(out2 == ((1, "older", 0L)))
+  }
+
   test("upsert supports composite PKs") {
     val b = Seq((1, "us", 10.0), (1, "eu", 11.0)).toDF("id", "region", "v")
     val u = Seq((1, "eu", 99.0)).toDF("id", "region", "v")
