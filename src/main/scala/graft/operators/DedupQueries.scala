@@ -107,20 +107,37 @@ object DedupQueries extends graft.QueryModule {
     * the candidate join an equi-join, so cost tracks the number of
     * true near-dups, not n^2.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Duplicate classes + verified representative near-dup pairs,
+    * memoized per (session, sf-dir): the collapse-first backbone that
+    * [[dedupMinhash]] expands into the full pair list and
+    * [[dedupClusters]] runs connected components on (the expansion
+    * can't change components, so clustering the 10^2-10^3x smaller
+    * representative graph is exact). `has_sh` marks classes whose text
+    * yields at least one 3-shingle — classes without one never pair in
+    * the shingle-driven oracle.
+    */
+  private val repMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def minhashReps(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    purgeStopped(repMemo)
+    repMemo.computeIfAbsent((spark, dir), { _ =>
+      import graft.functions.TextFunctions
+      val groups = Tables.documents(spark, dir)
+        .groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+          min(col("doc_id")).as("rep"))
+        .select(col("rep"), col("members"),
+          (size(TextFunctions.tokens(col("text"))) >= 3).as("has_sh"))
+        .cache()
+      (groups, minhashRepPairs(spark, dir, groups).cache())
+    })
+  }
+
+  /** The LSH banding + exact-verify pipeline over one representative
+    * per duplicate class. Threshold 0.8 via integer comparison.
+    */
+  private def minhashRepPairs(spark: SparkSession, dir: String, groups: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    // Exact-duplicate collapse first, as in dedupNgram/dedupEmbedding:
-    // identical-text docs share their shingle set, so LSH banding +
-    // verify runs on one representative per text class and the pairs
-    // expand afterwards (intra-class Jaccard is c/(n+n-c) = 1.0
-    // exactly). Shingle sets derive from text alone, so text is the
-    // whole class key.
-    val groups = Tables.documents(spark, dir)
-      .groupBy(col("text"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
-        min(col("doc_id")).as("rep"))
-      .select("rep", "members")
-      .cache()
     // shared materialization: used by the signature build and both
     // sides of the verify join (3 uses here, plus the other dedup
     // queries — recomputing the chain measured ~2x slower than the
@@ -156,8 +173,7 @@ object DedupQueries extends graft.QueryModule {
     // array_intersect — no explode, no intersection join, no groupBy.
     // The oracle spells the same counts out with an exploded join;
     // values are identical (integer counts, one double division).
-    // These are REPRESENTATIVE pairs.
-    val repPairs = cand
+    cand
       .join(shArr.alias("za"), col("doc_a") === col("za.doc_id"))
       .join(shArr.alias("zb"), col("doc_b") === col("zb.doc_id"))
       .select(
@@ -170,13 +186,21 @@ object DedupQueries extends graft.QueryModule {
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** Full verified near-dup pair list: duplicate-class expansion of
+    * the representative pairs (intra-class Jaccard is c/(n+n-c) = 1.0
+    * exactly; gram sets are constant within a class so cross-class
+    * expansion is exact).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val (groups, repPairs) = minhashReps(spark, dir)
 
     // intra-class pairs: docs with no shingles never pair in the
-    // shingle-driven oracle, so empty-set classes are excluded;
+    // shingle-driven oracle, so shingle-less classes are excluded;
     // everyone else pairs at Jaccard c/(n+n-c) = 1.0 exactly
     val intra = groups
-      .join(shArr.filter(size(col("sh_arr")) > 0).select(col("doc_id").as("rep")), Seq("rep"))
-      .filter(size(col("members")) >= 2)
+      .filter(col("has_sh") && size(col("members")) >= 2)
       .select(memberPairs("doc_a", "doc_b").as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
 
@@ -478,8 +502,29 @@ object DedupQueries extends graft.QueryModule {
     * collects data. Oracle: DuckDB recursive CTE computing the same
     * transitive closure.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(spark, sharedPairs(spark, dir))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Components are computed on the REPRESENTATIVE graph, not the
+    // expanded pair list: members of a duplicate class connect only
+    // through their class (intra pairs + the rep's cross pairs), so
+    // every member lands in its rep's component, and the component
+    // minimum equals the minimum rep (reps are class minima). A
+    // k-way-duplicated corpus therefore clusters a graph smaller by
+    // k^2 edges — the expansion only happens on the final labels.
+    // Classes with >= 2 shingled members but no cross-pair still form
+    // a component of their own: a self-edge keeps them as vertices.
+    val (groups, repPairs) = minhashReps(spark, dir)
+    val selfEdges = groups
+      .filter(col("has_sh") && size(col("members")) >= 2)
+      .select(col("rep").as("doc_a"), col("rep").as("doc_b"))
+    val ccInput = repPairs.select("doc_a", "doc_b").unionByName(selfEdges).cache()
+    ccInput.count() // materialize before the iterative loop
+    val repLabels = connectedComponents(spark, ccInput)
+    ccInput.unpersist()
+    repLabels
+      .join(groups.select(col("rep").as("doc_id"), col("members")), Seq("doc_id"))
+      .select(explode(col("members")).as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
 
   /** Distributed connected components over an undirected pair list
     * (columns doc_a, doc_b): each vertex's cluster id is the minimum
