@@ -187,7 +187,8 @@ object Dev {
         println(s"[stress] ${times}x corpus at $out")
         try {
           Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
-              "q_dedup_embedding", "q_knn_ivf", "q_fingerprint", "q_minhash_by_lang")
+              "q_dedup_embedding", "q_dedup_edit", "q_knn_ivf", "q_fingerprint",
+              "q_minhash_by_lang")
             .foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()

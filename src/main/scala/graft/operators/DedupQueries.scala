@@ -85,19 +85,6 @@ object DedupQueries extends graft.QueryModule {
     })
   }
 
-  /** Verified near-dup pair list, materialized once per (session,
-    * sf-dir) like [[sharedShingles]]: in a production pipeline the
-    * pair list is a staging table that clustering and edit-distance
-    * verification both read — rebuilding the LSH join per consumer
-    * would triple the most expensive stage.
-    */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedPairs(spark: SparkSession, dir: String): DataFrame = {
-    purgeStopped(pairsMemo)
-    pairsMemo.computeIfAbsent((spark, dir),
-      { _ => dedupMinhash(spark, dir).select("doc_a", "doc_b").cache() })
-  }
 
   // ===== MinHash + LSH banding + exact verify =====
   /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
@@ -479,9 +466,13 @@ object DedupQueries extends graft.QueryModule {
     * O(n^2) to the true near-dups.
     */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    // Like clustering, the O(len^2) levenshtein runs on REPRESENTATIVE
+    // pairs only: texts are constant within a duplicate class, so the
+    // distances expand exactly; intra-class pairs are distance 0 /
+    // similarity 1.0 (the formula's 1.0 - 0.0/len is exactly 1.0).
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val pairs = sharedPairs(spark, dir)
-    pairs
+    val (groups, repPairs) = minhashReps(spark, dir)
+    val repEdit = repPairs.select("doc_a", "doc_b")
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
       .select(
@@ -490,6 +481,24 @@ object DedupQueries extends graft.QueryModule {
         (lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
           greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
           .as("edit_sim"))
+
+    val intra = groups
+      .filter(col("has_sh") && size(col("members")) >= 2)
+      .select(memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(0).as("edit_dist"), lit(1.0).as("edit_sim"))
+
+    val cross = repEdit
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
+      .select(col("edit_dist"), col("edit_sim"), explode(col("ma")).as("a"), col("mb"))
+      .select(col("edit_dist"), col("edit_sim"), col("a"), explode(col("mb")).as("b"))
+      .select(
+        least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("edit_dist"), col("edit_sim"))
+
+    intra.unionByName(cross).select("doc_a", "doc_b", "edit_dist", "edit_sim")
   }
 
   // ===== dedup clustering: connected components over near-dup pairs =====
