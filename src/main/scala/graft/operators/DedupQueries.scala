@@ -30,14 +30,33 @@ import graft.Tables
 object DedupQueries extends graft.QueryModule {
 
   /** All ordered (a < b) pairs from a sorted `members` array, as an
-    * exploded struct column — the duplicate-class pair expansion
-    * shared by the collapse-first dedup paths (ngram, embedding).
+    * exploded struct column — the duplicate-class INTRA pair expansion
+    * shared by the collapse-first dedup paths.
     */
   private def memberPairs(fieldA: String, fieldB: String): Column =
     explode(expr(
       s"""flatten(transform(members, (x, i) ->
          |  transform(slice(members, i + 2, size(members)), y ->
          |    named_struct('$fieldA', x, '$fieldB', y))))""".stripMargin))
+
+  /** Expand verified REPRESENTATIVE pairs to all member pairs: join
+    * each side's class membership (`groups` must carry rep + members),
+    * cross the members (classes are disjoint, so each unordered pair
+    * appears exactly once), and restore the a < b convention; the
+    * `carry` value columns ride along unchanged — shared by every
+    * collapse-first dedup path.
+    */
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+      keyA: String, keyB: String, carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
+    repPairs
+      .join(groups.select(col("rep").as(keyA), col("members").as("__ma")), Seq(keyA))
+      .join(groups.select(col("rep").as(keyB), col("members").as("__mb")), Seq(keyB))
+      .select(carryCols :+ explode(col("__ma")).as("__a") :+ col("__mb"): _*)
+      .select(carryCols :+ col("__a") :+ explode(col("__mb")).as("__b"): _*)
+      .select(least(col("__a"), col("__b")).as(keyA) +:
+        greatest(col("__a"), col("__b")).as(keyB) +: carryCols: _*)
+  }
 
   // ===== exact dedup: hash-groupBy on content =====
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -87,13 +106,11 @@ object DedupQueries extends graft.QueryModule {
 
 
   // ===== MinHash + LSH banding + exact verify =====
-  /** 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
-    * rows -> candidate pairs sharing any band, then exact-Jaccard
-    * verification of candidates only. Threshold 0.8 via integer
-    * comparison. This is the scale path for near-dedup: banding makes
-    * the candidate join an equi-join, so cost tracks the number of
-    * true near-dups, not n^2.
-    */
+  // 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
+  // rows -> candidate pairs sharing any band, then exact-Jaccard
+  // verification of candidates only. Banding makes the candidate join
+  // an equi-join, so cost tracks the number of true near-dups, not n^2.
+
   /** Duplicate classes + verified representative near-dup pairs,
     * memoized per (session, sf-dir): the collapse-first backbone that
     * [[dedupMinhash]] expands into the full pair list and
@@ -191,15 +208,7 @@ object DedupQueries extends graft.QueryModule {
       .select(memberPairs("doc_a", "doc_b").as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
 
-    val cross = repPairs
-      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-      .select(col("jaccard"), explode(col("ma")).as("a"), col("mb"))
-      .select(col("jaccard"), col("a"), explode(col("mb")).as("b"))
-      .select(
-        least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"),
-        col("jaccard"))
+    val cross = expandPairs(repPairs, groups, "doc_a", "doc_b", Seq("jaccard"))
 
     intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
@@ -342,15 +351,7 @@ object DedupQueries extends graft.QueryModule {
     // the full member cross product (classes are disjoint, so each
     // unordered doc pair appears exactly once; least/greatest restores
     // the doc_a < doc_b convention)
-    val cross = repPairs
-      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-      .select(col("jaccard"), explode(col("ma")).as("a"), col("mb"))
-      .select(col("jaccard"), col("a"), explode(col("mb")).as("b"))
-      .select(
-        least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"),
-        col("jaccard"))
+    val cross = expandPairs(repPairs, groups, "doc_a", "doc_b", Seq("jaccard"))
 
     intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
@@ -445,15 +446,7 @@ object DedupQueries extends graft.QueryModule {
       .select(col("p.vec_a"), col("p.vec_b"), col("cosine"))
       .filter(col("cosine") >= 0.40)
 
-    val cross = repPairs
-      .join(groups.select(col("rep").as("vec_a"), col("members").as("ma")), Seq("vec_a"))
-      .join(groups.select(col("rep").as("vec_b"), col("members").as("mb")), Seq("vec_b"))
-      .select(col("cosine"), explode(col("ma")).as("a"), col("mb"))
-      .select(col("cosine"), col("a"), explode(col("mb")).as("b"))
-      .select(
-        least(col("a"), col("b")).as("vec_a"),
-        greatest(col("a"), col("b")).as("vec_b"),
-        col("cosine"))
+    val cross = expandPairs(repPairs, groups, "vec_a", "vec_b", Seq("cosine"))
 
     intra.unionByName(cross).select("vec_a", "vec_b", "cosine")
   }
@@ -488,15 +481,7 @@ object DedupQueries extends graft.QueryModule {
       .select(col("p.doc_a"), col("p.doc_b"),
         lit(0).as("edit_dist"), lit(1.0).as("edit_sim"))
 
-    val cross = repEdit
-      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), Seq("doc_a"))
-      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), Seq("doc_b"))
-      .select(col("edit_dist"), col("edit_sim"), explode(col("ma")).as("a"), col("mb"))
-      .select(col("edit_dist"), col("edit_sim"), col("a"), explode(col("mb")).as("b"))
-      .select(
-        least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"),
-        col("edit_dist"), col("edit_sim"))
+    val cross = expandPairs(repEdit, groups, "doc_a", "doc_b", Seq("edit_dist", "edit_sim"))
 
     intra.unionByName(cross).select("doc_a", "doc_b", "edit_dist", "edit_sim")
   }
@@ -526,7 +511,7 @@ object DedupQueries extends graft.QueryModule {
       .filter(col("has_sh") && size(col("members")) >= 2)
       .select(col("rep").as("doc_a"), col("rep").as("doc_b"))
     val ccInput = repPairs.select("doc_a", "doc_b").unionByName(selfEdges).cache()
-    ccInput.count() // materialize before the iterative loop
+    // (connectedComponents' own count() materializes ccInput)
     val repLabels = connectedComponents(spark, ccInput)
     ccInput.unpersist()
     repLabels

@@ -35,11 +35,18 @@ object Upsert {
     * duplicates, db.py:62; deterministic-pick is the streaming-friendly
     * relaxation.)
     */
-  def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame = {
+  def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame =
+    merge(existing, updates, pk,
+      col("__src_priority").desc +: dupTiebreak(updates, pk))
+
+  /** The shared merge skeleton: tag source priority, keep the first
+    * row per PK under `orderCols`.
+    */
+  private def merge(existing: DataFrame, updates: DataFrame, pk: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val tagged = existing.withColumn("__src_priority", lit(0))
       .unionByName(updates.withColumn("__src_priority", lit(1)))
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col("__src_priority").desc +: dupTiebreak(updates, pk): _*)
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(orderCols: _*)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -70,27 +77,20 @@ object Upsert {
   }
 
   /** Version-column variant: duplicate-PK rows are resolved by the
-    * designated version column alone (highest wins, e.g. an
-    * `updated_at` ingest timestamp) instead of the all-orderable-
-    * columns tiebreak — at wide schemas that full sort key is an
-    * expensive per-row comparator, and pipelines that stamp P7 ingest
-    * timestamps already carry the natural winner. Determinism requires
-    * (pk, versionCol) to be unique within a batch; the remaining
-    * columns stay as a defensive final tiebreak but never decide when
-    * that holds.
+    * designated version column FIRST (highest wins, e.g. an
+    * `updated_at` ingest timestamp) — so a stale redelivery can never
+    * overwrite newer sink state, which is what makes OUT-OF-ORDER
+    * at-least-once delivery effectively-once (the priority-based
+    * [[apply]] assumes in-order batches). Version ties fall to source
+    * priority (the update row) then the usual tiebreak; at wide
+    * schemas the version decides long before the expensive full
+    * comparator runs.
     */
   def apply(existing: DataFrame, updates: DataFrame, pk: Seq[String],
-      versionCol: String): DataFrame = {
-    val tagged = existing.withColumn("__src_priority", lit(0))
-      .unionByName(updates.withColumn("__src_priority", lit(1)))
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col("__src_priority").desc +: col(versionCol).desc_nulls_last +:
-        dupTiebreak(updates, pk :+ versionCol): _*)
-    tagged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__src_priority", "__rn")
-  }
+      versionCol: String): DataFrame =
+    merge(existing, updates, pk,
+      col(versionCol).desc_nulls_last +: col("__src_priority").desc +:
+        dupTiebreak(updates, pk :+ versionCol))
 
   /** Collapse duplicate-PK rows within one batch to a single
     * deterministic winner — the same tiebreak rule [[apply]] uses, so
@@ -98,6 +98,20 @@ object Upsert {
     * sink, including the set-based [[JdbcSink]] MERGE (which, like
     * Postgres ON CONFLICT, requires at most one source row per PK).
     */
+  /** Version-aware in-batch dedup: keeps the highest-version row per
+    * PK — the winner the version-column [[apply]] would pick, so
+    * pre-deduplicating for a MERGE sink and merging directly stay
+    * consistent.
+    */
+  def dedupeByPk(updates: DataFrame, pk: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last +: dupTiebreak(updates, pk :+ versionCol): _*)
+    updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def dedupeByPk(updates: DataFrame, pk: Seq[String]): DataFrame = {
     // all-PK schemas have no tiebreak columns; duplicates are then full
     // rows and any non-empty ORDER BY (row_number requires one) works

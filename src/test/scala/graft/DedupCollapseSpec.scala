@@ -77,6 +77,27 @@ class DedupCollapseSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("dedupEditDistance expands duplicate classes: intra at 0, cross at the class distance") {
+    val got = DedupQueries.dedupEditDistance(spark, dir)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == textPairs)
+    val sameClass = Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 7L), (5L, 6L))
+    // independent reference for the one distinct cross-class text pair
+    val want = levenshteinRef("a b c a b", "b c a b c")
+    got.foreach { case (a, b, dist, sim) =>
+      if (sameClass((a, b))) assert(dist == 0 && sim == 1.0, s"($a,$b)")
+      else assert(dist == want && sim == 1.0 - want.toDouble / 9.0, s"($a,$b)")
+    }
+  }
+
+  private def levenshteinRef(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    d(s.length)(t.length)
+  }
+
   test("dedupEmbedding expands duplicate vector classes with oracle-shaped cosine") {
     val got = DedupQueries.dedupEmbedding(spark, dir)
       .as[(Long, Long, Double)].collect()

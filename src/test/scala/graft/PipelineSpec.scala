@@ -87,12 +87,17 @@ class PipelineSpec extends SparkSpec {
     val out = Upsert(base, dupes, Seq("id"), versionCol = "ver").orderBy("id")
       .as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "new", 9L), (2, "x", 3L)))
-    // updates always beat existing, even at a lower version (the
-    // source priority outranks the version column)
+    // a STALE redelivery can never clobber newer sink state — the
+    // version outranks source priority, which is what makes
+    // out-of-order at-least-once delivery effectively-once
     val stale = Seq((1, "older", 0L)).toDF("id", "v", "ver")
     val out2 = Upsert(out.toDF("id", "v", "ver"), stale, Seq("id"), versionCol = "ver")
       .filter($"id" === 1).as[(Int, String, Long)].head()
-    assert(out2 == ((1, "older", 0L)))
+    assert(out2 == ((1, "new", 9L)))
+    // version-aware in-batch dedup picks the same winner the merge does
+    val kept = Upsert.dedupeByPk(dupes, Seq("id"), versionCol = "ver")
+      .filter($"id" === 1).as[(Int, String, Long)].head()
+    assert(kept == ((1, "new", 9L)))
   }
 
   test("upsert supports composite PKs") {
