@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextAnalysisQueries,
+    CurationQueries,
     EventQueries,
     AsOfQueries,
     ExtendedCatalog,

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation operators — the remaining stages a training-data
+  * pipeline runs between raw ingestion and tokenization: benchmark
+  * decontamination, deterministic stratified subsampling, overlapping
+  * context-window chunking, BM25 relevance scoring, and a
+  * skew-hardened aggregation built on [[graft.pipeline.Salting]].
+  *
+  * Determinism: every fraction is a single double division of exact
+  * integer counts; the BM25 score spells one explicit IEEE expression
+  * tree that the oracle repeats verbatim; sampling decisions compare
+  * md5 hex prefixes (the house cross-engine RNG), never rand().
+  *
+  * Scale design: decontamination joins the corpus against the
+  * benchmark's n-gram set — the benchmark side is tiny by construction
+  * (held-out eval suites), so the planner broadcasts it and the corpus
+  * side streams map-only. Sampling and chunking are pure per-row
+  * expressions (no shuffle at all). BM25 shuffles once per aggregation
+  * level like tf-idf. The salted aggregate demonstrates the two-phase
+  * (salt → partial → merge) shape that survives a key holding half the
+  * corpus, with the unsalted GROUP BY as its oracle.
+  */
+object CurationQueries extends graft.QueryModule {
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-3-shingle with the held-out benchmark slice (doc_id % 20 = 0
+    * — 5% of the corpus standing in for an eval suite). Reports the
+    * absolute hit count and the contaminated-shingle fraction; docs
+    * too short to shingle are excluded, mirroring the oracle's
+    * shingle-driven derivation.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sh = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+        .as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+
+    // the benchmark's distinct shingle set — small side of the join;
+    // no broadcast hint (same policy as lang_id/tfidf): the planner
+    // broadcasts it from its size estimate, and a pathologically large
+    // benchmark degrades to a shuffle join instead of an OOM
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("sh_arr")).as("s")).distinct()
+
+    val train = sh.filter(col("doc_id") % 20 =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("sh_arr")).as("s"))
+      .join(bench, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+
+    train.select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_sh").cast("double"))
+          .as("overlap_frac"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic stratified subsample: keep a document iff the md5
+    * of its id falls under its language's hex threshold — 50% for
+    * `en`, 25% for everything else. Pure map-only filter: no shuffle,
+    * no rand(), reproducible across retries/engines, and the kept set
+    * of a lower rate is a subset of a higher one (threshold monotone),
+    * which is how production pipelines carve nested corpus tiers.
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4))
+      .withColumn("threshold", when(col("lang") === "en", lit("8000")).otherwise(lit("4000")))
+      .filter(col("bucket") < col("threshold"))
+      .select("doc_id", "lang", "bucket")
+
+  /** Overlapping context-window chunking: token windows of 8 with
+    * stride 4 (half-overlap), the standard shape for long-document
+    * training and retrieval indexing. One row-level expression per doc
+    * (sequence → slice → join): no shuffle; at 100 TB this is a pure
+    * map stage whose output partitioning follows the input's.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 4)")).as("st"))
+      .select(
+        col("doc_id"),
+        (col("st") / 4).cast("int").as("chunk_id"),
+        expr("array_join(slice(toks, st + 1, 8), ' ')").as("chunk_text"),
+        least(lit(8), size(col("toks")) - col("st")).cast("int").as("n_tokens"))
+
+  /** BM25 (k1 = 1.2, b = 0.75) top-5 terms per document. The idf
+    * factor is the monotone-equivalent N/df ratio (same policy as
+    * tf-idf: no log — libm is only 1-ulp-accurate and could flip
+    * cross-engine ranks). The whole score is ONE explicit expression
+    * tree over exact integer inputs, repeated verbatim in the oracle,
+    * so both engines produce bit-identical doubles and therefore
+    * identical ranks.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // corpus stats ride in on a 1-row broadcast cross join — no
+    // driver-side collect, so the plan is one job end-to-end
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val scored = tf.join(df, Seq("tok")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))) *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "tok", "tf", "df", "dl", "score", "rnk")
+  }
+
+  /** Skew-hardened aggregate: lineitem's return-flag column has three
+    * values covering the whole table — the canonical hot-key shape.
+    * The salted two-phase plan (salt on a row attribute → partial
+    * aggregate over (key, salt) → merge per key) bounds any single
+    * reducer at 1/buckets of the hot key. Decimal partial sums keep
+    * the result exact regardless of how rows split across salts; the
+    * oracle is the PLAIN single-phase GROUP BY, so the hash match
+    * certifies the salted decomposition is lossless.
+    */
+  def skewAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Salting
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("q", col("l_quantity").cast("decimal(18,2)"))
+    val sums = Salting.twoPhaseAgg(li, "l_returnflag", "l_orderkey", 16,
+      c => sum(c), c => sum(c), "q", "sum_q")
+    val counts = Salting.twoPhaseAgg(li, "l_returnflag", "l_orderkey", 16,
+      c => count(c), c => sum(c), "q", "n_rows")
+    sums.join(counts, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("sum_q").cast("double").as("sum_qty"),
+        col("n_rows"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> decontaminate,
+    "q_sample_hash" -> sampleHash,
+    "q_chunk" -> chunk,
+    "q_bm25" -> bm25,
+    "q_skew_agg" -> skewAgg
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hits
+        |  FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id
+        |)
+        |SELECT z.doc_id, z.n_sh, coalesce(h.n_hits, 0) AS n_hits,
+        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS overlap_frac,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang,
+        |       substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |FROM documents
+        |WHERE substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS st FROM t
+        |)
+        |SELECT doc_id, CAST(st // 4 AS INT) AS chunk_id,
+        |       array_to_string(toks[st + 1 : st + 8], ' ') AS chunk_text,
+        |       CAST(least(8, len(toks) - st) AS INT) AS n_tokens
+        |FROM s""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+        |), scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df, l.dl,
+        |         (CAST(t.tf AS DOUBLE) * 2.2) /
+        |           (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |             (CAST(l.dl AS DOUBLE) /
+        |               (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) *
+        |           (CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+        |  FROM tf t
+        |  JOIN df d ON d.tok = t.tok
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  CROSS JOIN stats s
+        |)
+        |SELECT doc_id, tok, tf, df, dl, score, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rnk
+        |  FROM scored
+        |) r WHERE rnk <= 5""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}

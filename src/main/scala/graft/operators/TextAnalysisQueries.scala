@@ -156,12 +156,19 @@ object TextAnalysisQueries extends graft.QueryModule {
       .filter(size(col("bg")) > 0)
       .withColumn("n_bg", size(col("bg")).cast("long"))
       .withColumn("nd_bg", size(array_distinct(col("bg"))).cast("long"))
-      // occurrences of the most frequent bigram: count each distinct
-      // bigram inside the row, take the max — O(n * distinct) on a
-      // bounded-length doc, still map-only
-      .withColumn("top_bg",
-        array_max(transform(array_distinct(col("bg")),
-          d => size(filter(col("bg"), x => x === d)))).cast("long"))
+      // occurrences of the most frequent bigram: sort the row's bigrams
+      // and fold once tracking the longest equal-run — O(n log n) per
+      // doc instead of the previous count-per-distinct O(n * distinct)
+      // rescans (which made this the slowest map-only query in the
+      // catalog), still map-only
+      .withColumn("top_bg", expr(
+        """aggregate(array_sort(bg),
+          |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
       .select(
         col("doc_id"), col("n_bg"),
         ((col("n_bg") - col("nd_bg")).cast("double") / col("n_bg").cast("double"))

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CurationQueries
+
+/** Structural invariants for the corpus-curation operators (the DuckDB
+  * hash-compare is the primary gate; these pin the semantics that a
+  * hash can't explain when it breaks).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token exactly once per window position") {
+    val chunks = CurationQueries.chunk(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+
+    // per doc: chunk_ids are 0..ceil(n/4)-1 and token counts follow
+    // least(8, n - 4*chunk_id)
+    val bad = chunks
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max(col("chunk_id")).as("max_id"),
+        sum(col("n_tokens")).as("sum_tok"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("max_id") =!= col("n_chunks") - 1 ||
+        col("n_chunks") =!= expr("cast((n_toks + 3) div 4 as int)"))
+    assert(bad.count() == 0)
+
+    // the first chunk of every doc is the doc's first 8 tokens
+    val first = chunks.filter(col("chunk_id") === 0)
+      .join(Tables.documents(spark, sf0001), Seq("doc_id"))
+      .filter(col("chunk_text") =!= expr("array_join(slice(split(text, ' '), 1, 8), ' ')"))
+    assert(first.count() == 0)
+    chunks.unpersist()
+  }
+
+  test("hash sampling is deterministic and rate-nested (lower tier is a subset)") {
+    val s1 = CurationQueries.sampleHash(spark, sf0001).collect().toSet
+    val s2 = CurationQueries.sampleHash(spark, sf0001).collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // every doc kept under a '4000' threshold is kept under '8000':
+    // the en-rate keeps a superset of what the non-en rate would
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("bucket", substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4))
+    val low = docs.filter(col("bucket") < "4000").select("doc_id").as[Long].collect().toSet
+    val high = docs.filter(col("bucket") < "8000").select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
+  test("decontamination: benchmark docs are excluded, hits are bounded by shingle count") {
+    val out = CurationQueries.decontaminate(spark, sf0001).cache()
+    assert(out.filter(col("doc_id") % 20 === 0).count() == 0)
+    assert(out.filter(col("n_hits") > col("n_sh") || col("n_hits") < 0).count() == 0)
+    assert(out.filter(col("contaminated") =!= (col("n_hits") > 0)).count() == 0)
+    // the fixture vocabulary is tiny (31 words), so some 3-shingle
+    // collisions with the benchmark slice must exist
+    assert(out.filter(col("contaminated")).count() > 0)
+    out.unpersist()
+  }
+
+  test("salted skew aggregate equals the direct single-phase aggregate") {
+    val salted = CurationQueries.skewAgg(spark, sf0001).orderBy("l_returnflag").collect().toSeq
+    val direct = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("bm25 ranks are 1..5 per doc and ordered by descending score") {
+    val out = CurationQueries.bm25(spark, sf0001).cache()
+    val perDoc = out.groupBy("doc_id")
+      .agg(min(col("rnk")).as("lo"), max(col("rnk")).as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("n") > 5)
+    assert(perDoc.count() == 0)
+    // score is monotone non-increasing in rank within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val inversions = out
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score"))
+    assert(inversions.count() == 0)
+    out.unpersist()
+  }
+
+  test("repetition kernel: longest-run fold equals count-per-distinct max") {
+    val df = Seq(
+      "a b a b a b a b",      // repeated bigram "a b"
+      "x y z w q",            // all distinct bigrams
+      "t t t t t t"           // one bigram repeated
+    ).toDF("text")
+      .withColumn("bg", graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col("text")), 2))
+    val fold = df.withColumn("top", expr(
+      """aggregate(array_sort(bg),
+        |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+        |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin))
+    val naive = df.withColumn("top",
+      array_max(transform(array_distinct(col("bg")),
+        d => size(filter(col("bg"), x => x === d)))).cast("long"))
+    assert(fold.select("top").as[Long].collect().toSeq ==
+      naive.select("top").as[Long].collect().toSeq)
+    assert(fold.select("top").as[Long].collect().toSeq == Seq(4L, 1L, 5L))
+  }
+}
