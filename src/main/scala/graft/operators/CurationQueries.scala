@@ -36,20 +36,26 @@ object CurationQueries extends graft.QueryModule {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
+    // one shingling pass, cached: the benchmark set, the train-side
+    // explode, and the per-doc sizes all read this frame — without the
+    // materialization the md5-free but still CPU-heavy shingle build
+    // runs three times (measured ~2x the query's whole cost)
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
         .as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
+      .withColumn("is_bench", col("doc_id") % 20 === 0)
+      .cache()
 
     // the benchmark's distinct shingle set — small side of the join;
     // no broadcast hint (same policy as lang_id/tfidf): the planner
     // broadcasts it from its size estimate, and a pathologically large
     // benchmark degrades to a shuffle join instead of an OOM
-    val bench = sh.filter(col("doc_id") % 20 === 0)
+    val bench = sh.filter(col("is_bench"))
       .select(explode(col("sh_arr")).as("s")).distinct()
 
-    val train = sh.filter(col("doc_id") % 20 =!= 0)
+    val train = sh.filter(!col("is_bench"))
     val hits = train.select(col("doc_id"), explode(col("sh_arr")).as("s"))
       .join(bench, Seq("s"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
@@ -106,8 +112,13 @@ object CurationQueries extends graft.QueryModule {
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // every downstream frame (df, dl, corpus stats, the scored join)
+    // derives from tf, so the explode+aggregate runs once and the
+    // cached frame is (doc, distinct-term) sized — the smallest shape
+    // that still determines everything. dl = sum of tf counts per doc
+    // == the raw token count, without a second pass over toks.
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // corpus stats ride in on a 1-row broadcast cross join — no
     // driver-side collect, so the plan is one job end-to-end

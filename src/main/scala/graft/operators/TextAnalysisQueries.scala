@@ -32,17 +32,25 @@ object TextAnalysisQueries extends graft.QueryModule {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
-    val profile = toks.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
-      .agg(count(lit(1)).as("cnt"))
+    // Everything downstream works on per-doc term COUNTS, not raw
+    // occurrences: profile(lang, tok) = sum of tf, and a doc's score =
+    // sum(tf * cnt) — identical values to summing cnt per occurrence,
+    // but the explode+aggregate runs once, the cached frame is
+    // (doc, distinct-term) sized, and the score join carries distinct
+    // terms instead of every token occurrence.
+    val tf = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val profile = tf.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
+      .agg(sum(col("tf")).as("cnt"))
 
     // No broadcast hint: the profile is (lang x vocabulary)-sized, which
     // grows with the corpus — a forced broadcast OOMs at scale. AQE
     // picks broadcast at runtime whenever the built side is actually
     // small (it is on every fixture SF).
-    val scores = toks
+    val scores = tf
       .join(profile, col("tok") === col("p_tok"))
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(sum(col("cnt")).as("score"))
+      .agg(sum(col("tf") * col("cnt")).as("score"))
 
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
     scores
@@ -126,7 +134,9 @@ object TextAnalysisQueries extends graft.QueryModule {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // cached: both the df build and the scored join read tf — without
+    // the materialization the explode+aggregate chain runs twice
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).cache()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // df is vocabulary-sized — no broadcast hint (see langId); AQE
     // broadcasts it at runtime when small.
@@ -156,19 +166,15 @@ object TextAnalysisQueries extends graft.QueryModule {
       .filter(size(col("bg")) > 0)
       .withColumn("n_bg", size(col("bg")).cast("long"))
       .withColumn("nd_bg", size(array_distinct(col("bg"))).cast("long"))
-      // occurrences of the most frequent bigram: sort the row's bigrams
-      // and fold once tracking the longest equal-run — O(n log n) per
-      // doc instead of the previous count-per-distinct O(n * distinct)
-      // rescans (which made this the slowest map-only query in the
-      // catalog), still map-only
-      .withColumn("top_bg", expr(
-        """aggregate(array_sort(bg),
-          |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
-          |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best)""".stripMargin))
+      // occurrences of the most frequent bigram: fused sort +
+      // run-length kernel (graft.functions.MaxMultiplicity) — O(n log
+      // n) per doc in one codegen loop. The count-per-distinct
+      // composable form rescanned the array per distinct element
+      // (O(n * distinct)) and made this the slowest map-only query in
+      // the catalog; a sort + `aggregate` fold fixes the asymptotics
+      // but its struct accumulator runs interpreted per element.
+      .withColumn("top_bg",
+        graft.functions.MaxMultiplicity.max_multiplicity(col("bg")))
       .select(
         col("doc_id"), col("n_bg"),
         ((col("n_bg") - col("nd_bg")).cast("double") / col("n_bg").cast("double"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, QDotLong, SlidingMin}
+import graft.functions.{CosineSimilarity, MaxMultiplicity, QDotLong, SlidingMin}
 
 /** Session-extension entry point: install the engine's custom Catalyst
   * surface via `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("qdot_long"),
         new ExpressionInfo(classOf[QDotLong].getName, "qdot_long"),
         (children: Seq[Expression]) => QDotLong(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("max_multiplicity"),
+        new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
+        (children: Seq[Expression]) => MaxMultiplicity(children(0))))
   }
 }

@@ -84,7 +84,8 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("repetition kernel: longest-run fold equals count-per-distinct max") {
+  test("repetition kernel: max_multiplicity equals count-per-distinct max") {
+    import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
       "a b a b a b a b",      // repeated bigram "a b"
       "x y z w q",            // all distinct bigrams
@@ -92,19 +93,26 @@ class CurationSpec extends SparkSpec {
     ).toDF("text")
       .withColumn("bg", graft.functions.TextFunctions.wordShingles(
         graft.functions.TextFunctions.tokens(col("text")), 2))
-    val fold = df.withColumn("top", expr(
-      """aggregate(array_sort(bg),
-        |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-        |  (acc, x) -> named_struct(
-        |    'prev', x,
-        |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
-        |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
-        |  acc -> acc.best)""".stripMargin))
+    val fused = df.withColumn("top", max_multiplicity(col("bg")))
     val naive = df.withColumn("top",
       array_max(transform(array_distinct(col("bg")),
         d => size(filter(col("bg"), x => x === d)))).cast("long"))
-    assert(fold.select("top").as[Long].collect().toSeq ==
+    assert(fused.select("top").as[Long].collect().toSeq ==
       naive.select("top").as[Long].collect().toSeq)
-    assert(fold.select("top").as[Long].collect().toSeq == Seq(4L, 1L, 5L))
+    assert(fused.select("top").as[Long].collect().toSeq == Seq(4L, 1L, 5L))
+  }
+
+  test("max_multiplicity null semantics: null array -> null, null elements skipped") {
+    import graft.functions.MaxMultiplicity.max_multiplicity
+    val df = Seq(
+      (1, Seq[String]("a", null, "a", "b")),
+      (2, Seq[String]()),
+      (3, null)
+    ).toDF("id", "arr")
+    val out = df.select(col("id"), max_multiplicity(col("arr")).as("m"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 2L)
+    assert(out(1).getLong(1) == 0L)
+    assert(out(2).isNullAt(1))
   }
 }
