@@ -40,11 +40,15 @@ object CurationQueries extends graft.QueryModule {
     // explode, and the per-doc sizes all read this frame — without the
     // materialization the md5-free but still CPU-heavy shingle build
     // runs three times (measured ~2x the query's whole cost)
-    val sh = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
-        .as("sh_arr"))
-      .filter(size(col("sh_arr")) > 0)
+    val sh = Tables.documents(spark, dir)
+      // cheap equivalent of size(sh_arr) > 0: a 3-shingle exists iff
+      // the doc has >= 3 tokens. Filtering on the derived array pushes
+      // the shingle build below the spread Exchange onto one task.
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+          .as("sh_arr"))
       .withColumn("is_bench", col("doc_id") % 20 === 0)
       .cache()
 

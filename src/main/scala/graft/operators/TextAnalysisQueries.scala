@@ -112,10 +112,13 @@ object TextAnalysisQueries extends graft.QueryModule {
     // no explode, no window shuffle. The oracle mirrors it with
     // lead()/min() OVER windows; values are identical.
     Tables.documents(spark, dir)
+      // cheap equivalent of size(hs) > 0 — see repetition(): filtering
+      // on the derived array would push the md5 gram build below the
+      // spread Exchange onto a single task
+      .filter(size(split(col("text"), " ")) >= 4)
       .withColumn("hs",
         TextFunctions.md5All(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 4)))
-      .filter(size(col("hs")) > 0)
       .withColumn("fps",
         array_sort(array_distinct(TextFunctions.winnowMinima(col("hs"), 5))))
       .select(
@@ -162,8 +165,14 @@ object TextAnalysisQueries extends graft.QueryModule {
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     Tables.documents(spark, dir)
+      // the cheap equivalent of size(bg) > 0 (a k-shingle exists iff
+      // the doc has >= k tokens): filtering on the DERIVED array
+      // pushes the predicate — and with it the whole shingle build —
+      // below the spread Exchange, where the scan's natural split
+      // count serializes it onto one task and the build then runs
+      // AGAIN above the exchange
+      .filter(size(split(col("text"), " ")) >= 2)
       .withColumn("bg", TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-      .filter(size(col("bg")) > 0)
       .withColumn("n_bg", size(col("bg")).cast("long"))
       .withColumn("nd_bg", size(array_distinct(col("bg"))).cast("long"))
       // occurrences of the most frequent bigram: fused sort +
