@@ -88,6 +88,23 @@ object CurationQueries extends graft.QueryModule {
       .filter(col("bucket") < col("threshold"))
       .select("doc_id", "lang", "bucket")
 
+  /** Per-stratum fixed quota: the 10 documents per language with the
+    * smallest id-hash — the deterministic equivalent of per-group
+    * reservoir sampling (uniform because md5 is, reproducible because
+    * nothing is random). One window pass per stratum; at corpus scale
+    * this is a partial TopK per group (WindowGroupLimit pushes the
+    * limit into the sort), never a full per-group sort.
+    */
+  def sampleGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(concat(lit("grp:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("doc_id", "lang", "h", "rn")
+  }
+
   /** Overlapping context-window chunking: token windows of 8 with
     * stride 4 (half-overlap), the standard shape for long-document
     * training and retrieval indexing. One row-level expression per doc
@@ -170,6 +187,7 @@ object CurationQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
+    "q_sample_group" -> sampleGroup,
     "q_chunk" -> chunk,
     "q_bm25" -> bm25,
     "q_skew_agg" -> skewAgg
@@ -196,6 +214,15 @@ object CurationQueries extends graft.QueryModule {
         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS overlap_frac,
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    "q_sample_group" ->
+      """SELECT doc_id, lang, h, rn FROM (
+        |  SELECT doc_id, lang,
+        |         md5('grp:' || CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents
+        |) r WHERE rn <= 10""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang,
         |       substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket

@@ -194,6 +194,26 @@ object TextAnalysisQueries extends graft.QueryModule {
           lit(5) * col("top_bg") > col("n_bg")).as("repetitive"))
   }
 
+  /** Gini lexical diversity: 1 - sum((tf_i / n)^2) per document — the
+    * repeated-token concentration measure (the entropy alternative
+    * that stays cross-engine exact: no log(), so the whole score is
+    * integer sums n^2 and sum(tf^2) and ONE double division). High
+    * concentration (low diversity) marks boilerplate/spam the same way
+    * unigram entropy would, with identical ordering on fixed n.
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini_diversity"))
+
   /** PII scrub over the customer table: mask every digit of the
     * identifying name column, count the digits that were masked, and
     * lift the numeric id into its own column — the detect/mask/measure
@@ -220,6 +240,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     "q_token_count" -> tokenCount,
     "q_fingerprint" -> fingerprint,
     "q_repetition" -> repetition,
+    "q_diversity" -> diversity,
     "q_pii_scrub" -> piiScrub
   )
 
@@ -246,6 +267,21 @@ object TextAnalysisQueries extends graft.QueryModule {
         |       CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac,
         |       (5 * (n_bg - nd_bg) > n_bg OR 5 * top_bg > n_bg) AS repetitive
         |FROM stats""".stripMargin,
+    "q_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         CAST(sum(tf * tf) AS BIGINT) AS s2
+        |  FROM tf GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CAST(n_tokens * n_tokens - s2 AS DOUBLE) /
+        |       CAST(n_tokens * n_tokens AS DOUBLE) AS gini_diversity
+        |FROM s""".stripMargin,
     "q_pii_scrub" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,

@@ -58,6 +58,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("per-stratum quota sample: at most 10 per language, contiguous ranks") {
+    val out = CurationQueries.sampleGroup(spark, sf0001).cache()
+    val perLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("hi"), min(col("rn")).as("lo"))
+    assert(perLang.filter(col("n") > 10 || col("hi") =!= col("n") || col("lo") =!= 1).count() == 0)
+    // deterministic across runs
+    assert(out.collect().toSet == CurationQueries.sampleGroup(spark, sf0001).collect().toSet)
+    out.unpersist()
+  }
+
+  test("gini diversity is in [0, 1) and consistent with token counts") {
+    val out = operators.TextAnalysisQueries.diversity(spark, sf0001)
+    val bad = out.filter(
+      col("gini_diversity") < 0 || col("gini_diversity") >= 1 ||
+        col("n_distinct") > col("n_tokens") ||
+        // all-distinct docs hit the maximum 1 - 1/n exactly
+        (col("n_distinct") === col("n_tokens") &&
+          col("gini_diversity") =!= (col("n_tokens") - 1).cast("double") / col("n_tokens").cast("double")))
+    assert(bad.count() == 0)
+  }
+
   test("salted skew aggregate equals the direct single-phase aggregate") {
     val salted = CurationQueries.skewAgg(spark, sf0001).orderBy("l_returnflag").collect().toSeq
     val direct = Tables.lineitem(spark, sf0001)
