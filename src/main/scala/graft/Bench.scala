@@ -52,7 +52,13 @@ object Bench {
     // Per-query timing plus explicit failure tracking: a query that
     // throws is recorded with its error and counted in "failed", so a
     // broken query can never masquerade as a fast one in the JSON line.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted by name: Map iteration order reshuffles whenever a query
+    // is added, which moves first-touch costs (shared materializations,
+    // table first-scan) onto different queries and makes per-query
+    // numbers incomparable across rounds (r4's gate flagged an
+    // untouched query for exactly this). A fixed order keeps every
+    // round's cost attribution stable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -184,12 +184,42 @@ object CurationQueries extends graft.QueryModule {
         col("n_rows"))
   }
 
+  /** Statistical length-outlier gate: flag documents whose char count
+    * sits more than 2 standard deviations from their language's mean —
+    * the distribution-based cousin of the fixed-threshold quality
+    * gates. The 2-sigma test is evaluated as the exact integer
+    * inequality (n*x - s)^2 > 4*(n*s2 - s^2) (the float form
+    * rearranged to cancel every division), so both engines decide the
+    * boundary identically; only the reported mean is a double, one
+    * division of exact sums. Note on width: the products fit int64
+    * comfortably at fixture scale; a corpus where n*max(x) approaches
+    * 2^31 would lift the arithmetic to DECIMAL(38,0), same inequality.
+    *
+    * Scale shape: one tiny per-language stats aggregate broadcast back
+    * over the corpus — two map passes and one small shuffle, no
+    * quadratic stage.
+    */
+  def outlier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val stats = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    docs.join(stats, Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        (col("s").cast("double") / col("n").cast("double")).as("lang_mean"),
+        ((col("n") * col("n_chars") - col("s")) * (col("n") * col("n_chars") - col("s"))
+          > lit(4) * (col("n") * col("s2") - col("s") * col("s"))).as("is_outlier"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
     "q_chunk" -> chunk,
     "q_bm25" -> bm25,
+    "q_outlier" -> outlier,
     "q_skew_agg" -> skewAgg
   )
 
@@ -266,6 +296,18 @@ object CurationQueries extends graft.QueryModule {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rnk
         |  FROM scored
         |) r WHERE rnk <= 5""".stripMargin,
+    "q_outlier" ->
+      """WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS s,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS lang_mean,
+        |       (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
+        |         > 4 * (t.n * t.s2 - t.s * t.s) AS is_outlier
+        |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

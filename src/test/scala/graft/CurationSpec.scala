@@ -79,6 +79,19 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("length outliers respect the Chebyshev bound and the reported mean") {
+    val out = CurationQueries.outlier(spark, sf0001).cache()
+    // P(|x - mean| > 2 sigma) <= 1/4 for ANY distribution
+    val perLang = out.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out"),
+      max(col("lang_mean")).as("rep_mean"),
+      avg(col("n_chars")).as("true_mean"))
+    assert(perLang.filter(col("n_out") * 4 > col("n")).count() == 0)
+    assert(perLang.filter(abs(col("rep_mean") - col("true_mean")) > 1e-9).count() == 0)
+    out.unpersist()
+  }
+
   test("salted skew aggregate equals the direct single-phase aggregate") {
     val salted = CurationQueries.skewAgg(spark, sf0001).orderBy("l_returnflag").collect().toSeq
     val direct = Tables.lineitem(spark, sf0001)
