@@ -188,7 +188,8 @@ object Dev {
         try {
           Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
               "q_dedup_embedding", "q_dedup_edit", "q_knn_ivf", "q_fingerprint",
-              "q_minhash_by_lang")
+              "q_minhash_by_lang", "q_decontaminate", "q_bm25", "q_chunk",
+              "q_sample_hash", "q_outlier")
             .foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()
