@@ -213,6 +213,26 @@ object CurationQueries extends graft.QueryModule {
           > lit(4) * (col("n") * col("s2") - col("s") * col("s"))).as("is_outlier"))
   }
 
+  /** Winsorization: clip each document's length to its language's
+    * [P5, P95] band — the clip-don't-drop alternative to the outlier
+    * gate for features feeding downstream statistics. Exact
+    * interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, bit-identical — same policy as q_median); the
+    * clip itself is least/greatest, no branching hazard. Same scale
+    * shape as q_outlier: tiny per-language stats, broadcast back.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val bands = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("p5"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    docs.join(bands, Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("p5"), col("p95"),
+        least(greatest(col("n_chars").cast("double"), col("p5")), col("p95"))
+          .as("clipped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
@@ -220,6 +240,7 @@ object CurationQueries extends graft.QueryModule {
     "q_chunk" -> chunk,
     "q_bm25" -> bm25,
     "q_outlier" -> outlier,
+    "q_winsorize" -> winsorize,
     "q_skew_agg" -> skewAgg
   )
 
@@ -308,6 +329,15 @@ object CurationQueries extends graft.QueryModule {
         |       (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
         |         > 4 * (t.n * t.s2 - t.s * t.s) AS is_outlier
         |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin,
+    "q_winsorize" ->
+      """WITH bands AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p5,
+        |         quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.p5, b.p95,
+        |       least(greatest(CAST(d.n_chars AS DOUBLE), b.p5), b.p95) AS clipped
+        |FROM documents d JOIN bands b ON b.lang = d.lang""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -92,6 +92,19 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("winsorized lengths stay inside the per-language [p5, p95] band") {
+    val out = CurationQueries.winsorize(spark, sf0001).cache()
+    assert(out.filter(col("clipped") < col("p5") || col("clipped") > col("p95")).count() == 0)
+    // in-band rows pass through unchanged; out-of-band rows land on a bound
+    val bad = out.filter(
+      (col("n_chars") >= col("p5") && col("n_chars") <= col("p95") &&
+        col("clipped") =!= col("n_chars").cast("double")) ||
+      (col("n_chars") < col("p5") && col("clipped") =!= col("p5")) ||
+      (col("n_chars") > col("p95") && col("clipped") =!= col("p95")))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
   test("salted skew aggregate equals the direct single-phase aggregate") {
     val salted = CurationQueries.skewAgg(spark, sf0001).orderBy("l_returnflag").collect().toSeq
     val direct = Tables.lineitem(spark, sf0001)
