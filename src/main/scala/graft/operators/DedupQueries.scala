@@ -520,15 +520,50 @@ object DedupQueries extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Distributed connected components over an undirected pair list
-    * (columns doc_a, doc_b): each vertex's cluster id is the minimum
-    * vertex id reachable from it. The caller is responsible for the
-    * input's materialization (both union branches below re-read it).
+  /** Connected components over an undirected pair list (columns
+    * doc_a, doc_b): each vertex's cluster id is the minimum vertex id
+    * reachable from it. The caller is responsible for the input's
+    * materialization (both union branches below re-read it).
     * Property-tested against a union-find reference on random graphs
     * and a path graph (PropertySpec).
+    *
+    * Hybrid execution: when the edge list is below `localThreshold`
+    * it is union-found on the driver — a bounded collect (the
+    * threshold caps it at ~1.6 MB of longs), one pass, zero Spark
+    * jobs — instead of paying O(log d) distributed rounds of shuffle
+    * and checkpoint latency on a graph that fits in L2. Near-dup REP
+    * graphs are almost always this small (true duplicate pairs, not
+    * corpus rows). Past the threshold the distributed min-label loop
+    * below takes over unchanged; the cutoff is explicit, so corpus-
+    * scale edge sets can never land on the driver. PropertySpec pins
+    * both paths to the same union-find reference and to each other.
     */
-  def connectedComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      localThreshold: Long = 100000L): DataFrame = {
     val nPairs = pairs.count() // materialize the (cached) pair input once
+    if (nPairs <= localThreshold) {
+      import spark.implicits._
+      val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
+        parent.putIfAbsent(r, r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // roots are component minima because unions always keep the
+      // smaller id as parent
+      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(v => (v.longValue(), find(v)))
+      return labels.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
+    }
     // Partition count DERIVED from the edge volume (round 2 hardcoded
     // coalesce(1) "because edges are small" — a single-task stage that
     // could never scale past one core). ~50k edges per task keeps each

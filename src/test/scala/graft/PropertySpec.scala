@@ -67,10 +67,16 @@ class PropertySpec extends SparkSpec {
 
   private def ccCheck(edges: Seq[(Long, Long)]): Unit = {
     val df = edges.toDF("doc_a", "doc_b").cache()
-    val got = graft.operators.DedupQueries.connectedComponents(spark, df)
+    // default threshold -> driver-local union-find path
+    val local = graft.operators.DedupQueries.connectedComponents(spark, df)
+      .as[(Long, Long)].collect().toMap
+    // threshold 0 -> forced distributed min-label-propagation path
+    val dist = graft.operators.DedupQueries
+      .connectedComponents(spark, df, localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     df.unpersist()
-    assert(got == unionFindMin(edges), s"edges=$edges")
+    assert(local == unionFindMin(edges), s"local path, edges=$edges")
+    assert(dist == unionFindMin(edges), s"distributed path, edges=$edges")
   }
 
   test("connected components match union-find on random graphs") {
