@@ -270,7 +270,38 @@ object OperatorCatalog extends graft.QueryModule {
         (abs(col("approx_orders") - col("exact_orders")).cast("double")
           <= lit(0.05) * col("exact_orders").cast("double")).as("within_5pct"))
 
+  // ===== companion: approximate quantile with a certified rank bound =====
+  /** `approx_percentile` (GK/KLL-style sketch) also differs across
+    * engines, so the same certification pattern as [[approxDistinct]]
+    * applies: the sketch (accuracy 100 ⇒ rank error ≤ 1% of n)
+    * returns an actual element of the group; the query then counts
+    * how many values fall at or below it and asserts the element's
+    * rank lands in [0.49n, 0.51n] — as integer inequalities, so the
+    * boundary decision is engine-exact. The oracle asserts TRUE plus
+    * the exact interpolated median; a hash match certifies the
+    * sketch's rank-error contract on this data.
+    */
+  def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 100)").as("ap"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n"))
+    li.join(sk, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("exact_p50")).as("exact_p50"),
+        max(col("n")).as("n"),
+        sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L)).as("cnt_lt"))
+      .select(
+        col("l_returnflag"), col("exact_p50"), col("n"),
+        (col("cnt_le") * 100 >= col("n") * 49 && col("cnt_lt") * 100 <= col("n") * 51)
+          .as("within_rank_bound"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantile" -> approxQuantile,
     "q_approx_distinct" -> approxDistinct,
     "q_filter_range" -> filterRange,
     "q_ci_lookup" -> ciLookup,
@@ -295,6 +326,12 @@ object OperatorCatalog extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |       count(*) AS n,
+        |       TRUE AS within_rank_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
