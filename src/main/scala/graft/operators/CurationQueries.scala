@@ -233,11 +233,46 @@ object CurationQueries extends graft.QueryModule {
           .as("clipped"))
   }
 
+  /** Sequence packing (concatenate-and-chop): lay every document's
+    * tokens end-to-end in doc_id order and chop the stream into fixed
+    * 256-token training windows; each doc reports its global token
+    * offset and the first/last window it lands in. The global prefix
+    * sum is computed scalably as a TWO-LEVEL cumulative sum — a plain
+    * global window would put the entire corpus through ONE WindowExec
+    * task: per-bucket running sums run in parallel (bucket =
+    * doc_id div 1000), and only the bucket TOTALS (3 orders of
+    * magnitude fewer rows) go through the tiny global window, the
+    * same shape a Beam/FlumeJava-style distributed scan uses. All
+    * arithmetic is integer, so both engines agree exactly.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256L // tokens per packed training sequence
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBk = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+      .withColumn("b_off", coalesce(sum(col("b_tok")).over(wBk), lit(0L)))
+      .select("bucket", "b_off")
+    docs.join(bucketOffsets, Seq("bucket"))
+      .withColumn("offset",
+        col("b_off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tok"), col("offset"),
+        expr(s"offset div $B").as("bin_start"),
+        expr(s"(offset + n_tok - 1) div $B").as("bin_end"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
     "q_chunk" -> chunk,
+    "q_pack" -> pack,
     "q_bm25" -> bm25,
     "q_outlier" -> outlier,
     "q_winsorize" -> winsorize,
@@ -290,6 +325,20 @@ object CurationQueries extends graft.QueryModule {
         |       array_to_string(toks[st + 1 : st + 8], ' ') AS chunk_text,
         |       CAST(least(8, len(toks) - st) AS INT) AS n_tokens
         |FROM s""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tok, "offset",
+        |       "offset" // 256 AS bin_start,
+        |       ("offset" + n_tok - 1) // 256 AS bin_end
+        |FROM o""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents

@@ -92,6 +92,19 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sequence packing: offsets form a gapless token stream in doc order") {
+    val out = CurationQueries.pack(spark, sf0001).orderBy("doc_id").collect()
+    var expected = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("offset") == expected, s"doc ${r.getAs[Long]("doc_id")}")
+      expected += r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("bin_start") == r.getAs[Long]("offset") / 256)
+      assert(r.getAs[Long]("bin_end") ==
+        (r.getAs[Long]("offset") + r.getAs[Long]("n_tok") - 1) / 256)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("winsorized lengths stay inside the per-language [p5, p95] band") {
     val out = CurationQueries.winsorize(spark, sf0001).cache()
     assert(out.filter(col("clipped") < col("p5") || col("clipped") > col("p95")).count() == 0)
