@@ -58,6 +58,23 @@ object SimilarityQueries extends graft.QueryModule {
       .select("query_id", "neighbor_id", "rnk", "cosine")
   }
 
+  /** Per-label centroid, long form (label, component position, mean in
+    * quantized 1e-3 units) — the k-means/IVF aggregate exposed as its
+    * own checked operator: one Lloyd-recompute step, the tall-skinny
+    * matrix column-sum dataflow (N x dim rows -> n_labels x dim).
+    * Exact integer component sums; ONE double division per component.
+    * Long form keeps every output column scalar, so the cross-engine
+    * hash compare stays byte-exact.
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(quantized(col("embedding"))).as(Seq("pos", "qc")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qc")).as("s"))
+      .select(
+        col("label"), col("pos").cast("int").as("pos"), col("n_vecs"),
+        (col("s").cast("double") / col("n_vecs").cast("double")).as("c"))
+
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val vecs = qvecs(spark, dir)
     val queries = vecs.filter(col("vec_id") < NQ)
@@ -122,6 +139,7 @@ object SimilarityQueries extends graft.QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroids" -> centroids,
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf
   )
@@ -137,6 +155,16 @@ object SimilarityQueries extends graft.QueryModule {
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_centroids" ->
+      """WITH q AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
+        |  FROM embeddings
+        |)
+        |SELECT label, pos, count(*) AS n_vecs,
+        |       CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+        |FROM q GROUP BY label, pos""".stripMargin,
     "q_knn_brute" ->
       s"""WITH $compsCte,
         |dots AS (

@@ -194,6 +194,20 @@ object TextAnalysisQueries extends graft.QueryModule {
           lit(5) * col("top_bg") > col("n_bg")).as("repetitive"))
   }
 
+  /** Language-ID evaluation rollup: per true language, how many docs
+    * the unigram-profile classifier got right — the accuracy cross-tab
+    * every model-in-the-loop pipeline tracks. Reuses [[langId]]
+    * end-to-end; accuracy is one double division of exact counts.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("lang"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double")).as("accuracy"))
+
   /** Gini lexical diversity: 1 - sum((tf_i / n)^2) per document — the
     * repeated-token concentration measure (the entropy alternative
     * that stays cross-engine exact: no log(), so the whole score is
@@ -241,6 +255,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     "q_fingerprint" -> fingerprint,
     "q_repetition" -> repetition,
     "q_diversity" -> diversity,
+    "q_lang_confusion" -> langConfusion,
     "q_pii_scrub" -> piiScrub
   )
 
@@ -267,6 +282,26 @@ object TextAnalysisQueries extends graft.QueryModule {
         |       CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac,
         |       (5 * (n_bg - nd_bg) > n_bg OR 5 * top_bg > n_bg) AS repetitive
         |FROM stats""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents
+        |), profile AS (
+        |  SELECT lang AS p_lang, tok AS p_tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+        |), scores AS (
+        |  SELECT t.doc_id, t.lang, p.p_lang, CAST(sum(p.cnt) AS BIGINT) AS score
+        |  FROM toks t JOIN profile p ON t.tok = p.p_tok
+        |  GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT doc_id, lang, p_lang AS pred_lang FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn
+        |    FROM scores
+        |  ) r WHERE rn = 1
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM pred GROUP BY lang""".stripMargin,
     "q_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, count(*) AS tf
