@@ -38,6 +38,34 @@ object StreamingOps {
   private val stagingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Raw parquet schema of `documents` (TESTDATA.md). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val docStagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The `documents` table as a file stream (same staged-symlink-dir
+    * mechanics as [[eventStream]]) — the arriving-corpus shape a
+    * streaming curation pass consumes.
+    */
+  def docStream(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = docStagingDirs.computeIfAbsent(dir, { d =>
+      val docsFile = java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath
+      val staged = java.nio.file.Files.createTempDirectory("docs_stream")
+      val link = staged.resolve("documents.parquet")
+      java.nio.file.Files.createSymbolicLink(link, docsFile)
+      link.toFile.deleteOnExit()
+      staged.toFile.deleteOnExit()
+      staged
+    })
+    spark.readStream.schema(docSchema).parquet(streamDir.toString)
+  }
+
   /** Streaming scan of the events table: nanos -> micros TimestampType,
     * same conversion as the batch reader. Requires
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
@@ -134,6 +162,44 @@ object StreamingOps {
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  case class DocTokens(source: String, doc_id: Long, n_tok: Long)
+  case class BudgetedDoc(source: String, doc_id: Long, n_tok: Long,
+      kept: Boolean, used_after: Long)
+
+  /** Streaming per-source token budget — the data-mixing quota: each
+    * source may contribute at most `budget` tokens to the output
+    * corpus; once a source's running total would exceed it, further
+    * docs are emitted with kept = false (audit trail, filter
+    * downstream). State per source is ONE counter (bounded by source
+    * cardinality, not corpus size). Docs are processed in doc_id order
+    * within a batch so replays of the same batch make identical
+    * keep/skip decisions — determinism a hash-based sample can't give
+    * when the quota is a hard cap. Skipped docs don't consume budget,
+    * so a later small doc can still fit (first-fit, the standard
+    * mixing-quota behavior).
+    */
+  def sourceTokenBudget(spark: SparkSession, docs: DataFrame,
+      budget: Long): Dataset[BudgetedDoc] = {
+    import spark.implicits._
+    docs
+      .select(col("source"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[DocTokens]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocTokens], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_.doc_id).map { d =>
+            val fits = used + d.n_tok <= budget
+            if (fits) used += d.n_tok
+            BudgetedDoc(src, d.doc_id, d.n_tok, fits, used)
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
 
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState — the escape hatch for semantics the

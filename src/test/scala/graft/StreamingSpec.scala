@@ -102,6 +102,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streaming source token budget caps each source and is first-fit in doc order") {
+    val budget = 2000L
+    val stream = StreamingOps.docStream(spark, sf0001)
+    val got = runToMemory(
+      StreamingOps.sourceTokenBudget(spark, stream, budget).toDF(), "budgeted", "update")
+    // every doc appears exactly once with its true token count
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("want_tok"))
+    assert(got.count() == docs.count())
+    assert(got.join(docs, Seq("doc_id"))
+      .filter(col("n_tok") =!= col("want_tok")).count() == 0)
+    // kept tokens per source never exceed the budget
+    val perSource = got.filter(col("kept"))
+      .groupBy(col("source").as("src")).agg(sum(col("n_tok")).as("kept_tok"))
+    assert(perSource.filter(col("kept_tok") > budget).count() == 0)
+    assert(perSource.count() > 0)
+    // replay determinism: the batch-side sequential first-fit gives the
+    // same keep set
+    val want = docs.orderBy("source", "doc_id").collect()
+      .groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+        var used = 0L
+        rows.sortBy(_.getLong(0)).map { r =>
+          val fits = used + r.getLong(2) <= budget
+          if (fits) used += r.getLong(2)
+          (r.getLong(0), fits)
+        }
+      }.toMap
+    val gotKept = got.select("doc_id", "kept").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(gotKept == want)
+  }
+
   test("foreachBatchUpsert merges micro-batches idempotently into the sink") {
     val tmp = java.nio.file.Files.createTempDirectory("upsert_sink").toString + "/t"
     val stream = StreamingOps.eventStream(spark, sf0001)
