@@ -131,14 +131,12 @@ object CurationQueries extends graft.QueryModule {
     * identical ranks.
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     // every downstream frame (df, dl, corpus stats, the scored join)
-    // derives from tf, so the explode+aggregate runs once and the
-    // cached frame is (doc, distinct-term) sized — the smallest shape
-    // that still determines everything. dl = sum of tf counts per doc
-    // == the raw token count, without a second pass over toks.
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).cache()
+    // derives from the SHARED (doc, term, tf) materialization — the
+    // smallest shape that still determines everything; dl = sum of tf
+    // counts per doc == the raw token count, no second pass over raw
+    // tokens.
+    val tf = TextAnalysisQueries.sharedTermFreq(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // corpus stats ride in on a 1-row broadcast cross join — no

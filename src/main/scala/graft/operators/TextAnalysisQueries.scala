@@ -22,6 +22,26 @@ import graft.Tables
   */
 object TextAnalysisQueries extends graft.QueryModule {
 
+  /** The (doc_id, tok, tf) term-frequency aggregate, materialized ONCE
+    * per (session, sf-dir) and shared by every token-statistics
+    * consumer (tf-idf, BM25, diversity) — same explicit-shared-
+    * intermediate policy as DedupQueries.sharedShingles: one
+    * explode+aggregate build, identical plan fragment everywhere, the
+    * role a materialized staging table plays in a production pipeline.
+    */
+  private val tfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[operators] def sharedTermFreq(spark: SparkSession, dir: String): DataFrame = {
+    tfMemo.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+    tfMemo.computeIfAbsent((spark, dir), { _ =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .cache()
+    })
+  }
+
   /** Unigram-profile language ID: the corpus' own (lang, token) counts
     * are the model; a doc's score for a language is the sum of that
     * language's counts over the doc's token occurrences (integer-
@@ -136,10 +156,9 @@ object TextAnalysisQueries extends graft.QueryModule {
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    // cached: both the df build and the scored join read tf — without
-    // the materialization the explode+aggregate chain runs twice
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")).cache()
+    // shared materialization: the df build and the scored join both
+    // read it, as do BM25 and diversity
+    val tf = sharedTermFreq(spark, dir)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // df is vocabulary-sized — no broadcast hint (see langId); AQE
     // broadcasts it at runtime when small.
@@ -216,9 +235,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     * unigram entropy would, with identical ordering on fixed n.
     */
   def diversity(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    sharedTermFreq(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
