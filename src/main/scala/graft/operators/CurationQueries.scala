@@ -182,6 +182,27 @@ object CurationQueries extends graft.QueryModule {
         col("n_rows"))
   }
 
+  /** Batch per-source token quota, prefix-cap form: a doc is kept iff
+    * the running token total of its source (in doc_id order, itself
+    * included) stays within the budget — the window-expressible batch
+    * analog of StreamingOps.sourceTokenBudget (which does true
+    * first-fit: later small docs may still fit after a large one is
+    * skipped; a running-kept-sum is not a plain window, which is
+    * exactly why the streaming form uses flatMapGroupsWithState).
+    * Per-source windows parallelize across sources; all arithmetic is
+    * integer.
+    */
+  def quota(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("kept", col("cum_tok") <= budget)
+  }
+
   /** Statistical length-outlier gate: flag documents whose char count
     * sits more than 2 standard deviations from their language's mean —
     * the distribution-based cousin of the fixed-threshold quality
@@ -273,6 +294,7 @@ object CurationQueries extends graft.QueryModule {
     "q_pack" -> pack,
     "q_bm25" -> bm25,
     "q_outlier" -> outlier,
+    "q_quota" -> quota,
     "q_winsorize" -> winsorize,
     "q_skew_agg" -> skewAgg
   )
@@ -376,6 +398,16 @@ object CurationQueries extends graft.QueryModule {
         |       (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
         |         > 4 * (t.n * t.s2 - t.s * t.s) AS is_outlier
         |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin,
+    "q_quota" ->
+      """SELECT doc_id, source,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |       CAST(sum(len(string_split(text, ' '))) OVER (
+        |         PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        |       CAST(sum(len(string_split(text, ' '))) OVER (
+        |         PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 2000 AS kept
+        |FROM documents""".stripMargin,
     "q_winsorize" ->
       """WITH bands AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS p5,

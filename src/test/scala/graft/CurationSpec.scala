@@ -105,6 +105,26 @@ class CurationSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("batch prefix-cap quota keeps a subset of the streaming first-fit keeps") {
+    // first-fit's running total never exceeds the prefix sum, so any
+    // doc whose prefix total fits must also fit under first-fit
+    val prefixKept = CurationQueries.quota(spark, sf0001)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .orderBy("source", "doc_id").collect()
+    val firstFitKept = docs.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+      var used = 0L
+      rows.sortBy(_.getLong(0)).flatMap { r =>
+        if (used + r.getLong(2) <= 2000L) { used += r.getLong(2); Some(r.getLong(0)) }
+        else None
+      }
+    }.toSet
+    assert(prefixKept.subsetOf(firstFitKept))
+    assert(prefixKept.nonEmpty)
+  }
+
   test("winsorized lengths stay inside the per-language [p5, p95] band") {
     val out = CurationQueries.winsorize(spark, sf0001).cache()
     assert(out.filter(col("clipped") < col("p5") || col("clipped") > col("p95")).count() == 0)
