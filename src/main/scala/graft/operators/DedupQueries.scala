@@ -150,11 +150,16 @@ object DedupQueries extends graft.QueryModule {
     val shArr = sharedShingles(spark, dir).select("doc_id", "sh_arr")
       .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
 
-    // signatures as row-level array_min expressions — no groupBy shuffle
+    // signatures as row-level array_min expressions — no groupBy
+    // shuffle. Cached: BOTH sides of the band self-join below read
+    // this frame, and the 9-seed md5 signature build is the dominant
+    // cost of the whole pipeline — uncached it runs twice (the same
+    // self-join-over-derived-index lesson as the ngram prefix index).
     val nSeeds = 9
     val sig = shArr.select(
       col("doc_id") +:
         (0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+      .cache()
 
     val bands = sig.select(
       col("doc_id"),
@@ -418,9 +423,13 @@ object DedupQueries extends graft.QueryModule {
       }.reduce(_ + _)
       struct(lit(b).as("band_id"), key.as("band_key"))
     }
+    // cached: both sides of the candidate self-join read the band
+    // keys — without this the 18 hyperplane-dot band expressions run
+    // twice (self-join-over-derived-index lesson)
     val keys = vecs
       .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("vec_id"), col("band.band_id"), col("band.band_key"))
+      .cache()
 
     val cand = keys.alias("x").join(keys.alias("y"),
         col("x.band_id") === col("y.band_id") &&
