@@ -529,6 +529,77 @@ object DedupQueries extends graft.QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dedup — the production shape: an ARRIVING batch
+    * (doc_id % 10 = 0 stands in for it) is deduped against the
+    * existing corpus without ever re-pairing the corpus with itself.
+    * Band keys are computed for both sides, but the candidate join is
+    * strictly batch x corpus, so per-ingest cost tracks the batch
+    * size; at scale the corpus band index is a persisted table the
+    * batch probes. Same 9-seed signatures / banding / exact-verify
+    * arithmetic as [[dedupMinhash]].
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sh = sharedShingles(spark, dir)
+      .select("doc_id", "sh_arr").filter(size(col("sh_arr")) > 0)
+    val nSeeds = 9
+    val sig = sh.select(
+      col("doc_id") +:
+        (0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
+        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
+        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
+      )).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .cache() // both split sides of the batch-x-corpus join read this
+
+    val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
+      .join(bands.filter(col("doc_id") % 10 =!= 0).alias("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh_arr").as("sa")), Seq("new_id"))
+      .join(sh.select(col("doc_id").as("corpus_id"), col("sh_arr").as("sb")), Seq("corpus_id"))
+      .select(
+        col("new_id"), col("corpus_id"),
+        size(array_intersect(col("sa"), col("sb"))).as("c"),
+        size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
+      .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
+      .select(col("new_id"), col("corpus_id"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** The deduplicated corpus — the end product a pipeline consumer
+    * actually reads: every document except non-representative members
+    * of a near-dup cluster (the cluster minimum survives). One
+    * left-anti join against the cluster labels.
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val dupes = dedupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id")
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+  }
+
+  /** Cluster-size profile: how big the near-dup groups are — the
+    * audit view that tells a pipeline how much the corpus shrinks and
+    * whether one mega-cluster (boilerplate) dominates.
+    */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("n_docs"),
+        (col("n_docs") - 1).as("n_removed"))
+
   /** Connected components over an undirected pair list (columns
     * doc_a, doc_b): each vertex's cluster id is the minimum vertex id
     * reachable from it. The caller is responsible for the input's
@@ -688,6 +759,9 @@ object DedupQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_edit" -> dedupEditDistance,
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_keep" -> dedupKeep,
+    "q_cluster_stats" -> clusterStats,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_minhash_by_lang" -> minhashByLang,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
@@ -711,6 +785,26 @@ object DedupQueries extends graft.QueryModule {
 
   private lazy val minhashOracle: String = oraclesBase("q_dedup_minhash")
 
+  /** Shared recursive-CTE prelude computing the per-doc cluster labels
+    * (same transitive closure as the q_dedup_clusters oracle).
+    */
+  private lazy val ccLabelsCte: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |$minhashOracle
+      |  ) m
+      |), edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT doc_a, doc_a FROM edges
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+      |), labels AS (
+      |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
+
   /** The +-1 hyperplane rows as DuckDB VALUES literals: (k, [s0..s63]). */
   private lazy val planesSqlValues: String =
     embPlanes.zipWithIndex
@@ -733,6 +827,49 @@ object DedupQueries extends graft.QueryModule {
         |)
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $shinglesCte,
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
+        |         min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
+        |         min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || m4 || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || m7 || m8 FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+        |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT new_id, corpus_id, count(*) AS c
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = new_id
+        |  JOIN sh sb ON sb.doc_id = corpus_id AND sa.s = sb.s
+        |  GROUP BY new_id, corpus_id
+        |)
+        |SELECT new_id, corpus_id,
+        |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes za ON za.doc_id = new_id
+        |JOIN sizes zb ON zb.doc_id = corpus_id
+        |WHERE 9 * c >= 4 * (za.n_sh + zb.n_sh)""".stripMargin,
+    "q_dedup_keep" ->
+      s"""$ccLabelsCte
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM labels l
+        |  WHERE l.doc_id = d.doc_id AND l.cluster_id <> d.doc_id)""".stripMargin,
+    "q_cluster_stats" ->
+      s"""$ccLabelsCte
+        |SELECT cluster_id, count(*) AS n_docs,
+        |       CAST(count(*) - 1 AS BIGINT) AS n_removed
+        |FROM labels GROUP BY cluster_id""".stripMargin,
     // the minhash oracle runs as a subquery producing the candidate pairs
     "q_dedup_edit" ->
       s"""SELECT p.doc_a, p.doc_b,
