@@ -95,6 +95,35 @@ class PropertySpec extends SparkSpec {
     ccCheck((0L until 49L).map(i => (i + 1, i)) ++ Seq((10L, 11L), (3L, 4L)))
   }
 
+  test("max_multiplicity equals the count-per-distinct max on random arrays") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MaxMultiplicity.max_multiplicity
+    // small alphabet forces collisions; include empty and null elements
+    val arrGen: Gen[List[String]] =
+      Gen.listOfN(20, Gen.oneOf("a", "b", "c", "d", "", null: String))
+    val arrays = (0 until 6).map(i =>
+      arrGen.apply(Gen.Parameters.default, Seed(4000L + i)).getOrElse(Nil))
+    val df = arrays.toDF("arr")
+    val fused = df.select(max_multiplicity(col("arr"))).as[Long].collect().toSeq
+    val want = arrays.map(a =>
+      a.filter(_ != null).groupBy(identity).values.map(_.size.toLong)
+        .foldLeft(0L)(math.max))
+    assert(fused == want)
+  }
+
+  test("sliding_min equals the per-position slice minimum on random hash arrays") {
+    import org.apache.spark.sql.functions._
+    val arrGen: Gen[List[String]] =
+      Gen.listOfN(15, Gen.choose(0, 9999).map(n => f"$n%04d"))
+    val arrays = (0 until 6).map(i =>
+      arrGen.apply(Gen.Parameters.default, Seed(5000L + i)).getOrElse(Nil))
+    val df = arrays.toDF("arr")
+    val fused = df.select(graft.functions.SlidingMin.sliding_min(col("arr"), 5))
+      .as[Seq[String]].collect().toSeq
+    val want = arrays.map(a => a.indices.map(i => a.slice(i, i + 5).min))
+    assert(fused.map(_.toList) == want.map(_.toList))
+  }
+
   test("rank is within [1, partition size] and starts at 1") {
     val rk = graft.operators.OperatorCatalog.rankWindow(spark, sf0001)
     import org.apache.spark.sql.functions._
