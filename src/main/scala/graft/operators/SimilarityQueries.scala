@@ -75,6 +75,22 @@ object SimilarityQueries extends graft.QueryModule {
         col("label"), col("pos").cast("int").as("pos"), col("n_vecs"),
         (col("s").cast("double") / col("n_vecs").cast("double")).as("c"))
 
+  /** ANN quality audit: IVF recall@k against the brute-force ground
+    * truth — the eval a pipeline runs before trusting an approximate
+    * index. Pure composition of the two search pipelines; one join +
+    * per-query aggregate on k-row sets.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).select("query_id", "neighbor_id")
+    val approx = knnIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val vecs = qvecs(spark, dir)
     val queries = vecs.filter(col("vec_id") < NQ)
@@ -140,6 +156,7 @@ object SimilarityQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_centroids" -> centroids,
+    "q_knn_recall" -> knnRecall,
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf
   )
@@ -165,26 +182,46 @@ object SimilarityQueries extends graft.QueryModule {
         |SELECT label, pos, count(*) AS n_vecs,
         |       CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
         |FROM q GROUP BY label, pos""".stripMargin,
-    "q_knn_brute" ->
-      s"""WITH $compsCte,
-        |dots AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
-        |  FROM q a JOIN q b ON a.p = b.p AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < $NQ
-        |  GROUP BY 1, 2
-        |), scored AS (
-        |  SELECT query_id, neighbor_id,
-        |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
-        |  FROM dots
-        |  JOIN norms na ON na.vec_id = query_id
-        |  JOIN norms nb ON nb.vec_id = neighbor_id
+    "q_knn_brute" -> bruteOracle,
+    // recall@k audit: both pipelines run as nested-WITH subqueries of
+    // the same oracle text the individual queries are checked against
+    "q_knn_recall" ->
+      s"""WITH brute AS (
+        |$bruteOracle
+        |), ivf AS (
+        |$ivfOracle
         |)
-        |SELECT query_id, neighbor_id, rnk, cosine FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
-        |  FROM scored
-        |) r WHERE rnk <= $K""".stripMargin,
-    "q_knn_ivf" ->
+        |SELECT b.query_id, count(*) AS k,
+        |       CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS recall
+        |FROM brute b
+        |LEFT JOIN ivf v ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
+    "q_knn_ivf" -> ivfOracle
+  )
+
+  private lazy val bruteOracle: String =
+    s"""WITH $compsCte,
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON a.p = b.p AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < $NQ
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      |  FROM dots
+      |  JOIN norms na ON na.vec_id = query_id
+      |  JOIN norms nb ON nb.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id, rnk, cosine FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+      |  FROM scored
+      |) r WHERE rnk <= $K""".stripMargin
+
+  private lazy val ivfOracle: String =
       s"""WITH $compsCte,
         |cent AS (
         |  SELECT label, p, CAST(sum(q) AS BIGINT) AS sumq FROM q GROUP BY label, p
@@ -230,5 +267,4 @@ object SimilarityQueries extends graft.QueryModule {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
         |  FROM scored
         |) r WHERE rnk <= $K""".stripMargin
-  )
 }
