@@ -286,6 +286,31 @@ object CurationQueries extends graft.QueryModule {
         expr(s"(offset + n_tok - 1) div $B").as("bin_end"))
   }
 
+  /** The composite curation gate — the decision a pipeline actually
+    * executes: keep a document iff its quality score clears 0.5 AND it
+    * is not repetitive AND its length is not a 2-sigma outlier, with
+    * each reason carried in the output (auditable drops, the
+    * filter-with-reasons shape). Pure composition of three checked
+    * operators; docs too short to produce a bigram can't be
+    * boilerplate, so their repetition flag coalesces to false.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysisQueries.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val rep = TextAnalysisQueries.repetition(spark, dir)
+      .select(col("doc_id"), col("repetitive"))
+    val outl = outlier(spark, dir).select(col("doc_id"), col("is_outlier"))
+    quality
+      .join(rep, Seq("doc_id"), "left")
+      .join(outl, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("quality"),
+        coalesce(col("repetitive"), lit(false)).as("repetitive"),
+        col("is_outlier"),
+        (col("quality") >= 0.5 &&
+          !coalesce(col("repetitive"), lit(false)) && !col("is_outlier")).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
@@ -295,9 +320,23 @@ object CurationQueries extends graft.QueryModule {
     "q_bm25" -> bm25,
     "q_outlier" -> outlier,
     "q_quota" -> quota,
+    "q_quality_gate" -> qualityGate,
     "q_winsorize" -> winsorize,
     "q_skew_agg" -> skewAgg
   )
+
+  private lazy val oraclesOutlier: String =
+    """WITH stats AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS s,
+      |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      |  FROM documents GROUP BY lang
+      |)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |       CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS lang_mean,
+      |       (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
+      |         > 4 * (t.n * t.s2 - t.s * t.s) AS is_outlier
+      |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_decontaminate" ->
@@ -386,18 +425,7 @@ object CurationQueries extends graft.QueryModule {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rnk
         |  FROM scored
         |) r WHERE rnk <= 5""".stripMargin,
-    "q_outlier" ->
-      """WITH stats AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(n_chars) AS BIGINT) AS s,
-        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
-        |  FROM documents GROUP BY lang
-        |)
-        |SELECT d.doc_id, d.lang, d.n_chars,
-        |       CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS lang_mean,
-        |       (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
-        |         > 4 * (t.n * t.s2 - t.s * t.s) AS is_outlier
-        |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin,
+    "q_outlier" -> oraclesOutlier,
     "q_quota" ->
       """SELECT doc_id, source,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -408,6 +436,22 @@ object CurationQueries extends graft.QueryModule {
         |         PARTITION BY source ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 2000 AS kept
         |FROM documents""".stripMargin,
+    "q_quality_gate" ->
+      s"""WITH q AS (
+        |${TextAnalysisQueries.oracles("q_text_quality")}
+        |), r AS (
+        |${TextAnalysisQueries.oracles("q_repetition")}
+        |), o AS (
+        |${oraclesOutlier}
+        |)
+        |SELECT q.doc_id, q.quality,
+        |       coalesce(r.repetitive, FALSE) AS repetitive,
+        |       o.is_outlier,
+        |       (q.quality >= 0.5 AND NOT coalesce(r.repetitive, FALSE)
+        |        AND NOT o.is_outlier) AS keep
+        |FROM q
+        |LEFT JOIN r ON r.doc_id = q.doc_id
+        |JOIN o ON o.doc_id = q.doc_id""".stripMargin,
     "q_winsorize" ->
       """WITH bands AS (
         |  SELECT lang, quantile_cont(n_chars, 0.05) AS p5,
