@@ -187,9 +187,10 @@ object Dev {
         println(s"[stress] ${times}x corpus at $out")
         try {
           Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
-              "q_dedup_embedding", "q_dedup_edit", "q_knn_ivf", "q_fingerprint",
+              "q_dedup_embedding", "q_dedup_edit", "q_dedup_keep", "q_cluster_stats",
+              "q_dedup_incremental", "q_knn_ivf", "q_knn_recall", "q_fingerprint",
               "q_minhash_by_lang", "q_decontaminate", "q_bm25", "q_chunk",
-              "q_sample_hash", "q_outlier")
+              "q_sample_hash", "q_outlier", "q_quality_gate", "q_pack")
             .foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()
