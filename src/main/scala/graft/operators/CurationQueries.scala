@@ -35,22 +35,15 @@ object CurationQueries extends graft.QueryModule {
     * shingle-driven derivation.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    // one shingling pass, cached: the benchmark set, the train-side
-    // explode, and the per-doc sizes all read this frame — without the
-    // materialization the md5-free but still CPU-heavy shingle build
-    // runs three times (measured ~2x the query's whole cost)
-    val sh = Tables.documents(spark, dir)
-      // cheap equivalent of size(sh_arr) > 0: a 3-shingle exists iff
-      // the doc has >= 3 tokens. Filtering on the derived array pushes
-      // the shingle build below the spread Exchange onto one task.
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(
-        col("doc_id"),
-        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
-          .as("sh_arr"))
+    // the corpus 3-shingle build is the SAME shared materialization
+    // the dedup family reads (DedupQueries.sharedShingles) — one
+    // cached build per (session, dir) serves both families; the
+    // size filter and bench flag are cheap expressions over the
+    // cached frame
+    val sh = DedupQueries.sharedShingles(spark, dir)
+      .select("doc_id", "sh_arr")
+      .filter(size(col("sh_arr")) > 0)
       .withColumn("is_bench", col("doc_id") % 20 === 0)
-      .cache()
 
     // the benchmark's distinct shingle set — small side of the join;
     // no broadcast hint (same policy as lang_id/tfidf): the planner
@@ -169,13 +162,16 @@ object CurationQueries extends graft.QueryModule {
     */
   def skewAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Salting
-    val li = Tables.lineitem(spark, dir)
+    // one salted pass computes BOTH partials (sum + count) — a
+    // twoPhaseAgg call per aggregate would scan and shuffle the fact
+    // table once per output column
+    Tables.lineitem(spark, dir)
       .withColumn("q", col("l_quantity").cast("decimal(18,2)"))
-    val sums = Salting.twoPhaseAgg(li, "l_returnflag", "l_orderkey", 16,
-      c => sum(c), c => sum(c), "q", "sum_q")
-    val counts = Salting.twoPhaseAgg(li, "l_returnflag", "l_orderkey", 16,
-      c => count(c), c => sum(c), "q", "n_rows")
-    sums.join(counts, Seq("l_returnflag"))
+      .withColumn("__salt", Salting.salt(col("l_orderkey"), 16))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(sum(col("q")).as("__psum"), count(col("q")).as("__pcnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("__psum")).as("sum_q"), sum(col("__pcnt")).as("n_rows"))
       .select(
         col("l_returnflag"),
         col("sum_q").cast("double").as("sum_qty"),

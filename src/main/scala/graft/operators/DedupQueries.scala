@@ -92,7 +92,7 @@ object DedupQueries extends graft.QueryModule {
   private def purgeStopped[V](m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit =
     m.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
 
-  private def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
     purgeStopped(shingleMemo)
     shingleMemo.computeIfAbsent((spark, dir), { _ =>
       import graft.functions.TextFunctions
@@ -137,6 +137,28 @@ object DedupQueries extends graft.QueryModule {
     })
   }
 
+  /** 9-seed MinHash signature columns m0..m8 over a (id, sh_arr)
+    * frame — shared by the all-pairs and incremental pipelines (one
+    * definition, so a b/r banding retune can't silently diverge).
+    */
+  private def minhashSig(sh: DataFrame, idCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    sh.select(
+      col(idCol) +:
+        (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+  }
+
+  /** 3-band (band_id, band_key) rows from a m0..m8 signature frame. */
+  private def bandKeys(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(
+      col(idCol),
+      explode(array(
+        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
+        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
+        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
+      )).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+
   /** The LSH banding + exact-verify pipeline over one representative
     * per duplicate class. Threshold 0.8 via integer comparison.
     */
@@ -155,20 +177,8 @@ object DedupQueries extends graft.QueryModule {
     // this frame, and the 9-seed md5 signature build is the dominant
     // cost of the whole pipeline — uncached it runs twice (the same
     // self-join-over-derived-index lesson as the ngram prefix index).
-    val nSeeds = 9
-    val sig = shArr.select(
-      col("doc_id") +:
-        (0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
-      .cache()
-
-    val bands = sig.select(
-      col("doc_id"),
-      explode(array(
-        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
-        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
-        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
-      )).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val sig = minhashSig(shArr, "doc_id").cache()
+    val bands = bandKeys(sig, "doc_id")
 
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -539,21 +549,9 @@ object DedupQueries extends graft.QueryModule {
     * arithmetic as [[dedupMinhash]].
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
     val sh = sharedShingles(spark, dir)
       .select("doc_id", "sh_arr").filter(size(col("sh_arr")) > 0)
-    val nSeeds = 9
-    val sig = sh.select(
-      col("doc_id") +:
-        (0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
-    val bands = sig.select(
-      col("doc_id"),
-      explode(array(
-        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
-        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
-        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
-      )).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val bands = bandKeys(minhashSig(sh, "doc_id"), "doc_id")
       .cache() // both split sides of the batch-x-corpus join read this
 
     val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
@@ -812,21 +810,11 @@ object DedupQueries extends graft.QueryModule {
       .mkString(",\n    ")
 
   def oracles: Map[String, String] = oraclesBase ++ Map(
+    // one source of truth for the transitive closure: the clusters
+    // oracle reads the same labels CTE q_dedup_keep/q_cluster_stats do
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |$minhashOracle
-        |  ) m
-        |), edges AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
-        |), reach(src, dst) AS (
-        |  SELECT doc_a, doc_a FROM edges
-        |  UNION
-        |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
-        |)
-        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""$ccLabelsCte
+        |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $shinglesCte,
         |sig AS (

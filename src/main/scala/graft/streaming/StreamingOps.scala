@@ -49,20 +49,30 @@ object StreamingOps {
   private val docStagingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Stage a directory containing one symlinked table file (the
+    * FileStreamSource directory contract; no data copy). deleteOnExit
+    * runs in REVERSE registration order, so the directory registers
+    * BEFORE its child link — the other way round deletes the
+    * still-non-empty dir first, fails silently, and leaks a tempdir
+    * per JVM exit.
+    */
+  private def stageSingleFile(dir: String, fileName: String, prefix: String): java.nio.file.Path = {
+    val target = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
+    val staged = java.nio.file.Files.createTempDirectory(prefix)
+    staged.toFile.deleteOnExit()
+    val link = staged.resolve(fileName)
+    java.nio.file.Files.createSymbolicLink(link, target)
+    link.toFile.deleteOnExit()
+    staged
+  }
+
   /** The `documents` table as a file stream (same staged-symlink-dir
     * mechanics as [[eventStream]]) — the arriving-corpus shape a
     * streaming curation pass consumes.
     */
   def docStream(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = docStagingDirs.computeIfAbsent(dir, { d =>
-      val docsFile = java.nio.file.Paths.get(d, "documents.parquet").toAbsolutePath
-      val staged = java.nio.file.Files.createTempDirectory("docs_stream")
-      val link = staged.resolve("documents.parquet")
-      java.nio.file.Files.createSymbolicLink(link, docsFile)
-      link.toFile.deleteOnExit()
-      staged.toFile.deleteOnExit()
-      staged
-    })
+    val streamDir = docStagingDirs.computeIfAbsent(dir,
+      stageSingleFile(_, "documents.parquet", "docs_stream"))
     spark.readStream.schema(docSchema).parquet(streamDir.toString)
   }
 
@@ -77,17 +87,8 @@ object StreamingOps {
     // production contract). The fixture keeps several tables in one
     // dir, so stage a directory containing just the events file
     // (symlink — no data copy).
-    val streamDir = stagingDirs.computeIfAbsent(dir, { d =>
-      // absolute target: a relative path would resolve against the
-      // TEMP dir holding the link, producing a dangling symlink
-      val eventsFile = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
-      val staged = java.nio.file.Files.createTempDirectory("events_stream")
-      val link = staged.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(link, eventsFile)
-      link.toFile.deleteOnExit()
-      staged.toFile.deleteOnExit()
-      staged
-    })
+    val streamDir = stagingDirs.computeIfAbsent(dir,
+      stageSingleFile(_, "events.parquet", "events_stream"))
     spark.readStream
       .schema(rawSchema)
       .parquet(streamDir.toString)

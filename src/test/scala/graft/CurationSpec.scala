@@ -15,15 +15,17 @@ class CurationSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
 
-    // per doc: chunk_ids are 0..ceil(n/4)-1 and token counts follow
-    // least(8, n - 4*chunk_id)
+    // per doc: chunk_ids are 0..ceil(n/4)-1, and the total chunk
+    // tokens equal the sum of least(8, n - 4i) over every window start
     val bad = chunks
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), max(col("chunk_id")).as("max_id"),
         sum(col("n_tokens")).as("sum_tok"))
       .join(docs, Seq("doc_id"))
       .filter(col("max_id") =!= col("n_chunks") - 1 ||
-        col("n_chunks") =!= expr("cast((n_toks + 3) div 4 as int)"))
+        col("n_chunks") =!= expr("cast((n_toks + 3) div 4 as int)") ||
+        col("sum_tok") =!= expr(
+          "aggregate(sequence(0, n_toks - 1, 4), 0L, (acc, s) -> acc + least(8L, cast(n_toks - s as bigint)))"))
     assert(bad.count() == 0)
 
     // the first chunk of every doc is the doc's first 8 tokens
