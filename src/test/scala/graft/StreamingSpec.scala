@@ -135,6 +135,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotKept == want)
   }
 
+  test("source token budget carries state across micro-batches") {
+    // moved to the runtime subpackage in Spark 4
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // docs of 400 tokens each, one source, budget 1000: batch 1 admits
+    // docs 1 and 2 (800 used); batch 2's docs must see used=800 and
+    // admit nothing of size 400 except... none — kept=false for both
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+      .withColumn("text", expr("array_join(array_repeat(text, 400), ' ')"))
+    val out = graft.streaming.StreamingOps.sourceTokenBudget(spark, docs, 1000L)
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("budget2").start()
+    mem.addData((1L, "w"), (2L, "w"))
+    q.processAllAvailable()
+    mem.addData((3L, "w"), (4L, "w"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("budget2")
+      .select("doc_id", "kept", "used_after").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    // batch 1: both fit (400, 800); batch 2: state 800 blocks both
+    assert(rows == Seq((1L, true, 400L), (2L, true, 800L),
+      (3L, false, 800L), (4L, false, 800L)))
+  }
+
   test("foreachBatchUpsert merges micro-batches idempotently into the sink") {
     val tmp = java.nio.file.Files.createTempDirectory("upsert_sink").toString + "/t"
     val stream = StreamingOps.eventStream(spark, sf0001)
