@@ -53,6 +53,50 @@ object Dev {
         times.sortBy(-_._3).foreach { case (n, c, t) =>
           println(f"$t%8.2fs steady $c%8.2fs cold  $n") }
         println(f"total: steady ${times.map(_._3).sum}%.1fs cold ${times.map(_._2).sum}%.1fs")
+      case "buildprof" :: dir :: Nil =>
+        // Stage-by-stage timing of the shared minhash/shingle build
+        // that the alphabetically-first dedup consumer pays in the
+        // bench — data for targeted optimization (each stage timed
+        // from a cold session, cumulative costs included).
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions
+        def t(label: String)(thunk: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = thunk
+          println(f"[buildprof] ${(System.nanoTime() - t0) / 1e9}%6.2fs  $label (rows=$n)")
+        }
+        val docs = Tables.documents(spark, dir)
+        t("documents scan")(docs.count())
+        val sh = docs.select(col("doc_id"),
+          array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+            .as("sh_arr")).cache()
+        t("shingle build + cache")(sh.count())
+        val groups = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("rep")).cache()
+        t("duplicate-class groupBy")(groups.count())
+        val sig = sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+          .select(col("doc_id") +:
+            (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+          .cache()
+        t("9-seed md5 signatures + cache")(sig.count())
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until 3).map(b =>
+            struct(lit(b).as("band_id"),
+              concat(col(s"m${3*b}"), col(s"m${3*b+1}"), col(s"m${3*b+2}")).as("band_key"))): _*))
+            .as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        t("band self-join + distinct")(cand.count())
+        val ver = cand
+          .join(sh.select(col("doc_id").as("a"), col("sh_arr").as("sa")), Seq("a"))
+          .join(sh.select(col("doc_id").as("b"), col("sh_arr").as("sb")), Seq("b"))
+          .filter(lit(9) * size(array_intersect(col("sa"), col("sb")))
+            >= lit(4) * (size(col("sa")) + size(col("sb"))))
+        t("exact verify")(ver.count())
       case "cosbench" :: dir :: Nil =>
         // fused codegen expression vs composable zip_with/aggregate path
         import org.apache.spark.sql.functions._
