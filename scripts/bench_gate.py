@@ -28,11 +28,21 @@ def load_bench(path):
         return doc
     # driver wrapper: the bench line is embedded in the "tail" text
     tail = doc.get("tail", "")
+    truncated = False
     for line in reversed(tail.splitlines()):
-        m = re.search(r"\{\"metric\":.*\}", line)
+        m = re.search(r"\{\"metric\":.*", line)
         if m:
-            return json.loads(m.group(0))
-    raise SystemExit(f"{path}: no bench JSON line found")
+            try:
+                return json.loads(m.group(0))
+            except json.JSONDecodeError:
+                truncated = True  # tail capture cut the end of the line
+        elif re.search(r"\"(queries|steady|failed)\":", line):
+            truncated = True  # head of the line cut off (r4's failure)
+    hint = ("bench JSON line is TRUNCATED" if truncated
+            else "no bench JSON line found")
+    raise SystemExit(
+        f"{path}: {hint}; use the durable copy graft.Bench writes to "
+        f"target/bench.json instead")
 
 
 def main():
@@ -41,7 +51,15 @@ def main():
     old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
-    oq, nq = old["queries"], new["queries"]
+    # Prefer steady-state numbers when both artifacts carry them (r5+):
+    # cold numbers attribute shared one-time builds to whichever query
+    # alphabetically-first consumes them, which is attribution, not
+    # plan cost. Falls back to cold ("queries") against older artifacts.
+    basis = "steady" if ("steady" in old and "steady" in new) else "queries"
+    oq, nq = old[basis], new[basis]
+    o_total = old.get("steady_total") if basis == "steady" else old["value"]
+    n_total = new.get("steady_total") if basis == "steady" else new["value"]
+    print(f"basis: {basis}")
     # a query that existed before but is absent now is lost COVERAGE,
     # not a pass — flag it before comparing the intersection
     missing = sorted(set(oq) - set(nq))
@@ -60,8 +78,8 @@ def main():
             improved.append((name, o, n, o / n))
 
     new_failed = new.get("failed", 0)
-    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
-          f"({new['value'] / old['value']:.2f}x), failed queries: {new_failed}")
+    print(f"total: {o_total:.1f}s -> {n_total:.1f}s "
+          f"({n_total / o_total:.2f}x), failed queries: {new_failed}")
     for name, o, n, x in sorted(improved, key=lambda t: -t[3]):
         print(f"  improved {x:5.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
     for name, o, n, x in sorted(failures, key=lambda t: -t[3]):

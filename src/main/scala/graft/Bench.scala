@@ -58,25 +58,48 @@ object Bench {
     // numbers incomparable across rounds (r4's gate flagged an
     // untouched query for exactly this). A fixed order keeps every
     // round's cost attribution stable.
+    // Each query runs TWICE: the first (cold) execution carries
+    // whatever one-time cost lands on it — table first-scan, shared
+    // materializations the dedup/text families reuse — and the second
+    // (steady) execution is the query's own repeatable plan cost.
+    // Keeping both stops shared-build attribution (one consumer pays
+    // ~3s the whole family amortizes) from masquerading as a per-query
+    // regression across rounds: the gate compares steady, the cold
+    // total stays comparable with pre-r5 artifacts.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val (cold, coldErr) = once()
+      val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else once()
+      (name, cold, steady, coldErr.orElse(steadyErr))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, err) =>
-      jstr(k) + ":" + err.fold(v.toString)(_ => "null")
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    def jmap(f: ((String, Double, Double, Option[String])) => String): String =
+      results.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, cold, _, err) => jstr(k) + ":" + err.fold(cold.toString)(_ => "null") }
+    val st = jmap { case (k, _, steady, err) => jstr(k) + ":" + err.fold(steady.toString)(_ => "null") }
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       jstr(k) + ":" + jstr(e.take(200)) }.mkString("{", ",", "}")
-    val failed = results.count(_._3.isDefined)
+    val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    val steadyTotal = results.map(_._3).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: round 4's official artifact was
+    // a truncated stdout tail and the regression gate had nothing to
+    // parse. A file can't be lost to tail-capture truncation.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
