@@ -230,12 +230,15 @@ object Dev {
         stack("embeddings", "vec_id")
         println(s"[stress] ${times}x corpus at $out")
         try {
-          Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
+          // extra args after the multiplier select specific queries;
+          // default is the heavy dedup/ANN/curation set
+          val names = if (rest.drop(1).nonEmpty) rest.drop(1) else
+            Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
               "q_dedup_embedding", "q_dedup_edit", "q_dedup_keep", "q_cluster_stats",
               "q_dedup_incremental", "q_knn_ivf", "q_knn_recall", "q_fingerprint",
               "q_minhash_by_lang", "q_decontaminate", "q_bm25", "q_chunk",
               "q_sample_hash", "q_outlier", "q_quality_gate", "q_pack")
-            .foreach { name =>
+          names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()
               println(f"[stress] ${(System.nanoTime() - t0) / 1e9}%7.2fs  $name (rows=$n)")

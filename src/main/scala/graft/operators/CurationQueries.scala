@@ -185,18 +185,36 @@ object CurationQueries extends graft.QueryModule {
     * first-fit: later small docs may still fit after a large one is
     * skipped; a running-kept-sum is not a plain window, which is
     * exactly why the streaming form uses flatMapGroupsWithState).
-    * Per-source windows parallelize across sources; all arithmetic is
-    * integer.
+    * The running sum is a two-level prefix sum so no single task ever
+    * scans a whole source (see below); all arithmetic is integer.
     */
   def quota(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
+    // Sources are FEW (a handful of crawls/datasets), so a plain
+    // per-source window would funnel each source's entire history
+    // through ONE WindowExec task — the same single-task scan q_pack
+    // avoids. The running sum is therefore a two-level cumulative sum
+    // within each source: per-(source, bucket) running sums execute in
+    // parallel (bucket = doc_id div 1000), and only the bucket TOTALS
+    // — three orders of magnitude fewer rows — pass through the small
+    // per-source window. No task ever sees more than one bucket of one
+    // source.
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bucket", expr("doc_id div 1000"))
+    val wIn = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBk = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+      .withColumn("b_off", coalesce(sum(col("b_tok")).over(wBk), lit(0L)))
+      .select("source", "bucket", "b_off")
+    docs.join(bucketOffsets, Seq("source", "bucket"))
+      .withColumn("cum_tok", col("b_off") + sum(col("n_tok")).over(wIn))
       .withColumn("kept", col("cum_tok") <= budget)
+      .select("doc_id", "source", "n_tok", "cum_tok", "kept")
   }
 
   /** Statistical length-outlier gate: flag documents whose char count
