@@ -154,8 +154,10 @@ object TextAnalysisQueries extends graft.QueryModule {
     * ranking is monotone-equivalent anyway.
     */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    // N rides in on a 1-row broadcast cross join (same shape as bm25's
+    // corpus stats) — a driver-side docs.count() would be an extra job
+    // and a plan-splitting driver hop
+    val stats = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     // shared materialization: the df build and the scored join both
     // read it, as do BM25 and diversity
     val tf = sharedTermFreq(spark, dir)
@@ -163,7 +165,8 @@ object TextAnalysisQueries extends graft.QueryModule {
     // df is vocabulary-sized — no broadcast hint (see langId); AQE
     // broadcasts it at runtime when small.
     val scored = tf.join(df, Seq("tok"))
-      .withColumn("score", (col("tf") * lit(nDocs)).cast("double") / col("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     scored
       .withColumn("rnk", row_number().over(w))
