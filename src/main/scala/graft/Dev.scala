@@ -57,9 +57,12 @@ object Dev {
         // Stage-by-stage timing of the shared minhash/shingle build
         // that the alphabetically-first dedup consumer pays in the
         // bench — data for targeted optimization (each stage timed
-        // from a cold session, cumulative costs included).
-        import org.apache.spark.sql.functions._
-        import graft.functions.TextFunctions
+        // from a cold session, cumulative costs included). Every
+        // stage IS the production helper (sharedShingles /
+        // duplicateClasses / repShingles / minhashSig / bandKeys /
+        // bandCandidates / jaccardVerify), so a banding or seed
+        // retune automatically changes what this profiles.
+        import graft.operators.DedupQueries
         def t(label: String)(thunk: => Long): Unit = {
           val t0 = System.nanoTime()
           val n = thunk
@@ -67,36 +70,17 @@ object Dev {
         }
         val docs = Tables.documents(spark, dir)
         t("documents scan")(docs.count())
-        val sh = docs.select(col("doc_id"),
-          array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
-            .as("sh_arr")).cache()
+        val sh = DedupQueries.sharedShingles(spark, dir)
         t("shingle build + cache")(sh.count())
-        val groups = docs.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("rep")).cache()
+        val groups = DedupQueries.duplicateClasses(spark, dir).cache()
         t("duplicate-class groupBy")(groups.count())
-        val sig = sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
-          .select(col("doc_id") +:
-            (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
-          .cache()
+        val shArr = DedupQueries.repShingles(spark, dir, groups)
+        val sig = DedupQueries.minhashSig(shArr, "doc_id").cache()
         t("9-seed md5 signatures + cache")(sig.count())
-        val bands = sig.select(col("doc_id"),
-          explode(array((0 until 3).map(b =>
-            struct(lit(b).as("band_id"),
-              concat(col(s"m${3*b}"), col(s"m${3*b+1}"), col(s"m${3*b+2}")).as("band_key"))): _*))
-            .as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-        val cand = bands.alias("x").join(bands.alias("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val cand = DedupQueries.bandCandidates(
+          DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
         t("band self-join + distinct")(cand.count())
-        val ver = cand
-          .join(sh.select(col("doc_id").as("a"), col("sh_arr").as("sa")), Seq("a"))
-          .join(sh.select(col("doc_id").as("b"), col("sh_arr").as("sb")), Seq("b"))
-          .filter(lit(9) * size(array_intersect(col("sa"), col("sb")))
-            >= lit(4) * (size(col("sa")) + size(col("sb"))))
-        t("exact verify")(ver.count())
+        t("exact verify")(DedupQueries.jaccardVerify(cand, shArr, 4, 5).count())
       case "cosbench" :: dir :: Nil =>
         // fused codegen expression vs composable zip_with/aggregate path
         import org.apache.spark.sql.functions._

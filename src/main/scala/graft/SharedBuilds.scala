@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** Session-scoped registry of shared materializations.
+  *
+  * Several operator families reuse expensive intermediates — the
+  * distinct-shingle arrays (dedup + decontamination), the (doc, term,
+  * tf) aggregate (tf-idf / BM25 / diversity), the verified minhash
+  * representative pairs (every minhash consumer) — each memoized per
+  * (session, sf-dir) so one cached build serves every consumer, the
+  * role a materialized staging table plays in a production pipeline.
+  *
+  * Before round 5 those memos were three private ConcurrentHashMaps in
+  * two files, plus per-invocation `.cache()` calls that were never
+  * unpersisted — exactly where a stale-cache bug would eventually live.
+  * This object is the single home for all of them:
+  *
+  *  - [[getOrBuild]] memoizes a build per (kind, session, dir) and
+  *    records every DataFrame the build cached (via [[CacheScope]]).
+  *  - [[invalidate]] drops a dir's builds and unpersists their cached
+  *    frames — the hook to call when the data under a dir changes.
+  *  - Entries keyed by stopped sessions are purged on each access, so
+  *    a long-lived JVM cycling sessions (test suites, notebooks) never
+  *    accumulates unreachable cached plans.
+  *
+  * Keys include the session so concurrent sessions never cross-share,
+  * and the dir so two corpora never cross-read (SharedBuildsSpec pins
+  * both properties).
+  */
+object SharedBuilds {
+
+  /** Passed to each build function; every frame the build caches must
+    * go through [[CacheScope.cached]] so [[invalidate]] can unpersist
+    * it later.
+    */
+  final class CacheScope private[SharedBuilds] () {
+    private[SharedBuilds] val frames = ArrayBuffer[DataFrame]()
+    def cached(df: DataFrame): DataFrame = { val c = df.cache(); frames += c; c }
+  }
+
+  private final case class Key(kind: String, session: SparkSession, dir: String)
+  private final case class Entry(value: AnyRef, frames: Seq[DataFrame])
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
+
+  /** The memoized value for (kind, session, dir), building it on first
+    * access. The build runs at most once per key (ConcurrentHashMap's
+    * computeIfAbsent contract); its value may be a DataFrame or any
+    * tuple of frames — callers cast back via the type parameter.
+    */
+  def getOrBuild[T <: AnyRef](kind: String, spark: SparkSession, dir: String)(
+      build: CacheScope => T): T = {
+    purgeStopped()
+    memo.computeIfAbsent(Key(kind, spark, dir), { _ =>
+      val scope = new CacheScope
+      Entry(build(scope), scope.frames.toSeq)
+    }).value.asInstanceOf[T]
+  }
+
+  /** Drop every build keyed by `dir` (all kinds, all sessions) and
+    * unpersist its cached frames. Call when the data under `dir`
+    * changes; the next access rebuilds from the new data.
+    */
+  def invalidate(dir: String): Unit = remove(_.dir == dir)
+
+  /** Drop and unpersist everything (test teardown). */
+  def invalidateAll(): Unit = remove(_ => true)
+
+  private def remove(p: Key => Boolean): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (p(e.getKey)) {
+        if (!e.getKey.session.sparkContext.isStopped)
+          e.getValue.frames.foreach(_.unpersist())
+        it.remove()
+      }
+    }
+  }
+
+  private def purgeStopped(): Unit =
+    memo.keySet.removeIf(k => k.session.sparkContext.isStopped)
+}

@@ -224,9 +224,17 @@ object CurationQueries extends graft.QueryModule {
     * inequality (n*x - s)^2 > 4*(n*s2 - s^2) (the float form
     * rearranged to cancel every division), so both engines decide the
     * boundary identically; only the reported mean is a double, one
-    * division of exact sums. Note on width: the products fit int64
-    * comfortably at fixture scale; a corpus where n*max(x) approaches
-    * 2^31 would lift the arithmetic to DECIMAL(38,0), same inequality.
+    * division of exact sums.
+    *
+    * Width: every product runs in DECIMAL(38,0), not int64 — at corpus
+    * scale n*s2 alone (n ~ 10^12 docs x s2 ~ 10^22) is ~10^34, far past
+    * long range, and non-ANSI long arithmetic would WRAP silently and
+    * corrupt is_outlier flags. Decimal keeps the inequality exact up to
+    * 38 digits, and past that Spark yields NULL rather than a wrong
+    * boolean — a loud, detectable failure. The squared terms stay
+    * under 10^35 for any corpus below ~10^17 chars total per language.
+    * Fixture booleans are unchanged, so the int-typed oracle still
+    * hash-matches.
     *
     * Scale shape: one tiny per-language stats aggregate broadcast back
     * over the corpus — two map passes and one small shuffle, no
@@ -234,15 +242,17 @@ object CurationQueries extends graft.QueryModule {
     */
   def outlier(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val x = col("n_chars").cast("decimal(19,0)")
     val stats = docs.groupBy("lang").agg(
-      count(lit(1)).as("n"),
-      sum(col("n_chars")).as("s"),
-      sum(col("n_chars") * col("n_chars")).as("s2"))
+      count(lit(1)).cast("decimal(19,0)").as("n"),
+      sum(x).as("s"),
+      sum(x * x).as("s2")) // (19,0)*(19,0) -> decimal(38,0), no wrap
     docs.join(stats, Seq("lang"))
+      .withColumn("nx_s", col("n") * x - col("s"))
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
         (col("s").cast("double") / col("n").cast("double")).as("lang_mean"),
-        ((col("n") * col("n_chars") - col("s")) * (col("n") * col("n_chars") - col("s"))
+        (col("nx_s") * col("nx_s")
           > lit(4) * (col("n") * col("s2") - col("s") * col("s"))).as("is_outlier"))
   }
 

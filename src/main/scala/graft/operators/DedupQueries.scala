@@ -79,30 +79,18 @@ object DedupQueries extends graft.QueryModule {
     * between queries; after a plan change those stopped matching and
     * each query silently rebuilt the chain. The memo makes the sharing
     * intentional: one cached build, identical plan fragment everywhere.
-    * (Keyed by session so concurrent test sessions don't cross-share;
-    * entries live as long as the session — a handful per JVM.)
+    * (Memoized via [[graft.SharedBuilds]]: keyed by (kind, session,
+    * dir) so concurrent sessions and distinct corpora never
+    * cross-share, unpersistable via SharedBuilds.invalidate.)
     */
-  private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Entries keyed by stopped sessions are unreachable cached plans;
-    * purge them on each access so a long-lived JVM cycling sessions
-    * (test suites, notebooks) doesn't accumulate them.
-    */
-  private def purgeStopped[V](m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit =
-    m.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
-
-  private[operators] def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
-    purgeStopped(shingleMemo)
-    shingleMemo.computeIfAbsent((spark, dir), { _ =>
+  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("dedup.shingles", spark, dir) { scope =>
       import graft.functions.TextFunctions
-      Tables.documents(spark, dir).select(
+      scope.cached(Tables.documents(spark, dir).select(
         col("doc_id"), col("lang"),
         array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
-          .as("sh_arr"))
-        .cache()
-    })
-  }
+          .as("sh_arr")))
+    }
 
 
   // ===== MinHash + LSH banding + exact verify =====
@@ -120,28 +108,41 @@ object DedupQueries extends graft.QueryModule {
     * yields at least one 3-shingle — classes without one never pair in
     * the shingle-driven oracle.
     */
-  private val repMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
-  private def minhashReps(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    purgeStopped(repMemo)
-    repMemo.computeIfAbsent((spark, dir), { _ =>
-      import graft.functions.TextFunctions
-      val groups = Tables.documents(spark, dir)
-        .groupBy(col("text"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
-          min(col("doc_id")).as("rep"))
-        .select(col("rep"), col("members"),
-          (size(TextFunctions.tokens(col("text"))) >= 3).as("has_sh"))
-        .cache()
-      (groups, minhashRepPairs(spark, dir, groups).cache())
-    })
+  private def minhashReps(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "dedup.minhashReps", spark, dir) { scope =>
+      val groups = scope.cached(duplicateClasses(spark, dir))
+      (groups, scope.cached(minhashRepPairs(spark, dir, groups, scope)))
+    }
+
+  /** Duplicate classes (text-identical docs): rep + sorted members +
+    * has_sh — ONE definition read by the memoized pipeline above and
+    * by the `Dev buildprof` profiler, so the profiled stage is always
+    * the production stage.
+    */
+  private[graft] def duplicateClasses(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        min(col("doc_id")).as("rep"))
+      .select(col("rep"), col("members"),
+        (size(TextFunctions.tokens(col("text"))) >= 3).as("has_sh"))
   }
+
+  /** The shared shingle arrays restricted to class representatives —
+    * the frame the signature build and both verify-join sides read.
+    */
+  private[graft] def repShingles(spark: SparkSession, dir: String,
+      groups: DataFrame): DataFrame =
+    sharedShingles(spark, dir).select("doc_id", "sh_arr")
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
 
   /** 9-seed MinHash signature columns m0..m8 over a (id, sh_arr)
     * frame — shared by the all-pairs and incremental pipelines (one
     * definition, so a b/r banding retune can't silently diverge).
     */
-  private def minhashSig(sh: DataFrame, idCol: String): DataFrame = {
+  private[graft] def minhashSig(sh: DataFrame, idCol: String): DataFrame = {
     import graft.functions.TextFunctions
     sh.select(
       col(idCol) +:
@@ -149,7 +150,7 @@ object DedupQueries extends graft.QueryModule {
   }
 
   /** 3-band (band_id, band_key) rows from a m0..m8 signature frame. */
-  private def bandKeys(sig: DataFrame, idCol: String): DataFrame =
+  private[graft] def bandKeys(sig: DataFrame, idCol: String): DataFrame =
     sig.select(
       col(idCol),
       explode(array(
@@ -159,52 +160,65 @@ object DedupQueries extends graft.QueryModule {
       )).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
 
+  /** Candidate pairs sharing any (band_id, band_key): the LSH propose
+    * step, one equi-join + distinct — shared by the all-pairs pipeline
+    * and `Dev buildprof`.
+    */
+  private[graft] def bandCandidates(bands: DataFrame, idCol: String): DataFrame =
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .distinct()
+
+  /** Exact-Jaccard disposal of (doc_a, doc_b) candidates at threshold
+    * jNum/jDen, from the FULL shingle arrays of `shArr` (columns
+    * doc_id, sh_arr). Per candidate ROW: both sets are already arrays,
+    * so the intersection is a row-level array_intersect — no explode,
+    * no intersection join, no groupBy. The threshold compares integers
+    * ((jDen+jNum)*c >= jNum*(n_a+n_b) is jaccard >= jNum/jDen
+    * rearranged), so the boundary decision is engine-exact; oracles
+    * spell the same counts out with an exploded join.
+    */
+  private[graft] def jaccardVerify(cand: DataFrame, shArr: DataFrame,
+      jNum: Int, jDen: Int): DataFrame =
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("c"),
+        size(col("__sa")).as("n_a"),
+        size(col("__sb")).as("n_b"))
+      .filter(lit(jDen + jNum) * col("c") >= lit(jNum) * (col("n_a") + col("n_b")))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
+          .as("jaccard"))
+
   /** The LSH banding + exact-verify pipeline over one representative
     * per duplicate class. Threshold 0.8 via integer comparison.
     */
-  private def minhashRepPairs(spark: SparkSession, dir: String, groups: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions
+  private def minhashRepPairs(spark: SparkSession, dir: String, groups: DataFrame,
+      scope: graft.SharedBuilds.CacheScope): DataFrame = {
     // shared materialization: used by the signature build and both
     // sides of the verify join (3 uses here, plus the other dedup
     // queries — recomputing the chain measured ~2x slower than the
     // columnar cache despite array-of-string cache cost); restricted
     // to class representatives
-    val shArr = sharedShingles(spark, dir).select("doc_id", "sh_arr")
-      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val shArr = repShingles(spark, dir, groups)
 
     // signatures as row-level array_min expressions — no groupBy
-    // shuffle. Cached: BOTH sides of the band self-join below read
-    // this frame, and the 9-seed md5 signature build is the dominant
-    // cost of the whole pipeline — uncached it runs twice (the same
-    // self-join-over-derived-index lesson as the ngram prefix index).
-    val sig = minhashSig(shArr, "doc_id").cache()
-    val bands = bandKeys(sig, "doc_id")
-
-    val cand = bands.alias("x").join(bands.alias("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    // Exact verification per candidate ROW: both shingle sets are
-    // already arrays, so the intersection is a row-level
-    // array_intersect — no explode, no intersection join, no groupBy.
-    // The oracle spells the same counts out with an exploded join;
-    // values are identical (integer counts, one double division).
-    cand
-      .join(shArr.alias("za"), col("doc_a") === col("za.doc_id"))
-      .join(shArr.alias("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        size(array_intersect(col("za.sh_arr"), col("zb.sh_arr"))).as("c"),
-        size(col("za.sh_arr")).as("n_a"),
-        size(col("zb.sh_arr")).as("n_b"))
-      .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b"))) // jaccard >= 0.8
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
-          .as("jaccard"))
+    // shuffle. Cached (registered with the memo's scope, so
+    // SharedBuilds.invalidate unpersists it): BOTH sides of the band
+    // self-join below read this frame, and the 9-seed md5 signature
+    // build is the dominant cost of the whole pipeline — uncached it
+    // runs twice (the same self-join-over-derived-index lesson as the
+    // ngram prefix index).
+    val sig = scope.cached(minhashSig(shArr, "doc_id"))
+    val cand = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
+    jaccardVerify(cand, shArr, 4, 5) // jaccard >= 0.8
   }
 
   /** Full verified near-dup pair list: duplicate-class expansion of
@@ -264,9 +278,44 @@ object DedupQueries extends graft.QueryModule {
     * integer arithmetic (`ceil(0.7 n) = (7n + 9) div 10`) so both
     * engines would compute identical prefixes.
     */
+  /** The bigram dedup's shared index — (duplicate classes, per-rep
+    * bigram arrays, df-ordered prefix index), memoized per (session,
+    * dir). All three are read more than once per query (the prefix
+    * index by BOTH sides of the candidate self-join — without the
+    * cache the explode+join+window chain runs twice), and the memo
+    * gives them the same managed lifecycle as every other shared
+    * build (SharedBuilds.invalidate unpersists them).
+    */
+  private def ngramIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
+        "dedup.ngramIndex", spark, dir) { scope =>
+      import graft.functions.TextFunctions
+      val groups = scope.cached(Tables.documents(spark, dir)
+        .groupBy(col("text"), col("n_chars"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+          min(col("doc_id")).as("rep"))
+        .select("rep", "n_chars", "text", "members"))
+
+      val gramArr = scope.cached(groups.select(
+        col("rep").as("doc_id"), col("n_chars"),
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
+          .as("g_arr")))
+      val grams = gramArr.select(
+        col("doc_id"), col("n_chars"),
+        size(col("g_arr")).cast("long").as("n_g"),
+        explode(col("g_arr")).as("g"))
+
+      val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      // rn/n_g ride along for the positional filter in dedupNgram
+      val prefix = scope.cached(grams.join(dfreq, Seq("g"))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("n_g") - expr("(7 * n_g + 9) div 10") + lit(1))
+        .select("doc_id", "n_chars", "g", "rn", "n_g"))
+      (groups, gramArr, prefix)
+    }
+
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val docs = Tables.documents(spark, dir)
     // Exact-duplicate collapse BEFORE the fuzzy search — the standard
     // pipeline composition (real corpora are 10-30% exact dups, and a
     // k-way duplicated doc would otherwise contribute k^2 candidate
@@ -279,33 +328,7 @@ object DedupQueries extends graft.QueryModule {
     // (gram sets and n_chars are constant within a class, so the
     // expansion is exact). The oracle stays the plain all-pairs
     // formulation — the hash match certifies the collapse is lossless.
-    val groups = docs
-      .groupBy(col("text"), col("n_chars"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
-        min(col("doc_id")).as("rep"))
-      .select("rep", "n_chars", "text", "members")
-      .cache()
-
-    val gramArr = groups.select(
-      col("rep").as("doc_id"), col("n_chars"),
-      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-        .as("g_arr"))
-      .cache()
-    val grams = gramArr.select(
-      col("doc_id"), col("n_chars"),
-      size(col("g_arr")).cast("long").as("n_g"),
-      explode(col("g_arr")).as("g"))
-
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    // cached: both sides of the candidate self-join read the prefix
-    // index — without this the explode+join+window chain runs twice.
-    // rn/n_g ride along for the positional filter below.
-    val prefix = grams.join(dfreq, Seq("g"))
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n_g") - expr("(7 * n_g + 9) div 10") + lit(1))
-      .select("doc_id", "n_chars", "g", "rn", "n_g")
-      .cache()
+    val (groups, gramArr, prefix) = ngramIndex(spark, dir)
 
     // Length-bucket blocking as an EQUI-join key: |delta n_chars| <= 30
     // implies bucket(n_chars div 30) differs by at most 1, so the left
@@ -413,33 +436,35 @@ object DedupQueries extends graft.QueryModule {
     // Intra-class cosine is computed with the SAME n2/(sqrt*sqrt)
     // arithmetic as every other pair — NOT a literal 1.0, which the
     // IEEE sqrt round-trip does not exactly produce.
-    val groups = Tables.embeddings(spark, dir)
-      .groupBy(col("embedding"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"),
-        min(col("vec_id")).as("rep"))
-      .cache()
-    val vecs = groups
-      .select(col("rep").as("vec_id"), quantized(col("embedding")).as("qv"))
-      .withColumn("n2", qnorm2(col("qv")))
-      .cache() // band build + both sides of the verify join
-
-    val bandCols = (0 until EMB_BANDS).map { b =>
-      val key = (0 until EMB_BITS).map { j =>
-        val k = b * EMB_BITS + j
-        when(aggregate(
-            zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
-            lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_id"), key.as("band_key"))
+    //
+    // All three index frames are memoized per (session, dir): groups
+    // (class expansion), vecs (band build + both verify-join sides),
+    // and keys (both sides of the candidate self-join — uncached the
+    // 18 hyperplane-dot band expressions run twice).
+    val (groups, vecs, keys) = graft.SharedBuilds.getOrBuild[
+        (DataFrame, DataFrame, DataFrame)]("dedup.embLsh", spark, dir) { scope =>
+      val groups = scope.cached(Tables.embeddings(spark, dir)
+        .groupBy(col("embedding"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("members"),
+          min(col("vec_id")).as("rep")))
+      val vecs = scope.cached(groups
+        .select(col("rep").as("vec_id"), quantized(col("embedding")).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))
+      val bandCols = (0 until EMB_BANDS).map { b =>
+        val key = (0 until EMB_BITS).map { j =>
+          val k = b * EMB_BITS + j
+          when(aggregate(
+              zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
+              lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(b).as("band_id"), key.as("band_key"))
+      }
+      val keys = scope.cached(vecs
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("vec_id"), col("band.band_id"), col("band.band_key")))
+      (groups, vecs, keys)
     }
-    // cached: both sides of the candidate self-join read the band
-    // keys — without this the 18 hyperplane-dot band expressions run
-    // twice (self-join-over-derived-index lesson)
-    val keys = vecs
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_id"), col("band.band_key"))
-      .cache()
 
     val cand = keys.alias("x").join(keys.alias("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -551,8 +576,12 @@ object DedupQueries extends graft.QueryModule {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingles(spark, dir)
       .select("doc_id", "sh_arr").filter(size(col("sh_arr")) > 0)
-    val bands = bandKeys(minhashSig(sh, "doc_id"), "doc_id")
-      .cache() // both split sides of the batch-x-corpus join read this
+    // memoized + cached: both split sides of the batch-x-corpus join
+    // read the band index
+    val bands = graft.SharedBuilds.getOrBuild[DataFrame](
+        "dedup.incrBands", spark, dir) { scope =>
+      scope.cached(bandKeys(minhashSig(sh, "doc_id"), "doc_id"))
+    }
 
     val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
       .join(bands.filter(col("doc_id") % 10 =!= 0).alias("y"),

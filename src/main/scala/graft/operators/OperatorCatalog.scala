@@ -280,6 +280,15 @@ object OperatorCatalog extends graft.QueryModule {
     * boundary decision is engine-exact. The oracle asserts TRUE plus
     * the exact interpolated median; a hash match certifies the
     * sketch's rank-error contract on this data.
+    *
+    * Spark-version sensitivity: the oracle hard-codes
+    * `TRUE AS within_rank_bound`, so this query is coupled to the
+    * approx_percentile sketch honoring its 1% rank bound (accuracy
+    * 100) on the fixture data. If a Spark upgrade changes the sketch
+    * internals enough to break the bound here, the verify gate fails
+    * WITHOUT a real engine bug — check this literal first when
+    * diagnosing a post-upgrade q_approx_quantile mismatch (same
+    * accepted pattern as q_approx_distinct's within_5pct).
     */
   def approxQuantile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_returnflag", "l_extendedprice")

@@ -29,18 +29,12 @@ object TextAnalysisQueries extends graft.QueryModule {
     * explode+aggregate build, identical plan fragment everywhere, the
     * role a materialized staging table plays in a production pipeline.
     */
-  private val tfMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private[operators] def sharedTermFreq(spark: SparkSession, dir: String): DataFrame = {
-    tfMemo.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
-    tfMemo.computeIfAbsent((spark, dir), { _ =>
-      Tables.documents(spark, dir)
+  private[operators] def sharedTermFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("text.termFreq", spark, dir) { scope =>
+      scope.cached(Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .cache()
-    })
-  }
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    }
 
   /** Unigram-profile language ID: the corpus' own (lang, token) counts
     * are the model; a doc's score for a language is the sum of that
@@ -49,17 +43,19 @@ object TextAnalysisQueries extends graft.QueryModule {
     * first language.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
     // Everything downstream works on per-doc term COUNTS, not raw
     // occurrences: profile(lang, tok) = sum of tf, and a doc's score =
     // sum(tf * cnt) — identical values to summing cnt per occurrence,
     // but the explode+aggregate runs once, the cached frame is
     // (doc, distinct-term) sized, and the score join carries distinct
-    // terms instead of every token occurrence.
-    val tf = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
-      .agg(count(lit(1)).as("tf")).cache()
+    // terms instead of every token occurrence. Memoized: the profile
+    // build and the score join both read it, as does langConfusion.
+    val tf = graft.SharedBuilds.getOrBuild[DataFrame]("text.langTf", spark, dir) { scope =>
+      scope.cached(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+    }
     val profile = tf.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
       .agg(sum(col("tf")).as("cnt"))
 
@@ -236,17 +232,24 @@ object TextAnalysisQueries extends graft.QueryModule {
     * integer sums n^2 and sum(tf^2) and ONE double division). High
     * concentration (low diversity) marks boilerplate/spam the same way
     * unigram entropy would, with identical ordering on fixed n.
+    *
+    * Width: the squares run in DECIMAL, not int64 (same policy as
+    * q_outlier). These are PER-DOCUMENT sums, so long would only wrap
+    * on a single >3e9-token document — but decimal costs nothing here
+    * and makes an overflow a NULL instead of a silently wrong score.
     */
   def diversity(spark: SparkSession, dir: String): DataFrame =
     sharedTermFreq(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        sum(col("tf") * col("tf")).as("s2"))
+        sum(col("tf").cast("decimal(19,0)") * col("tf").cast("decimal(19,0)")).as("s2"))
+      .withColumn("nn",
+        col("n_tokens").cast("decimal(19,0)") * col("n_tokens").cast("decimal(19,0)"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
-        ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
-          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini_diversity"))
+        ((col("nn") - col("s2")).cast("double") /
+          col("nn").cast("double")).as("gini_diversity"))
 
   /** PII scrub over the customer table: mask every digit of the
     * identifying name column, count the digits that were masked, and

@@ -59,9 +59,9 @@ class CatalogSpec extends SparkSpec {
     // (<= 5-row query set / 10-row centroid table). Anywhere else it —
     // or a CartesianProduct — means an equi-key was lost and the plan
     // went quadratic; this is the guard that keeps it from landing.
-    // (q_bm25 cross-joins a single-row corpus-stats aggregate;
-    // q_knn_recall composes the two ANN pipelines)
-    val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25")
+    // (q_bm25 and q_tfidf cross-join a single-row corpus-stats
+    // aggregate; q_knn_recall composes the two ANN pipelines)
+    val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25", "q_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

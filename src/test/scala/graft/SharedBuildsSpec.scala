@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The shared-materialization registry: memoization, dir isolation
+  * (a new dir never cross-reads another dir's build), and the
+  * invalidate(dir) unpersist hook.
+  */
+class SharedBuildsSpec extends SparkSpec {
+
+  private def frame(tag: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, tag)).toDF("id", "tag")
+  }
+
+  test("getOrBuild runs the build once per (kind, dir) and memoizes the value") {
+    var builds = 0
+    def get(dir: String): DataFrame =
+      SharedBuilds.getOrBuild[DataFrame]("spec.memo", spark, dir) { scope =>
+        builds += 1
+        scope.cached(frame(dir))
+      }
+    try {
+      val a1 = get("/spec/dirA")
+      val a2 = get("/spec/dirA")
+      assert(builds == 1)
+      assert(a1 eq a2) // the memoized value itself, not a rebuild
+    } finally SharedBuilds.invalidate("/spec/dirA")
+  }
+
+  test("a new dir never cross-reads another dir's build") {
+    try {
+      def get(dir: String): DataFrame =
+        SharedBuilds.getOrBuild[DataFrame]("spec.isolation", spark, dir) { scope =>
+          scope.cached(frame(dir))
+        }
+      val a = get("/spec/dirA")
+      val b = get("/spec/dirB")
+      assert(a ne b)
+      // each build sees ITS dir's data — the stale-cache bug this
+      // registry exists to prevent
+      assert(a.select("tag").head().getString(0) == "/spec/dirA")
+      assert(b.select("tag").head().getString(0) == "/spec/dirB")
+    } finally {
+      SharedBuilds.invalidate("/spec/dirA")
+      SharedBuilds.invalidate("/spec/dirB")
+    }
+  }
+
+  test("invalidate(dir) unpersists that dir's frames and leaves other dirs cached") {
+    try {
+      def get(dir: String): DataFrame =
+        SharedBuilds.getOrBuild[DataFrame]("spec.invalidate", spark, dir) { scope =>
+          scope.cached(frame(dir))
+        }
+      val a = get("/spec/dirA")
+      val b = get("/spec/dirB")
+      a.count(); b.count() // materialize both caches
+      assert(a.storageLevel != StorageLevel.NONE)
+      assert(b.storageLevel != StorageLevel.NONE)
+
+      SharedBuilds.invalidate("/spec/dirA")
+      assert(a.storageLevel == StorageLevel.NONE) // unpersisted
+      assert(b.storageLevel != StorageLevel.NONE) // untouched
+
+      // next access rebuilds dirA from scratch
+      val a2 = get("/spec/dirA")
+      assert(a2 ne a)
+    } finally {
+      SharedBuilds.invalidate("/spec/dirA")
+      SharedBuilds.invalidate("/spec/dirB")
+    }
+  }
+
+  test("invalidate covers every frame a multi-frame build registers") {
+    try {
+      val (x, y) = SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+          "spec.multi", spark, "/spec/dirM") { scope =>
+        val x = scope.cached(frame("x"))
+        (x, scope.cached(x.select(col("id"), upper(col("tag")).as("tag"))))
+      }
+      x.count(); y.count()
+      assert(x.storageLevel != StorageLevel.NONE)
+      assert(y.storageLevel != StorageLevel.NONE)
+      SharedBuilds.invalidate("/spec/dirM")
+      assert(x.storageLevel == StorageLevel.NONE)
+      assert(y.storageLevel == StorageLevel.NONE)
+    } finally SharedBuilds.invalidate("/spec/dirM")
+  }
+
+  test("production shared builds flow through the registry and invalidate cleanly") {
+    // sanity: the dedup/text shared builds are registered under real
+    // kinds and invalidate() unpersists them (catches a future memo
+    // added outside the registry going stale)
+    val sh = graft.operators.DedupQueries.sharedShingles(spark, sf0001)
+    sh.count()
+    assert(sh.storageLevel != StorageLevel.NONE)
+    SharedBuilds.invalidate(sf0001)
+    assert(sh.storageLevel == StorageLevel.NONE)
+    // rebuild works after invalidation
+    val again = graft.operators.DedupQueries.sharedShingles(spark, sf0001)
+    assert(again.count() == sh.count())
+    SharedBuilds.invalidate(sf0001)
+  }
+}
