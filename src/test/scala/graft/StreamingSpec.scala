@@ -209,6 +209,90 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == keys)
   }
 
+  // ===== multi-batch watermark semantics =====
+  // The windowed aggregations under LATE data arriving in a LATER
+  // micro-batch — exactly where state-store/watermark bugs hide and
+  // where a single-batch test proves nothing. Shape of each test:
+  // batch 1 carries the window's events plus a sentinel 2h ahead that
+  // advances the watermark (1h delay) past the window's end, so the
+  // window finalizes and emits (append mode); batch 2 delivers a late
+  // event INSIDE the finalized window, which the watermark must drop.
+  // Remove the withWatermark and these tests fail twice over: append
+  // mode refuses to start a streaming aggregation without one, and in
+  // any mode the late row would mutate the finalized window.
+
+  private val T0 = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  /** (input handle, events frame): ts = T0 + minute-offset. */
+  private def memEvents(): (
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double, Long)],
+      org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double, Long)]
+    val df = mem.toDF().toDF("m", "event_type", "value", "user_id")
+      .withColumn("ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+    (mem, df)
+  }
+
+  private def tsAt(min: Long) = new java.sql.Timestamp((T0 + min * 60) * 1000L)
+
+  test("tumbling windows drop late data arriving in a later micro-batch") {
+    val (mem, events) = memEvents()
+    val q = StreamingOps.windowedCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("late_tumbling").start()
+    // two clicks in [00:00, 00:15) + the watermark sentinel at 02:00
+    mem.addData((0L, "click", 1.0, 1L), (5L, "click", 1.0, 1L),
+      (120L, "click", 1.0, 9L))
+    q.processAllAvailable() // watermark -> 01:00; window finalized + emitted
+    mem.addData((10L, "click", 1.0, 1L)) // late: inside the closed window
+    q.processAllAvailable()
+    q.stop()
+    val win0 = spark.table("late_tumbling").filter(col("win_start") === tsAt(0))
+    assert(win0.count() == 1) // emitted exactly once, never re-emitted
+    assert(win0.head().getAs[Long]("n") == 2L) // late row did not land
+  }
+
+  test("sliding windows drop late data arriving in a later micro-batch") {
+    val (mem, events) = memEvents()
+    val q = StreamingOps.slidingCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("late_sliding").start()
+    mem.addData((0L, "click", 1.0, 1L), (5L, "click", 1.0, 1L),
+      (120L, "click", 1.0, 9L))
+    q.processAllAvailable() // watermark 01:00 finalizes every window below
+    mem.addData((10L, "click", 1.0, 1L)) // its 3 windows all end <= 00:40
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sliding")
+    // the [00:00, 00:30) window emitted once with both on-time events
+    val w0 = got.filter(col("win_start") === tsAt(0))
+    assert(w0.count() == 1 && w0.head().getAs[Long]("n") == 2L)
+    // the late event's ONLY private window [00:10, 00:40) never appears
+    assert(got.filter(col("win_start") === tsAt(10)).count() == 0)
+  }
+
+  test("session windows drop late data arriving in a later micro-batch") {
+    val (mem, events) = memEvents()
+    val q = StreamingOps.sessionCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("late_session").start()
+    // user 1: events at 00:00 and 00:10 -> one session [00:00, 00:40)
+    mem.addData((0L, "click", 1.0, 1L), (10L, "click", 1.0, 1L),
+      (120L, "click", 1.0, 9L))
+    q.processAllAvailable() // watermark 01:00 > 00:40 closes the session
+    // late event at 00:20 would have EXTENDED the session to 00:50 —
+    // the difference between dropping and merging is user-visible here
+    mem.addData((20L, "click", 1.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("late_session").filter(col("user_id") === 1L)
+    assert(u1.count() == 1)
+    val row = u1.head()
+    assert(row.getAs[java.sql.Timestamp]("sess_start") == tsAt(0))
+    assert(row.getAs[java.sql.Timestamp]("sess_end") == tsAt(40))
+    assert(row.getAs[Long]("n") == 2L)
+  }
+
   test("foreachBatchUpsert recovers merged state from the _prev aside after a mid-swap crash") {
     val base = java.nio.file.Files.createTempDirectory("upsert_crash").toString
     val tmp = base + "/t"
