@@ -193,26 +193,17 @@ object CurationQueries extends graft.QueryModule {
     // Sources are FEW (a handful of crawls/datasets), so a plain
     // per-source window would funnel each source's entire history
     // through ONE WindowExec task — the same single-task scan q_pack
-    // avoids. The running sum is therefore a two-level cumulative sum
-    // within each source: per-(source, bucket) running sums execute in
-    // parallel (bucket = doc_id div 1000), and only the bucket TOTALS
-    // — three orders of magnitude fewer rows — pass through the small
-    // per-source window. No task ever sees more than one bucket of one
-    // source.
+    // avoids. PrefixSum.exclusiveOffsets computes the running total as
+    // a reduction tree within each source: no task ever sees more
+    // than 1000 rows until the top level, which carries n_source/10^6
+    // bucket totals at the default depth (see PrefixSum's bound —
+    // deeper trees are one parameter away).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("bucket", expr("doc_id div 1000"))
-    val wIn = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wBk = Window.partitionBy(col("source")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = docs.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tok")).as("b_tok"))
-      .withColumn("b_off", coalesce(sum(col("b_tok")).over(wBk), lit(0L)))
-      .select("source", "bucket", "b_off")
-    docs.join(bucketOffsets, Seq("source", "bucket"))
-      .withColumn("cum_tok", col("b_off") + sum(col("n_tok")).over(wIn))
+    graft.pipeline.PrefixSum
+      .exclusiveOffsets(docs, Seq("source"), "doc_id", "n_tok", "cum_off")
+      .withColumn("cum_tok", col("cum_off") + col("n_tok"))
       .withColumn("kept", col("cum_tok") <= budget)
       .select("doc_id", "source", "n_tok", "cum_tok", "kept")
   }
@@ -280,30 +271,19 @@ object CurationQueries extends graft.QueryModule {
     * tokens end-to-end in doc_id order and chop the stream into fixed
     * 256-token training windows; each doc reports its global token
     * offset and the first/last window it lands in. The global prefix
-    * sum is computed scalably as a TWO-LEVEL cumulative sum — a plain
+    * sum is [[graft.pipeline.PrefixSum]]'s reduction tree — a plain
     * global window would put the entire corpus through ONE WindowExec
-    * task: per-bucket running sums run in parallel (bucket =
-    * doc_id div 1000), and only the bucket TOTALS (3 orders of
-    * magnitude fewer rows) go through the tiny global window, the
-    * same shape a Beam/FlumeJava-style distributed scan uses. All
-    * arithmetic is integer, so both engines agree exactly.
+    * task; here only n/10^6 top-level bucket totals do at the default
+    * depth (~10^4 rows for a 100 TB corpus; the bound and the levels
+    * dial are documented on PrefixSum). All arithmetic is integer, so
+    * both engines agree exactly.
     */
   def pack(spark: SparkSession, dir: String): DataFrame = {
     val B = 256L // tokens per packed training sequence
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("bucket", expr("doc_id div 1000"))
-    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wBk = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = docs.groupBy(col("bucket"))
-      .agg(sum(col("n_tok")).as("b_tok"))
-      .withColumn("b_off", coalesce(sum(col("b_tok")).over(wBk), lit(0L)))
-      .select("bucket", "b_off")
-    docs.join(bucketOffsets, Seq("bucket"))
-      .withColumn("offset",
-        col("b_off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+    graft.pipeline.PrefixSum
+      .exclusiveOffsets(docs, Seq.empty, "doc_id", "n_tok", "offset")
       .select(
         col("doc_id"), col("n_tok"), col("offset"),
         expr(s"offset div $B").as("bin_start"),
