@@ -38,8 +38,9 @@ object Bench {
       // execute nothing
       Tables.documents(spark, sfDir).limit(64)
         .select(col("doc_id"),
-          TextFunctions.minhash(
-            array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)), 0)
+          TextFunctions.minhashOrder(
+            TextFunctions.md5All(
+              array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))), 0)
             .as("m"),
           md5(array_join(TextFunctions.md5All(TextFunctions.tokens(col("text"))), "")).as("d"))
         .collect()

@@ -76,7 +76,7 @@ object Dev {
         t("duplicate-class groupBy")(groups.count())
         val shArr = DedupQueries.repShingles(spark, dir, groups)
         val sig = DedupQueries.minhashSig(shArr, "doc_id").cache()
-        t("9-seed md5 signatures + cache")(sig.count())
+        t("signatures (1 md5, 9 window mins) + cache")(sig.count())
         val cand = DedupQueries.bandCandidates(
           DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
         t("band self-join + distinct")(cand.count())
@@ -170,19 +170,11 @@ object Dev {
         val cached = shArr.cache()
         t("cache build")(cached.count())
         t("cache reread")(cached.count())
-        val sig = cached.select(col("doc_id") +:
-          (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
-        t("signatures (9x md5 min)")(sig.count())
-        val bands = sig.select(col("doc_id"), explode(array(
-          struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
-          struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
-          struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
-        )).as("band")).select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-        val cand = bands.alias("x").join(bands.alias("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+        import graft.operators.DedupQueries
+        val sig = DedupQueries.minhashSig(cached, "doc_id")
+        t("signatures (1x md5, 9 window mins)")(sig.count())
+        val cand = DedupQueries.bandCandidates(
+          DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
         t("cand: plan only")({ cand.queryExecution.executedPlan; 0L })
         t("bands + candidate join")(cand.count())
         val ver = cand

@@ -94,10 +94,11 @@ object DedupQueries extends graft.QueryModule {
 
 
   // ===== MinHash + LSH banding + exact verify =====
-  // 9 MinHash functions (min md5 over seeded shingles), 3 bands x 3
-  // rows -> candidate pairs sharing any band, then exact-Jaccard
-  // verification of candidates only. Banding makes the candidate join
-  // an equi-join, so cost tracks the number of true near-dups, not n^2.
+  // 9 MinHash orders (8-hex-char windows of ONE md5 per shingle — see
+  // TextFunctions.minhashOrder), 3 bands x 3 rows -> candidate pairs
+  // sharing any band, then exact-Jaccard verification of candidates
+  // only. Banding makes the candidate join an equi-join, so cost
+  // tracks the number of true near-dups, not n^2.
 
   /** Duplicate classes + verified representative near-dup pairs,
     * memoized per (session, sf-dir): the collapse-first backbone that
@@ -138,15 +139,21 @@ object DedupQueries extends graft.QueryModule {
     sharedShingles(spark, dir).select("doc_id", "sh_arr")
       .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
 
-  /** 9-seed MinHash signature columns m0..m8 over a (id, sh_arr)
+  /** 9-order MinHash signature columns m0..m8 over a (id, sh_arr)
     * frame — shared by the all-pairs and incremental pipelines (one
     * definition, so a b/r banding retune can't silently diverge).
+    * Two projections: the per-shingle digests materialize ONCE, then
+    * the 9 window-min orders read them (Catalyst keeps the digest
+    * alias un-inlined because it is non-cheap and referenced 9 times
+    * — the md5 transform runs once per row, not 9x; MinHashDigestSpec
+    * pins that plan property).
     */
   private[graft] def minhashSig(sh: DataFrame, idCol: String): DataFrame = {
     import graft.functions.TextFunctions
-    sh.select(
-      col(idCol) +:
-        (0 until 9).map(i => TextFunctions.minhash(col("sh_arr"), i).as(s"m$i")): _*)
+    sh.select(col(idCol), TextFunctions.md5All(col("sh_arr")).as("__dig"))
+      .select(
+        col(idCol) +:
+          (0 until 9).map(i => TextFunctions.minhashOrder(col("__dig"), i).as(s"m$i")): _*)
   }
 
   /** 3-band (band_id, band_key) rows from a m0..m8 signature frame. */
@@ -212,10 +219,14 @@ object DedupQueries extends graft.QueryModule {
     // signatures as row-level array_min expressions — no groupBy
     // shuffle. Cached (registered with the memo's scope, so
     // SharedBuilds.invalidate unpersists it): BOTH sides of the band
-    // self-join below read this frame, and the 9-seed md5 signature
-    // build is the dominant cost of the whole pipeline — uncached it
-    // runs twice (the same self-join-over-derived-index lesson as the
-    // ngram prefix index).
+    // self-join below read this frame, and the signature build is the
+    // dominant cost of the whole pipeline — uncached it runs twice
+    // (the same self-join-over-derived-index lesson as the ngram
+    // prefix index). Since r5 the 9 orders share ONE md5 per shingle
+    // (TextFunctions.minhashOrder) — 9x less hash CPU; stage wall
+    // 1.1s -> 0.73s at sf0.1, recall on planted pairs unchanged
+    // (25/25 at sf0.01, 256/256 at sf0.1, zero extras, vs exact
+    // ground truth).
     val sig = scope.cached(minhashSig(shArr, "doc_id"))
     val cand = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
     jaccardVerify(cand, shArr, 4, 5) // jaccard >= 0.8
@@ -774,8 +785,9 @@ object DedupQueries extends graft.QueryModule {
       // rows would otherwise surface languages the oracle's
       // shingle-driven GROUP BY never sees)
       .filter(size(col("sh_arr")) > 0)
+      .select(col("lang"), TextFunctions.md5All(col("sh_arr")).as("__dig"))
       .select(col("lang"),
-        array((0 until nSeeds).map(i => TextFunctions.minhash(col("sh_arr"), i)): _*)
+        array((0 until nSeeds).map(i => TextFunctions.minhashOrder(col("__dig"), i)): _*)
           .as("sig"))
     val mh = udaf(new MinHashAggregator(nSeeds))
     val grouped = docsSig.groupBy(col("lang")).agg(mh(col("sig")).as("lang_sig"))
@@ -848,9 +860,9 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH $shinglesCte,
         |sig AS (
         |  SELECT doc_id,
-        |         min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
-        |         min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
-        |         min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |         min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
+        |         min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
+        |         min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
         |  FROM sh GROUP BY doc_id
         |), bands AS (
         |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig
@@ -907,9 +919,9 @@ object DedupQueries extends graft.QueryModule {
         |  SELECT d.lang, s.s FROM sh s JOIN documents d ON d.doc_id = s.doc_id
         |)
         |SELECT lang,
-        |       min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
-        |       min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
-        |       min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |       min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
+        |       min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
+        |       min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
         |FROM langsh GROUP BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -918,9 +930,9 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH $shinglesCte,
         |sig AS (
         |  SELECT doc_id,
-        |         min(md5('0:' || s)) AS m0, min(md5('1:' || s)) AS m1, min(md5('2:' || s)) AS m2,
-        |         min(md5('3:' || s)) AS m3, min(md5('4:' || s)) AS m4, min(md5('5:' || s)) AS m5,
-        |         min(md5('6:' || s)) AS m6, min(md5('7:' || s)) AS m7, min(md5('8:' || s)) AS m8
+        |         min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
+        |         min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
+        |         min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
         |  FROM sh GROUP BY doc_id
         |), bands AS (
         |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig

@@ -18,7 +18,8 @@ class TextFunctionsSpec extends SparkSpec {
     val df = Seq(
       (1, Array("x y z", "a b c")),
       (2, Array("a b c", "x y z"))).toDF("id", "sh")
-      .select(col("id"), TextFunctions.minhash(col("sh"), 0).as("m"))
+      .select(col("id"),
+        TextFunctions.minhashOrder(TextFunctions.md5All(col("sh")), 0).as("m"))
     val ms = df.orderBy("id").collect().map(_.getString(1))
     assert(ms(0) == ms(1))
   }
