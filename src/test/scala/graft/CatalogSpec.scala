@@ -60,8 +60,11 @@ class CatalogSpec extends SparkSpec {
     // or a CartesianProduct — means an equi-key was lost and the plan
     // went quadratic; this is the guard that keeps it from landing.
     // (q_bm25 and q_tfidf cross-join a single-row corpus-stats
-    // aggregate; q_knn_recall composes the two ANN pipelines)
-    val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25", "q_tfidf")
+    // aggregate; q_knn_recall composes the two ANN pipelines;
+    // q_semdedup reads the same broadcast 10-row centroid crossJoin
+    // as q_knn_ivf via the shared IVF index)
+    val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
+      "q_tfidf", "q_semdedup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

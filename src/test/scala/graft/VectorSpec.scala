@@ -95,6 +95,19 @@ class VectorSpec extends SparkSpec {
     assert(out.getSeq[String](0).isEmpty)
   }
 
+  test("semDedup invariants: kept iff no dup_of, dup_of always a smaller id, both classes present") {
+    val out = graft.operators.SimilarityQueries.semDedup(spark, sf0001).cache()
+    assert(out.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
+    assert(out.filter(col("dup_of").isNotNull && col("dup_of") >= col("vec_id")).count() == 0)
+    // the fixture has near-identical vectors, so the gate must
+    // actually drop something — and never everything
+    val dropped = out.filter(!col("kept")).count()
+    assert(dropped > 0 && dropped < out.count())
+    // every vector appears exactly once (partition of the corpus)
+    assert(out.count() == graft.Tables.embeddings(spark, sf0001).count())
+    out.unpersist()
+  }
+
   test("brute-force KNN self-consistency: neighbors ranked by descending cosine") {
     val knn = graft.operators.SimilarityQueries.knnBrute(spark, sf0001)
     val w = org.apache.spark.sql.expressions.Window
