@@ -315,7 +315,36 @@ object CurationQueries extends graft.QueryModule {
           !coalesce(col("repetitive"), lit(false)) && !col("is_outlier")).as("keep"))
   }
 
+  /** Leakage-safe train/val/test split: the deterministic hash split
+    * every training pipeline needs, with the guard naive splits miss —
+    * NEAR-DUPLICATES MUST LAND IN THE SAME SPLIT, or the test set is
+    * contaminated by paraphrases of training documents. The split unit
+    * is therefore the near-dup CLUSTER (q_dedup_clusters labels;
+    * singletons form their own group), hashed md5("split:" || group)
+    * into 50/25/25 by the first-byte ranges [00,80) / [80,c0) /
+    * [c0,ff] — the same deterministic md5-threshold sampling as
+    * q_sample_hash, so re-runs and late-arriving cluster members are
+    * stable.
+    *
+    * Scale shape: one left join of the corpus against the cluster
+    * labels (labels are the small side — only clustered docs carry
+    * one), then map-only hashing; the cluster labels themselves reuse
+    * the shared minhash pipeline's memoized build.
+    */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val labels = DedupQueries.dedupClusters(spark, dir)
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("h", substring(md5(concat(lit("split:"), col("group_id"))), 1, 2))
+      .select(
+        col("doc_id"), col("lang"), col("group_id"),
+        when(col("h") < "80", "train").when(col("h") < "c0", "val")
+          .otherwise("test").as("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split" -> leakSafeSplit,
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
@@ -343,6 +372,14 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_split" ->
+      s"""${DedupQueries.ccLabelsCte}
+        |SELECT d.doc_id, d.lang,
+        |       COALESCE(l.cluster_id, d.doc_id) AS group_id,
+        |       CASE WHEN substr(md5('split:' || COALESCE(l.cluster_id, d.doc_id)), 1, 2) < '80' THEN 'train'
+        |            WHEN substr(md5('split:' || COALESCE(l.cluster_id, d.doc_id)), 1, 2) < 'c0' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

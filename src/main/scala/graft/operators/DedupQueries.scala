@@ -827,7 +827,7 @@ object DedupQueries extends graft.QueryModule {
   /** Shared recursive-CTE prelude computing the per-doc cluster labels
     * (same transitive closure as the q_dedup_clusters oracle).
     */
-  private lazy val ccLabelsCte: String =
+  private[operators] lazy val ccLabelsCte: String =
     s"""WITH RECURSIVE pairs AS (
       |  SELECT doc_a, doc_b FROM (
       |$minhashOracle

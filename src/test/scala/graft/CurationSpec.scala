@@ -184,6 +184,22 @@ class CurationSpec extends SparkSpec {
     assert(fused.select("top").as[Long].collect().toSeq == Seq(4L, 1L, 5L))
   }
 
+  test("leakage-safe split: every doc split once, clusters never straddle splits") {
+    val out = graft.operators.CurationQueries.leakSafeSplit(spark, sf0001).cache()
+    // a partition of the corpus into the three named splits
+    assert(out.count() == graft.Tables.documents(spark, sf0001).count())
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // THE invariant: near-dup cluster members share a split — the
+    // contamination guard that distinguishes this from a row-hash split
+    val mixed = out.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(mixed.count() == 0)
+    // all three splits are populated at fixture scale (hash sanity)
+    assert(out.select("split").distinct().count() == 3)
+    out.unpersist()
+  }
+
   test("max_multiplicity null semantics: null array -> null, null elements skipped") {
     import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
