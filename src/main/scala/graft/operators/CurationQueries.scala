@@ -343,7 +343,34 @@ object CurationQueries extends graft.QueryModule {
           .otherwise("test").as("split"))
   }
 
+  /** Source mixing weights — the data-mixing dial: per-source token
+    * counts temperature-flattened to sqrt (alpha = 0.5, the standard
+    * multilingual/multi-source rebalancing curve) and normalized
+    * against the LARGEST source, so the weight is one exact double
+    * division of two correctly-rounded sqrts (a sum-normalization
+    * would be float-order-dependent across engines; max is exact).
+    * upweight = weight / natural share shows how much the curve
+    * boosts small sources. Tiny aggregate (one row per source) +
+    * 1-row broadcast stats, the bm25 shape.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val stats = perSource.agg(
+      max(col("n_tokens")).as("max_tok"), sum(col("n_tokens")).as("tot_tok"))
+    perSource.crossJoin(broadcast(stats))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tok").cast("double")))
+          .as("weight"),
+        (col("n_tokens").cast("double") / col("tot_tok").cast("double"))
+          .as("natural_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> mixWeights,
     "q_split" -> leakSafeSplit,
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
@@ -372,6 +399,19 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), stats AS (
+        |  SELECT CAST(max(n_tokens) AS BIGINT) AS max_tok,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM per_source
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |       sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tok AS DOUBLE)) AS weight,
+        |       CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE) AS natural_share
+        |FROM per_source, stats""".stripMargin,
     "q_split" ->
       s"""${DedupQueries.ccLabelsCte}
         |SELECT d.doc_id, d.lang,
