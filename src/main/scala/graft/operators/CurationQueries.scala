@@ -347,20 +347,24 @@ object CurationQueries extends graft.QueryModule {
     * counts temperature-flattened to sqrt (alpha = 0.5, the standard
     * multilingual/multi-source rebalancing curve) and normalized
     * against the LARGEST source, so the weight is one exact double
-    * division of two correctly-rounded sqrts (a sum-normalization
-    * would be float-order-dependent across engines; max is exact).
-    * upweight = weight / natural share shows how much the curve
-    * boosts small sources. Tiny aggregate (one row per source) +
-    * 1-row broadcast stats, the bm25 shape.
+    * division of two correctly-rounded sqrts (a sum-normalization of
+    * DOUBLES would be float-order-dependent across engines; max and
+    * the integer token sum are exact). One corpus aggregate; the
+    * corpus-wide stats come from a GLOBAL WINDOW over the per-source
+    * rows — a single task over n_sources rows, bounded by source
+    * cardinality (a handful by definition), which beats the
+    * crossJoin-broadcast-stats shape here because that would
+    * re-derive (re-scan) the per-source aggregate for the stats row.
     */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val stats = perSource.agg(
-      max(col("n_tokens")).as("max_tok"), sum(col("n_tokens")).as("tot_tok"))
-    perSource.crossJoin(broadcast(stats))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSource
+      .withColumn("max_tok", max(col("n_tokens")).over(w))
+      .withColumn("tot_tok", sum(col("n_tokens")).over(w))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         (sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tok").cast("double")))

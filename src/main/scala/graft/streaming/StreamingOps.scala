@@ -202,6 +202,43 @@ object StreamingOps {
       }
   }
 
+  case class HashedDoc(content_hash: String, doc_id: Long, source: String)
+  case class DedupedDoc(content_hash: String, doc_id: Long, source: String,
+      first_seen: Boolean)
+
+  /** Streaming exact dedup at ingest — the streaming form of
+    * q_dedup_exact: the FIRST document carrying a given content hash
+    * is emitted with first_seen = true, every later arrival (same
+    * batch or any later micro-batch) with false — an audit-trail
+    * filter like sourceTokenBudget, so downstream keeps
+    * `first_seen` and the drop is observable. Within a batch, doc_id
+    * order decides "first", so replays make identical choices.
+    *
+    * State is ONE boolean per distinct content hash — bounded by
+    * distinct corpus content, not arrivals, the production
+    * dedup-at-ingest shape (state-store-backed; at scale the content
+    * hash also makes a natural state-store partition key). Built-in
+    * dropDuplicates("hash") holds the same state but silently drops
+    * late copies; emitting them flagged keeps the decision auditable
+    * and replay-deterministic.
+    */
+  def dedupExactStream(spark: SparkSession, docs: DataFrame): Dataset[DedupedDoc] = {
+    import spark.implicits._
+    docs
+      .select(md5(col("text")).as("content_hash"), col("doc_id"), col("source"))
+      .as[HashedDoc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          val seenBefore = state.getOption.getOrElse(false)
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          state.update(true)
+          sorted.iterator.zipWithIndex.map { case (d, i) =>
+            DedupedDoc(hash, d.doc_id, d.source, !seenBefore && i == 0)
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState — the escape hatch for semantics the
     * built-in aggregations can't express.

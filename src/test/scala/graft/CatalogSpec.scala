@@ -64,7 +64,7 @@ class CatalogSpec extends SparkSpec {
     // q_semdedup reads the same broadcast 10-row centroid crossJoin
     // as q_knn_ivf via the shared IVF index)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
-      "q_tfidf", "q_semdedup", "q_mix_weights")
+      "q_tfidf", "q_semdedup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

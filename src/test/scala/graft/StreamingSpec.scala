@@ -209,6 +209,45 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == keys)
   }
 
+  test("streaming exact dedup: first content wins within and across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.dedupExactStream(spark, docs).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sdedup").start()
+    // batch 1: "aa" twice (ids 2, 1 — smallest id is first), "bb" once
+    mem.addData((2L, "aa", "s0"), (1L, "aa", "s0"), (3L, "bb", "s1"))
+    q.processAllAvailable()
+    // batch 2: "aa" again (state must remember), "cc" new
+    mem.addData((4L, "aa", "s1"), (5L, "cc", "s0"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup").select("doc_id", "first_seen").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true))
+    // exactly one winner per distinct content
+    val winners = spark.table("sdedup").filter(col("first_seen"))
+      .groupBy("content_hash").count().filter(col("count") > 1)
+    assert(winners.count() == 0)
+  }
+
+  test("streaming exact dedup agrees with the batch dedup on the fixture corpus") {
+    val stream = StreamingOps.docStream(spark, sf0001)
+    val q = StreamingOps.dedupExactStream(spark, stream).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sdedup_fix").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup_fix").filter(col("first_seen"))
+    // q_dedup_exact keeps min(doc_id) per text — identical winner set
+    val want = graft.operators.DedupQueries.dedupExact(spark, sf0001)
+      .select(col("doc_id"))
+    assert(kept.count() == want.count())
+    assert(kept.select("doc_id").except(want).count() == 0)
+  }
+
   // ===== multi-batch watermark semantics =====
   // The windowed aggregations under LATE data arriving in a LATER
   // micro-batch — exactly where state-store/watermark bugs hide and
