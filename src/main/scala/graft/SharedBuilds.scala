@@ -46,17 +46,35 @@ object SharedBuilds {
   private val memo = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
 
   /** The memoized value for (kind, session, dir), building it on first
-    * access. The build runs at most once per key (ConcurrentHashMap's
-    * computeIfAbsent contract); its value may be a DataFrame or any
-    * tuple of frames — callers cast back via the type parameter.
+    * access; the value may be a DataFrame or any tuple of frames —
+    * callers cast back via the type parameter.
+    *
+    * The build runs OUTSIDE the map's bin lock — builds here NEST
+    * (minhashReps' build reads sharedShingles, semDedup's reads the
+    * IVF index), and `computeIfAbsent` re-entered on the same map
+    * throws IllegalStateException("Recursive update") whenever the
+    * two keys collide into one bin. That made two dedup queries fail
+    * intermittently (identity-hash-dependent, so only on some JVMs) —
+    * the round-5 flake. The cost of the fix: two threads racing the
+    * same cold key may both run the build; putIfAbsent keeps the
+    * winner and the loser's cached frames are unpersisted. Sequential
+    * driver/test usage never races, so in practice the build still
+    * runs once. A build that re-enters its OWN key would recurse
+    * forever — don't.
     */
   def getOrBuild[T <: AnyRef](kind: String, spark: SparkSession, dir: String)(
       build: CacheScope => T): T = {
     purgeStopped()
-    memo.computeIfAbsent(Key(kind, spark, dir), { _ =>
-      val scope = new CacheScope
-      Entry(build(scope), scope.frames.toSeq)
-    }).value.asInstanceOf[T]
+    val key = Key(kind, spark, dir)
+    val existing = memo.get(key)
+    if (existing != null) return existing.value.asInstanceOf[T]
+    val scope = new CacheScope
+    val entry = Entry(build(scope), scope.frames.toSeq)
+    val prev = memo.putIfAbsent(key, entry)
+    if (prev != null) { // lost a cold-key race: discard our duplicate
+      entry.frames.foreach(_.unpersist())
+      prev.value.asInstanceOf[T]
+    } else entry.value.asInstanceOf[T]
   }
 
   /** Drop every build keyed by `dir` (all kinds, all sessions) and

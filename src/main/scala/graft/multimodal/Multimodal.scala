@@ -127,8 +127,35 @@ object MultimodalQueries extends graft.QueryModule {
     feats.select(col("media_id") +: cols: _*)
   }
 
+  /** Frame-sampling geometry check: every 4th frame's (frame_no,
+    * byte length). The oracle recomputes the slice arithmetic
+    * (offset, width, end-truncation) from octet lengths — certifying
+    * the explode+substring geometry; q_media_features separately
+    * certifies byte-level handling.
+    */
+  def frameSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.mediaTable(spark, dir), 4)
+      .select(col("media_id"), col("frame_no").cast("int").as("frame_no"),
+        length(col("frame_payload")).cast("long").as("frame_len"))
+
+  /** Resize-then-decode: the truncated payload's byte histogram,
+    * byte-exact against the oracle's first-32-bytes low-nibble
+    * recount — certifies resize's payload truncation feeds the decode
+    * path correctly.
+    */
+  def resizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val resized = Multimodal.resize(Multimodal.mediaTable(spark, dir), RESIZE_W, 1)
+    val feats = Multimodal.extractFeatures(resized)
+    val cols = (0 until Multimodal.N_BINS).map(i => col("features").getItem(i).as(s"f$i"))
+    feats.select(col("media_id") +: cols: _*)
+  }
+
+  private val RESIZE_W = 32
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> mediaFeatures
+    "q_media_features" -> mediaFeatures,
+    "q_frame_sample" -> frameSampleQ,
+    "q_resize_features" -> resizeFeatures
   )
 
   // BYTE-exact oracle: the Spark side histograms UTF-8 payload bytes,
@@ -139,6 +166,49 @@ object MultimodalQueries extends graft.QueryModule {
   // emits a row per doc unconditionally). This stays correct for
   // non-ASCII and empty text, unlike a per-character ord() histogram.
   def oracles: Map[String, String] = Map(
+    // slice geometry: flen = max(1, plen div n_frames); a frame's
+    // byte length is flen truncated by what remains past its offset.
+    // split('') yields [''] in BOTH engines, so n_frames >= 1 always
+    // and the div is safe; empty payloads produce frame 0 with len 0.
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(encode(text)) AS plen,
+        |         len(string_split(text, ' ')) AS n_frames
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, plen, n_frames,
+        |         unnest(range(0, n_frames, 4)) AS frame_no
+        |  FROM m
+        |)
+        |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        |       CAST(LEAST(GREATEST(1, plen // n_frames),
+        |                  GREATEST(plen - frame_no * GREATEST(1, plen // n_frames), 0))
+        |            AS BIGINT) AS frame_len
+        |FROM f""".stripMargin,
+    "q_resize_features" -> {
+      require(Multimodal.N_BINS == 16,
+        "low-nibble oracle encoding requires exactly 16 bins")
+      val outer = (0 until Multimodal.N_BINS)
+        .map(i => s"CAST(coalesce(t.f$i, 0) AS BIGINT) AS f$i")
+        .mkString(",\n        ")
+      val inner = (0 until Multimodal.N_BINS)
+        .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS f$i")
+        .mkString(",\n          ")
+      s"""SELECT d.doc_id AS media_id,
+        |        $outer
+        |FROM documents d
+        |LEFT JOIN (
+        |  SELECT doc_id,
+        |          $inner
+        |  FROM (
+        |    SELECT doc_id,
+        |           strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) - 1 AS b
+        |    FROM documents,
+        |         LATERAL (SELECT unnest(range(1, LEAST(octet_length(encode(text)), $RESIZE_W) + 1)) AS i) g
+        |  ) raw GROUP BY doc_id
+        |) t ON d.doc_id = t.doc_id""".stripMargin
+    },
     "q_media_features" -> {
       require(Multimodal.N_BINS == 16,
         "low-nibble oracle encoding requires exactly 16 bins")

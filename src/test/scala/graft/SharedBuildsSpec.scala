@@ -30,6 +30,26 @@ class SharedBuildsSpec extends SparkSpec {
     } finally SharedBuilds.invalidate("/spec/dirA")
   }
 
+  test("a build may nest getOrBuild calls for other kinds (the production shape)") {
+    // minhashReps -> sharedShingles, semDedup -> ivfIndex: builds
+    // nest. computeIfAbsent re-entered on one ConcurrentHashMap
+    // throws "Recursive update" when the keys share a bin — this
+    // nesting must never go through the map's bin lock. Exercised
+    // across MANY kinds so at least some key pairs collide.
+    try {
+      for (i <- 0 until 64) {
+        val outer = SharedBuilds.getOrBuild[DataFrame](s"spec.nest.outer$i", spark, "/spec/nest") {
+          scope =>
+            val inner = SharedBuilds.getOrBuild[DataFrame](s"spec.nest.inner$i", spark, "/spec/nest") {
+              s2 => s2.cached(frame(s"inner$i"))
+            }
+            scope.cached(inner.select(col("id")))
+        }
+        assert(outer.columns.toSeq == Seq("id"))
+      }
+    } finally SharedBuilds.invalidate("/spec/nest")
+  }
+
   test("a new dir never cross-reads another dir's build") {
     try {
       def get(dir: String): DataFrame =
