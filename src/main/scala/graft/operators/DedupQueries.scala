@@ -812,7 +812,7 @@ object DedupQueries extends graft.QueryModule {
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
     * textually identical semantics to [[shingleArrays]].
     */
-  private val shinglesCte: String =
+  private[operators] val shinglesCte: String =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '), 1) AS pos

@@ -270,7 +270,32 @@ object TextAnalysisQueries extends graft.QueryModule {
           .as("n_digits_masked"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("extracted_id"))
 
+  /** Per-document n-gram novelty — the corpus-diversity curve: the
+    * fraction of a doc's distinct 3-shingles that no EARLIER doc
+    * (doc_id order) contains. High-novelty docs expand corpus
+    * coverage; a falling curve is the saturation signal a crawl
+    * scheduler watches. Shape: one groupBy over corpus shingles for
+    * first-occurrence doc (min doc_id), one join back, one per-doc
+    * aggregate — reuses the dedup family's shared shingle
+    * materialization; docs too short for a shingle drop out (same
+    * rule as the shingle-driven dedup oracles).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = DedupQueries.sharedShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh_arr")).as("s"))
+    val firsts = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firsts, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> ngramNovelty,
     "q_tfidf" -> tfidfTop,
     "q_lang_id" -> langId,
     "q_text_quality" -> qualityScore,
@@ -283,6 +308,16 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ngram_novelty" ->
+      s"""WITH ${DedupQueries.shinglesCte},
+        |firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        |SELECT sh.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN firsts f ON f.s = sh.s
+        |GROUP BY sh.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
