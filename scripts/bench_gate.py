@@ -33,7 +33,10 @@ def load_bench(path):
         m = re.search(r"\{\"metric\":.*", line)
         if m:
             try:
-                return json.loads(m.group(0))
+                # raw_decode: accept trailing non-JSON text on the line
+                # (capture suffixes) while still detecting truncation
+                doc, _ = json.JSONDecoder().raw_decode(m.group(0))
+                return doc
             except json.JSONDecodeError:
                 truncated = True  # tail capture cut the end of the line
         elif re.search(r"\"(queries|steady|failed)\":", line):

@@ -77,21 +77,24 @@ object Bench {
       }
       val (cold, coldErr) = once()
       val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else once()
-      (name, cold, steady, coldErr.orElse(steadyErr))
+      (name, cold, coldErr, steady, coldErr.orElse(steadyErr))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def jmap(f: ((String, Double, Double, Option[String])) => String): String =
+    def jmap(f: ((String, Double, Option[String], Double, Option[String])) => String): String =
       results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, cold, _, err) => jstr(k) + ":" + err.fold(cold.toString)(_ => "null") }
-    val st = jmap { case (k, _, steady, err) => jstr(k) + ":" + err.fold(steady.toString)(_ => "null") }
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    // cold entries null only on a COLD failure: a steady-only failure
+    // must not discard the valid cold measurement (the cold total
+    // includes it, so nulling it would make map and total inconsistent)
+    val qs = jmap { case (k, cold, coldErr, _, _) => jstr(k) + ":" + coldErr.fold(cold.toString)(_ => "null") }
+    val st = jmap { case (k, _, _, steady, err) => jstr(k) + ":" + err.fold(steady.toString)(_ => "null") }
+    val errs = results.collect { case (k, _, _, _, Some(e)) =>
       jstr(k) + ":" + jstr(e.take(200)) }.mkString("{", ",", "}")
-    val failed = results.count(_._4.isDefined)
+    val failed = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
-    val steadyTotal = results.map(_._3).sum
+    val steadyTotal = results.map(_._4).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was

@@ -177,14 +177,9 @@ object Dev {
           DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
         t("cand: plan only")({ cand.queryExecution.executedPlan; 0L })
         t("bands + candidate join")(cand.count())
-        val ver = cand
-          .join(cached.alias("za"), col("doc_a") === col("za.doc_id"))
-          .join(cached.alias("zb"), col("doc_b") === col("zb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("za.sh_arr"), col("zb.sh_arr"))).as("c"),
-            size(col("za.sh_arr")).as("n_a"), size(col("zb.sh_arr")).as("n_b"))
-          .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
-        t("verify join")(ver.count())
+        // the SAME production verify (a retune can't diverge this profiler)
+        t("verify join")(DedupQueries.jaccardVerify(
+          cand, cached.select(col("doc_id"), col("sh_arr")), 4, 5).count())
         cached.unpersist()
       case "stress" :: dir :: rest =>
         // Scale-stress driver: stack the fixture corpus N times (ids
@@ -194,7 +189,8 @@ object Dev {
         // volumes grow ~N^2 within cliques — a deliberate worst case
         // for the LSH/prefix pipelines.
         import org.apache.spark.sql.functions._
-        val times = rest.headOption.map(_.toInt).getOrElse(10)
+        // a non-numeric first arg is a query name, not a multiplier
+        val times = rest.headOption.flatMap(_.toIntOption).getOrElse(10)
         val out = java.nio.file.Files.createTempDirectory("graft_stress").toString
         def stack(name: String, idCol: String): Unit = {
           val src = Tables.read(spark, dir, name)
@@ -208,7 +204,8 @@ object Dev {
         try {
           // extra args after the multiplier select specific queries;
           // default is the heavy dedup/ANN/curation set
-          val names = if (rest.drop(1).nonEmpty) rest.drop(1) else
+          val qArgs = if (rest.headOption.exists(_.toIntOption.isDefined)) rest.drop(1) else rest
+          val names = if (qArgs.nonEmpty) qArgs else
             Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_ngram",
               "q_dedup_embedding", "q_dedup_edit", "q_dedup_keep", "q_cluster_stats",
               "q_dedup_incremental", "q_knn_ivf", "q_knn_recall", "q_fingerprint",

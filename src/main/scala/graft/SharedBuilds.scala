@@ -57,7 +57,8 @@ object SharedBuilds {
     * intermittently (identity-hash-dependent, so only on some JVMs) —
     * the round-5 flake. The cost of the fix: two threads racing the
     * same cold key may both run the build; putIfAbsent keeps the
-    * winner and the loser's cached frames are unpersisted. Sequential
+    * winner and the loser's entry is dropped (its frames ARE the
+    * winner's — CacheManager dedups same-plan caches). Sequential
     * driver/test usage never races, so in practice the build still
     * runs once. A build that re-enters its OWN key would recurse
     * forever — don't.
@@ -69,10 +70,23 @@ object SharedBuilds {
     val existing = memo.get(key)
     if (existing != null) return existing.value.asInstanceOf[T]
     val scope = new CacheScope
-    val entry = Entry(build(scope), scope.frames.toSeq)
+    val entry =
+      try Entry(build(scope), scope.frames.toSeq)
+      catch { case e: Throwable =>
+        // a build that throws after some scope.cached() calls must not
+        // strand persisted frames with no invalidate() handle
+        scope.frames.foreach(_.unpersist())
+        throw e
+      }
     val prev = memo.putIfAbsent(key, entry)
-    if (prev != null) { // lost a cold-key race: discard our duplicate
-      entry.frames.foreach(_.unpersist())
+    if (prev != null) {
+      // Lost a cold-key race. Do NOT unpersist our duplicate frames:
+      // both builds are deterministic, so their plans are sameResult
+      // and Spark's CacheManager deduplicated them into ONE cache
+      // entry — unpersisting "ours" would uncache the winner's frames
+      // too, silently degrading every consumer to recompute. The
+      // loser's Entry is simply dropped; the winner's frames list
+      // covers the shared entries for invalidate().
       prev.value.asInstanceOf[T]
     } else entry.value.asInstanceOf[T]
   }

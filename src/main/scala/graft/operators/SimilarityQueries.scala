@@ -47,14 +47,16 @@ object SimilarityQueries extends graft.QueryModule {
       .withColumn("n2", qnorm2(col("qv")))
 
   /** The shared IVF index build, memoized per (session, dir) via
-    * [[graft.SharedBuilds]]: (vecs cached, centroid table, per-vector
-    * affinity ranking). knnIvf reads all three (assignment rank 1 +
-    * query probes rank <= NPROBE); semDedup reads vecs + the rank-1
-    * assignment. One cached build serves both, the role the persisted
-    * index plays in a production ANN system.
+    * [[graft.SharedBuilds]]: (vecs cached, per-vector affinity
+    * ranking). knnIvf reads both (assignment rank 1 + query probes
+    * rank <= NPROBE); semDedup reads vecs + the rank-1 assignment.
+    * The centroid table stays internal to the build — it is baked
+    * into `ranked` and has no direct consumer. One cached build
+    * serves both queries, the role the persisted index plays in a
+    * production ANN system.
     */
-  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
+  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
         "sim.ivfIndex", spark, dir) { scope =>
       val vecs = scope.cached(qvecs(spark, dir))
       // centroid BUILD: element-wise component sums per label, rebuilt
@@ -76,7 +78,7 @@ object SimilarityQueries extends graft.QueryModule {
         .select(col("vec_id"), col("clabel"),
           qcosine(qdot(col("qv"), col("cv")), col("n2"), col("c2")).as("aff"))
         .withColumn("arnk", row_number().over(wAssign)))
-      (vecs, cent, ranked)
+      (vecs, ranked)
     }
 
   /** Top-k per query by (cosine desc, neighbor_id): one window over the
@@ -143,7 +145,7 @@ object SimilarityQueries extends graft.QueryModule {
     * NPROBE nearest centroid lists and scans only those.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, _, ranked) = ivfIndex(spark, dir)
+    val (vecs, ranked) = ivfIndex(spark, dir)
 
     val assigned = ranked
       .filter(col("arnk") === 1)
@@ -183,7 +185,7 @@ object SimilarityQueries extends graft.QueryModule {
     * above-threshold pairs, not transitive closure.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, _, ranked) = ivfIndex(spark, dir)
+    val (vecs, ranked) = ivfIndex(spark, dir)
     val assigned = ranked.filter(col("arnk") === 1)
       .select(col("vec_id"), col("clabel").as("list_id"))
 

@@ -197,6 +197,14 @@ class CurationSpec extends SparkSpec {
     assert(mixed.count() == 0)
     // all three splits are populated at fixture scale (hash sanity)
     assert(out.select("split").distinct().count() == 3)
+    // the floor under the clusters: byte-identical texts (including
+    // ones too short to shingle into the near-dup pipeline) always
+    // share a split
+    val byText = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+      .join(out, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1)
+    assert(byText.count() == 0)
     out.unpersist()
   }
 
