@@ -132,4 +132,30 @@ class PropertySpec extends SparkSpec {
       .filter(col("max_rk") > col("n") || col("min_rk") =!= 1)
     assert(bad.count() == 0)
   }
+
+  test("distributed prefix sum == plain window on random partitions/ids/values") {
+    import graft.pipeline.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // random (partition, unique id, value) triples; duplicate ids per
+    // partition are discarded (PrefixSum's documented precondition)
+    val tripleGen: Gen[List[(Int, Long, Long)]] =
+      Gen.listOfN(200, Gen.zip(
+        Gen.choose(0, 3), Gen.choose(0L, 5000L), Gen.choose(-50L, 50L)))
+    (0 until 6).foreach { i =>
+      val rows = tripleGen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil)
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val df = rows.toDF("p", "id", "v")
+      val levels = 1 + i % 3
+      val got = PrefixSum.exclusiveOffsets(df, Seq("p"), "id", "v", "got",
+        levels = levels, k = 5)
+      val want = df.withColumn("want", coalesce(
+        sum(col("v")).over(Window.partitionBy(col("p")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val joined = got.join(want, Seq("p", "id", "v"))
+      assert(joined.count() == rows.size, s"seed ${42 + i}: lost rows")
+      assert(joined.filter(col("got") =!= col("want")).count() == 0,
+        s"seed ${42 + i}, levels=$levels: diverged")
+    }
+  }
 }
