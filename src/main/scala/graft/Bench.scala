@@ -93,8 +93,10 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, Some(e)) =>
       jstr(k) + ":" + jstr(e.take(200)) }.mkString("{", ",", "}")
     val failed = results.count(_._5.isDefined)
-    val total = results.map(_._2).sum
-    val steadyTotal = results.map(_._4).sum
+    // totals cover SUCCESSFUL measurements only, matching the maps
+    // (a failed attempt's elapsed time is time-to-failure garbage)
+    val total = results.collect { case (_, cold, None, _, _) => cold }.sum
+    val steadyTotal = results.collect { case (_, _, _, steady, None) => steady }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was

@@ -158,6 +158,37 @@ object MultimodalQueries extends graft.QueryModule {
     "q_resize_features" -> resizeFeatures
   )
 
+  /** Shared low-nibble histogram oracle: recount payload bytes from
+    * hex(encode(text)), optionally capped at the first `byteCap`
+    * bytes (the resize case). ONE definition so the nibble-decoding
+    * scheme can never diverge between the full and resized variants.
+    */
+  private def nibbleHistOracle(byteCap: Option[Int]): String = {
+    require(Multimodal.N_BINS == 16,
+      "low-nibble oracle encoding requires exactly 16 bins")
+    val outer = (0 until Multimodal.N_BINS)
+      .map(i => s"CAST(coalesce(t.f$i, 0) AS BIGINT) AS f$i")
+      .mkString(",\n        ")
+    val inner = (0 until Multimodal.N_BINS)
+      .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS f$i")
+      .mkString(",\n          ")
+    val bytes = byteCap.fold("octet_length(encode(text))")(
+      cap => s"LEAST(octet_length(encode(text)), $cap)")
+    s"""SELECT d.doc_id AS media_id,
+      |        $outer
+      |FROM documents d
+      |LEFT JOIN (
+      |  SELECT doc_id,
+      |          $inner
+      |  FROM (
+      |    SELECT doc_id,
+      |           strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) - 1 AS b
+      |    FROM documents,
+      |         LATERAL (SELECT unnest(range(1, $bytes + 1)) AS i) g
+      |  ) raw GROUP BY doc_id
+      |) t ON d.doc_id = t.doc_id""".stripMargin
+  }
+
   // BYTE-exact oracle: the Spark side histograms UTF-8 payload bytes,
   // so the oracle must too. `hex(encode(text))` yields two hex chars
   // per byte, and because N_BINS = 16, `byte % 16` IS the low nibble —
@@ -186,51 +217,7 @@ object MultimodalQueries extends graft.QueryModule {
         |                  GREATEST(plen - frame_no * GREATEST(1, plen // n_frames), 0))
         |            AS BIGINT) AS frame_len
         |FROM f""".stripMargin,
-    "q_resize_features" -> {
-      require(Multimodal.N_BINS == 16,
-        "low-nibble oracle encoding requires exactly 16 bins")
-      val outer = (0 until Multimodal.N_BINS)
-        .map(i => s"CAST(coalesce(t.f$i, 0) AS BIGINT) AS f$i")
-        .mkString(",\n        ")
-      val inner = (0 until Multimodal.N_BINS)
-        .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS f$i")
-        .mkString(",\n          ")
-      s"""SELECT d.doc_id AS media_id,
-        |        $outer
-        |FROM documents d
-        |LEFT JOIN (
-        |  SELECT doc_id,
-        |          $inner
-        |  FROM (
-        |    SELECT doc_id,
-        |           strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) - 1 AS b
-        |    FROM documents,
-        |         LATERAL (SELECT unnest(range(1, LEAST(octet_length(encode(text)), $RESIZE_W) + 1)) AS i) g
-        |  ) raw GROUP BY doc_id
-        |) t ON d.doc_id = t.doc_id""".stripMargin
-    },
-    "q_media_features" -> {
-      require(Multimodal.N_BINS == 16,
-        "low-nibble oracle encoding requires exactly 16 bins")
-      val outer = (0 until Multimodal.N_BINS)
-        .map(i => s"CAST(coalesce(t.f$i, 0) AS BIGINT) AS f$i")
-        .mkString(",\n        ")
-      val inner = (0 until Multimodal.N_BINS)
-        .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS f$i")
-        .mkString(",\n          ")
-      s"""SELECT d.doc_id AS media_id,
-        |        $outer
-        |FROM documents d
-        |LEFT JOIN (
-        |  SELECT doc_id,
-        |          $inner
-        |  FROM (
-        |    SELECT doc_id,
-        |           strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) - 1 AS b
-        |    FROM documents,
-        |         LATERAL (SELECT unnest(range(1, octet_length(encode(text)) + 1)) AS i) g
-        |  ) raw GROUP BY doc_id
-        |) t ON d.doc_id = t.doc_id""".stripMargin
-    }
+    "q_resize_features" -> nibbleHistOracle(Some(RESIZE_W)),
+    "q_media_features" -> nibbleHistOracle(None)
   )
 }

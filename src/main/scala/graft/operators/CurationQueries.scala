@@ -332,19 +332,20 @@ object CurationQueries extends graft.QueryModule {
     * the shared minhash pipeline's memoized build.
     */
   def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     val labels = DedupQueries.dedupClusters(spark, dir)
     // Exact-text classes are the FLOOR under the near-dup clusters:
     // cluster labels only exist for shingled docs (a 2-token doc has
     // no 3-shingle and so can never appear in the minhash pipeline),
-    // so without this join two byte-identical short docs would fall
-    // back to their own doc_ids and could hash into different splits
-    // — exactly the leakage this operator exists to prevent. The
-    // near-dup cluster label wins where present (it is a superset
-    // grouping: members of an exact class inside a cluster all carry
-    // the cluster's label).
-    val exact = docs.groupBy(col("text")).agg(min(col("doc_id")).as("exact_rep"))
-    docs.join(exact, Seq("text"))
+    // so without this two byte-identical short docs would fall back
+    // to their own doc_ids and could hash into different splits —
+    // exactly the leakage this operator exists to prevent. The class
+    // map explodes the MEMOIZED duplicate-class frame (no text-keyed
+    // shuffle of its own; NULL-text docs included — a text-equality
+    // join would drop them). The near-dup cluster label wins where
+    // present (a superset grouping: members of an exact class inside
+    // a cluster all carry the cluster's label).
+    docs.join(DedupQueries.exactClassMap(spark, dir), Seq("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col("exact_rep")))
       .withColumn("h", substring(md5(concat(lit("split:"), col("group_id"))), 1, 2))
@@ -429,15 +430,21 @@ object CurationQueries extends graft.QueryModule {
         |FROM per_source, stats""".stripMargin,
     "q_split" ->
       s"""${DedupQueries.ccLabelsCte},
-        |exact AS (SELECT text, min(doc_id) AS exact_rep FROM documents GROUP BY text)
-        |SELECT d.doc_id, d.lang,
-        |       COALESCE(l.cluster_id, e.exact_rep) AS group_id,
-        |       CASE WHEN substr(md5('split:' || COALESCE(l.cluster_id, e.exact_rep)), 1, 2) < '80' THEN 'train'
-        |            WHEN substr(md5('split:' || COALESCE(l.cluster_id, e.exact_rep)), 1, 2) < 'c0' THEN 'val'
+        |exact AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS exact_rep
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, group_id,
+        |       CASE WHEN substr(md5('split:' || group_id), 1, 2) < '80' THEN 'train'
+        |            WHEN substr(md5('split:' || group_id), 1, 2) < 'c0' THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM documents d
-        |JOIN exact e ON e.text = d.text
-        |LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
+        |FROM (
+        |  SELECT d.doc_id, d.lang,
+        |         COALESCE(l.cluster_id, e.exact_rep) AS group_id
+        |  FROM documents d
+        |  JOIN exact e ON e.doc_id = d.doc_id
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |) g""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

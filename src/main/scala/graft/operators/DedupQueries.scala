@@ -116,6 +116,18 @@ object DedupQueries extends graft.QueryModule {
       (groups, scope.cached(minhashRepPairs(spark, dir, groups, scope)))
     }
 
+  /** (doc_id, exact_rep): every document mapped to the minimum doc_id
+    * of its byte-identical text class — the exact-duplicate floor
+    * q_split groups by. One explode of the memoized duplicate-class
+    * frame: no text-keyed shuffle of its own, and NULL-text documents
+    * are covered (groupBy puts them in one class; a text-equality
+    * join would silently drop them).
+    */
+  private[operators] def exactClassMap(spark: SparkSession, dir: String): DataFrame = {
+    val (groups, _) = minhashReps(spark, dir)
+    groups.select(explode(col("members")).as("doc_id"), col("rep").as("exact_rep"))
+  }
+
   /** Duplicate classes (text-identical docs): rep + sorted members +
     * has_sh — ONE definition read by the memoized pipeline above and
     * by the `Dev buildprof` profiler, so the profiled stage is always
