@@ -223,6 +223,35 @@ object Dev {
           new Directory(new java.io.File(out)).deleteRecursively()
           ()
         }
+      case "ivfprof" :: dir :: rest =>
+        // Per-sublist profile of the subsplit IVF assignment at an
+        // optionally stacked corpus ("ivfprof <dir> 100" = 100x): the
+        // evidence that semDedup's in-list all-pairs stays bounded as
+        // the corpus grows (sublist sizes pinned near SEM_CAP).
+        import org.apache.spark.sql.functions._
+        val times = rest.headOption.flatMap(_.toIntOption).getOrElse(1)
+        val (prof, cleanup) = if (times <= 1)
+          (graft.operators.SimilarityQueries.ivfProfile(spark, dir), () => ())
+        else {
+          val out = java.nio.file.Files.createTempDirectory("graft_ivfprof").toString
+          val src = Tables.read(spark, dir, "embeddings")
+          (0 until times).map(i => src.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+          (graft.operators.SimilarityQueries.ivfProfile(spark, out), () => {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(out)).deleteRecursively(); ()
+          })
+        }
+        try {
+          prof.agg(
+            count(lit(1)).as("n_sublists"),
+            sum(col("n_members")).as("n_vectors"),
+            max(col("n_members")).as("max_sublist"),
+            max(col("n_members") * (col("n_members") - 1) / 2).as("max_pairs_per_sublist"),
+            sum(col("n_members") * (col("n_members") - 1) / 2).as("total_pairs"))
+            .show(truncate = false)
+        } finally cleanup()
       case "explainAll" :: dir :: Nil =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           println(s"\n========== $name ==========")

@@ -36,6 +36,25 @@ object SimilarityQueries extends graft.QueryModule {
   private val NPROBE = 2  // IVF centroid lists probed
   private val SEM_T = 0.40 // SemDedup cosine threshold (same as embedding LSH)
 
+  /** Pair-join sublist cap: any IVF list with more than SEM_CAP members
+    * is hash-subsplit into ceil(n/SEM_CAP) sublists before SemDedup's
+    * in-list all-pairs, so per-list pair generation is bounded at
+    * O(SEM_CAP^2) per sublist REGARDLESS of corpus size — the effective
+    * cluster count grows linearly with the corpus (SemDedup's own
+    * design contract, arXiv:2303.09540: k grows so cluster size stays
+    * bounded), exactly like PrefixSum bounds its per-task rows. The
+    * sub key is an md5 hash of the vec_id (the house cross-engine
+    * RNG), not vec_id parity, so planted id-adjacent pairs are not
+    * systematically separated. Missing a cross-sublist pair is the
+    * same approximation as a finer k-means clustering — the documented
+    * SemDedup tradeoff — and the DuckDB oracle recomputes the exact
+    * same subsplit, so the fixture (50-row lists -> n_sub=2) exercises
+    * the bucketing end-to-end. 32 keeps worst-case pairs/sublist at
+    * ~500 rows; a production run would raise it toward executor-task
+    * comfort (~10^4).
+    */
+  private val SEM_CAP = 32
+
   import graft.functions.VectorFunctions._
 
   /** Quantized vectors with precomputed squared norms:
@@ -48,15 +67,16 @@ object SimilarityQueries extends graft.QueryModule {
 
   /** The shared IVF index build, memoized per (session, dir) via
     * [[graft.SharedBuilds]]: (vecs cached, per-vector affinity
-    * ranking). knnIvf reads both (assignment rank 1 + query probes
-    * rank <= NPROBE); semDedup reads vecs + the rank-1 assignment.
-    * The centroid table stays internal to the build — it is baked
-    * into `ranked` and has no direct consumer. One cached build
-    * serves both queries, the role the persisted index plays in a
-    * production ANN system.
+    * ranking, subsplit rank-1 assignment). knnIvf reads vecs + ranked
+    * (query probes rank <= NPROBE) + the assignment; semDedup and
+    * semDedupIncremental read vecs + the assignment (semDedup also
+    * its `sub` column — see [[SEM_CAP]]). The centroid table stays
+    * internal to the build — it is baked into `ranked` and has no
+    * direct consumer. One cached build serves all consumers, the role
+    * the persisted index plays in a production ANN system.
     */
-  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
         "sim.ivfIndex", spark, dir) { scope =>
       val vecs = scope.cached(qvecs(spark, dir))
       // centroid BUILD: element-wise component sums per label, rebuilt
@@ -78,7 +98,20 @@ object SimilarityQueries extends graft.QueryModule {
         .select(col("vec_id"), col("clabel"),
           qcosine(qdot(col("qv"), col("cv")), col("n2"), col("c2")).as("aff"))
         .withColumn("arnk", row_number().over(wAssign)))
-      (vecs, ranked)
+      // rank-1 assignment with the SEM_CAP hash-subsplit: n_sub =
+      // ceil(list_size / SEM_CAP) (exact integer arithmetic), sub =
+      // md5(vec_id) mod n_sub. The list-size aggregate is n_lists
+      // rows — always broadcastable.
+      val counts = ranked.filter(col("arnk") === 1)
+        .groupBy(col("clabel")).agg(count(lit(1)).as("n_in_list"))
+        .select(col("clabel"),
+          expr(s"(n_in_list + ${SEM_CAP - 1}) div $SEM_CAP").as("n_sub"))
+      val assigned = scope.cached(ranked.filter(col("arnk") === 1)
+        .join(broadcast(counts), Seq("clabel"))
+        .select(col("vec_id"), col("clabel").as("list_id"),
+          pmod(conv(substring(md5(concat(lit("sub:"), col("vec_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"), col("n_sub")).as("sub")))
+      (vecs, ranked, assigned)
     }
 
   /** Top-k per query by (cosine desc, neighbor_id): one window over the
@@ -145,11 +178,11 @@ object SimilarityQueries extends graft.QueryModule {
     * NPROBE nearest centroid lists and scans only those.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, ranked) = ivfIndex(spark, dir)
+    val (vecs, ranked, asg) = ivfIndex(spark, dir)
 
-    val assigned = ranked
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("clabel").as("list_id"))
+    // a probe scans the whole logical list — the subsplit `sub` column
+    // only bounds semDedup's pair join, never a query's candidate set
+    val assigned = asg.select(col("vec_id"), col("list_id"))
 
     val probes = ranked
       .filter(col("vec_id") < NQ && col("arnk") <= NPROBE)
@@ -178,19 +211,20 @@ object SimilarityQueries extends graft.QueryModule {
     * the winning duplicate — filter-with-reasons, like q_quality_gate.
     *
     * Scale: the cluster-bounded all-pairs IS the SemDedup design point
-    * — k grows with the corpus so cluster size stays bounded, pair
-    * generation is an equi-join on list_id, and each pair costs one
-    * row-level integer-dot kernel (no explode, no per-pair shuffle).
-    * The greedy smallest-id rule needs one aggregate over the
-    * above-threshold pairs, not transitive closure.
+    * — k grows with the corpus so cluster size stays bounded. Here the
+    * effective k grows via the [[SEM_CAP]] hash-subsplit (pairs join
+    * on (list_id, sub)), so per-sublist pair counts are bounded at
+    * O(SEM_CAP^2) at ANY corpus size; pair generation is an equi-join,
+    * and each pair costs one row-level integer-dot kernel (no explode,
+    * no per-pair shuffle). The greedy smallest-id rule needs one
+    * aggregate over the above-threshold pairs, not transitive closure.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (vecs, ranked) = ivfIndex(spark, dir)
-    val assigned = ranked.filter(col("arnk") === 1)
-      .select(col("vec_id"), col("clabel").as("list_id"))
+    val (vecs, _, assigned) = ivfIndex(spark, dir)
 
     val pairs = assigned.alias("a").join(assigned.alias("b"),
-        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+        col("a.list_id") === col("b.list_id") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
     val close = pairs
       .join(vecs.select(col("vec_id").as("va"), col("qv").as("qa"), col("n2").as("na")), Seq("va"))
@@ -205,6 +239,17 @@ object SimilarityQueries extends graft.QueryModule {
     assigned.join(nn, Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** Dev diagnostic (Dev `ivfprof`): member count per (list_id, sub)
+    * sublist of the subsplit IVF assignment — the scale evidence that
+    * semDedup's pair generation stays bounded regardless of corpus
+    * size (pairs per sublist = n*(n-1)/2 <= ~SEM_CAP^2/2).
+    */
+  private[graft] def ivfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, assigned) = ivfIndex(spark, dir)
+    assigned.groupBy(col("list_id"), col("sub"))
+      .agg(count(lit(1)).as("n_members"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,10 +318,17 @@ object SimilarityQueries extends graft.QueryModule {
         |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS arnk
         |    FROM aff
         |  ) x WHERE arnk = 1
+        |), asub AS (
+        |  SELECT a.vec_id, a.list_id,
+        |         ('0x' || substr(md5('sub:' || CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           % CAST(c.n_sub AS UBIGINT) AS sub
+        |  FROM assigned a
+        |  JOIN (SELECT list_id, (count(*) + ${SEM_CAP - 1}) // $SEM_CAP AS n_sub
+        |        FROM assigned GROUP BY list_id) c USING (list_id)
         |), pairs AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb
-        |  FROM assigned a JOIN assigned b
-        |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  FROM asub a JOIN asub b
+        |    ON a.list_id = b.list_id AND a.sub = b.sub AND a.vec_id < b.vec_id
         |), dots AS (
         |  SELECT p.va, p.vb, CAST(sum(x.q * y.q) AS BIGINT) AS dot
         |  FROM pairs p
