@@ -241,6 +241,47 @@ object SimilarityQueries extends graft.QueryModule {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** Incremental SemDedup — dedup-at-ingest for the semantic family,
+    * the same production shape [[DedupQueries.dedupIncremental]] gives
+    * the text family: an ARRIVING batch (vec_id % 10 = 0 stands in for
+    * it) is deduped against the existing corpus by probing ONLY the
+    * IVF lists nearest each new vector — the batch never joins the
+    * full corpus and the corpus is never self-paired.
+    *
+    * Scale: the candidate join is batch-probes x corpus-assignment on
+    * list_id — per-ingest cost is |batch| x NPROBE x list-size, and
+    * list size is bounded because the list count grows with the corpus
+    * (see [[SEM_CAP]]; at 100 TB the assignment table is a persisted
+    * index partitioned by list_id that each ingest batch probes). The
+    * affinity ranking is read from the shared memoized index — at
+    * scale the centroids are a stable, broadcast-sized artifact that
+    * ingest reuses rather than recomputes.
+    */
+  def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (vecs, ranked, assigned) = ivfIndex(spark, dir)
+    val corpus = assigned.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("corpus_id"), col("list_id"))
+    // each new vector probes its NPROBE nearest lists (the ranking the
+    // index already carries), not just its assignment — a near-dup
+    // sitting across the assignment boundary is still found
+    val probes = ranked.filter(col("vec_id") % 10 === 0 && col("arnk") <= NPROBE)
+      .select(col("vec_id").as("new_id"), col("clabel").as("list_id"))
+    val close = probes.join(corpus, Seq("list_id"))
+      .join(vecs.select(col("vec_id").as("new_id"), col("qv").as("qa"), col("n2").as("na")),
+        Seq("new_id"))
+      .join(vecs.select(col("vec_id").as("corpus_id"), col("qv").as("qb"), col("n2").as("nb")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= SEM_T)
+    val nn = close.groupBy(col("new_id")).agg(min(col("corpus_id")).as("dup_of"))
+    assigned.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("list_id"))
+      .join(nn, col("vec_id") === col("new_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** Dev diagnostic (Dev `ivfprof`): member count per (list_id, sub)
     * sublist of the subsplit IVF assignment — the scale evidence that
     * semDedup's pair generation stays bounded regardless of corpus
@@ -257,7 +298,8 @@ object SimilarityQueries extends graft.QueryModule {
     "q_knn_recall" -> knnRecall,
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf,
-    "q_semdedup" -> semDedup
+    "q_semdedup" -> semDedup,
+    "q_semdedup_incremental" -> semDedupIncremental
   )
 
   private val compsCte: String =
@@ -268,6 +310,31 @@ object SimilarityQueries extends graft.QueryModule {
       |  FROM embeddings
       |), norms AS (
       |  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+      |)""".stripMargin
+
+  /** Shared oracle CTE block: centroid build, affinity ranking, and the
+    * rank-1 assignment — mirrored by q_knn_ivf, q_semdedup, and
+    * q_semdedup_incremental (assumes `$compsCte` precedes it).
+    */
+  private val ivfAssignCte: String =
+    """cent AS (
+      |  SELECT label, p, CAST(sum(q) AS BIGINT) AS sumq FROM q GROUP BY label, p
+      |), cent_norm AS (
+      |  SELECT label, CAST(sum(sumq * sumq) AS BIGINT) AS c2 FROM cent GROUP BY label
+      |), aff AS (
+      |  SELECT v.vec_id AS vid, c.label AS clabel,
+      |         CAST(sum(v.q * c.sumq) AS DOUBLE) /
+      |           (sqrt(CAST(vn.n2 AS DOUBLE)) * sqrt(CAST(cn.c2 AS DOUBLE))) AS aff
+      |  FROM q v
+      |  JOIN cent c ON v.p = c.p
+      |  JOIN norms vn ON vn.vec_id = v.vec_id
+      |  JOIN cent_norm cn ON cn.label = c.label
+      |  GROUP BY v.vec_id, c.label, vn.n2, cn.c2
+      |), assigned AS (
+      |  SELECT vid AS vec_id, clabel AS list_id FROM (
+      |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS arnk
+      |    FROM aff
+      |  ) x WHERE arnk = 1
       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -300,25 +367,8 @@ object SimilarityQueries extends graft.QueryModule {
     "q_knn_ivf" -> ivfOracle,
     "q_semdedup" ->
       s"""WITH $compsCte,
-        |cent AS (
-        |  SELECT label, p, CAST(sum(q) AS BIGINT) AS sumq FROM q GROUP BY label, p
-        |), cent_norm AS (
-        |  SELECT label, CAST(sum(sumq * sumq) AS BIGINT) AS c2 FROM cent GROUP BY label
-        |), aff AS (
-        |  SELECT v.vec_id AS vid, c.label AS clabel,
-        |         CAST(sum(v.q * c.sumq) AS DOUBLE) /
-        |           (sqrt(CAST(vn.n2 AS DOUBLE)) * sqrt(CAST(cn.c2 AS DOUBLE))) AS aff
-        |  FROM q v
-        |  JOIN cent c ON v.p = c.p
-        |  JOIN norms vn ON vn.vec_id = v.vec_id
-        |  JOIN cent_norm cn ON cn.label = c.label
-        |  GROUP BY v.vec_id, c.label, vn.n2, cn.c2
-        |), assigned AS (
-        |  SELECT vid AS vec_id, clabel AS list_id FROM (
-        |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS arnk
-        |    FROM aff
-        |  ) x WHERE arnk = 1
-        |), asub AS (
+        |$ivfAssignCte,
+        |asub AS (
         |  SELECT a.vec_id, a.list_id,
         |         ('0x' || substr(md5('sub:' || CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
         |           % CAST(c.n_sub AS UBIGINT) AS sub
@@ -344,7 +394,37 @@ object SimilarityQueries extends graft.QueryModule {
         |), nn AS (SELECT vb AS vec_id, min(va) AS dup_of FROM close GROUP BY vb)
         |SELECT a.vec_id, a.list_id,
         |       (n.dup_of IS NULL) AS kept, n.dup_of
-        |FROM assigned a LEFT JOIN nn n ON n.vec_id = a.vec_id""".stripMargin
+        |FROM assigned a LEFT JOIN nn n ON n.vec_id = a.vec_id""".stripMargin,
+    "q_semdedup_incremental" ->
+      s"""WITH $compsCte,
+        |$ivfAssignCte,
+        |probes AS (
+        |  SELECT vid AS new_id, clabel AS list_id FROM (
+        |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS prnk
+        |    FROM aff WHERE vid % 10 = 0
+        |  ) x WHERE prnk <= $NPROBE
+        |), corpus AS (
+        |  SELECT vec_id AS corpus_id, list_id FROM assigned WHERE vec_id % 10 <> 0
+        |), cand AS (
+        |  SELECT p.new_id, c.corpus_id
+        |  FROM probes p JOIN corpus c ON p.list_id = c.list_id
+        |), dots AS (
+        |  SELECT cd.new_id, cd.corpus_id, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |  FROM cand cd
+        |  JOIN q x ON x.vec_id = cd.new_id
+        |  JOIN q y ON y.vec_id = cd.corpus_id AND x.p = y.p
+        |  GROUP BY 1, 2
+        |), close AS (
+        |  SELECT new_id, corpus_id FROM dots
+        |  JOIN norms na ON na.vec_id = new_id
+        |  JOIN norms nb ON nb.vec_id = corpus_id
+        |  WHERE CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= $SEM_T
+        |), nn AS (SELECT new_id AS vec_id, min(corpus_id) AS dup_of FROM close GROUP BY new_id)
+        |SELECT a.vec_id, a.list_id,
+        |       (n.dup_of IS NULL) AS kept, n.dup_of
+        |FROM assigned a LEFT JOIN nn n ON n.vec_id = a.vec_id
+        |WHERE a.vec_id % 10 = 0""".stripMargin
   )
 
   private lazy val bruteOracle: String =
@@ -369,25 +449,8 @@ object SimilarityQueries extends graft.QueryModule {
 
   private lazy val ivfOracle: String =
       s"""WITH $compsCte,
-        |cent AS (
-        |  SELECT label, p, CAST(sum(q) AS BIGINT) AS sumq FROM q GROUP BY label, p
-        |), cent_norm AS (
-        |  SELECT label, CAST(sum(sumq * sumq) AS BIGINT) AS c2 FROM cent GROUP BY label
-        |), aff AS (
-        |  SELECT v.vec_id AS vid, c.label AS clabel,
-        |         CAST(sum(v.q * c.sumq) AS DOUBLE) /
-        |           (sqrt(CAST(vn.n2 AS DOUBLE)) * sqrt(CAST(cn.c2 AS DOUBLE))) AS aff
-        |  FROM q v
-        |  JOIN cent c ON v.p = c.p
-        |  JOIN norms vn ON vn.vec_id = v.vec_id
-        |  JOIN cent_norm cn ON cn.label = c.label
-        |  GROUP BY v.vec_id, c.label, vn.n2, cn.c2
-        |), assigned AS (
-        |  SELECT vid AS vec_id, clabel AS list_id FROM (
-        |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS arnk
-        |    FROM aff
-        |  ) x WHERE arnk = 1
-        |), probes AS (
+        |$ivfAssignCte,
+        |probes AS (
         |  SELECT vid AS query_id, clabel AS list_id FROM (
         |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS prnk
         |    FROM aff WHERE vid < $NQ

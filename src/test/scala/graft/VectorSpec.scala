@@ -108,6 +108,20 @@ class VectorSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semDedupIncremental invariants: batch ids only, dup_of is always a corpus id, kept iff no dup_of") {
+    val out = graft.operators.SimilarityQueries.semDedupIncremental(spark, sf0001).cache()
+    // output covers exactly the arriving batch
+    val batchN = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(out.count() == batchN)
+    assert(out.filter(col("vec_id") % 10 =!= 0).count() == 0)
+    assert(out.filter(col("kept") =!= col("dup_of").isNull).count() == 0)
+    // a duplicate's survivor is always an EXISTING corpus vector,
+    // never another batch member (batch x corpus, no batch self-pairs)
+    assert(out.filter(col("dup_of").isNotNull && col("dup_of") % 10 === 0).count() == 0)
+    out.unpersist()
+  }
+
   test("brute-force KNN self-consistency: neighbors ranked by descending cosine") {
     val knn = graft.operators.SimilarityQueries.knnBrute(spark, sf0001)
     val w = org.apache.spark.sql.expressions.Window
