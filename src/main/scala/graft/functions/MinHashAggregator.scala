@@ -15,32 +15,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffle carries one small signature per group per partition — at
   * 100 TB that is the difference between shuffling rows and shuffling
   * sketches.
+  *
+  * Signatures are the numeric KM double-hash orders (values in
+  * [0, 2^32), see [[TextFunctions.minhashOrder]]); callers must feed
+  * only documents with a non-empty shingle set (so no element is
+  * NULL) — Long.MaxValue is the merge identity and can only surface
+  * for a group with zero input rows, which groupBy never produces.
   */
 class MinHashAggregator(numHashes: Int)
-    extends Aggregator[Seq[String], Array[String], Seq[String]] {
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
 
-  override def zero: Array[String] = Array.fill(numHashes)(null)
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
-  private def mergeInto(buf: Array[String], sig: Seq[String]): Array[String] = {
+  private def mergeInto(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
     var i = 0
     while (i < numHashes) {
-      val v = sig(i)
-      if (buf(i) == null || (v != null && v < buf(i))) buf(i) = v
+      if (sig(i) < buf(i)) buf(i) = sig(i)
       i += 1
     }
     buf
   }
 
-  override def reduce(buf: Array[String], sig: Seq[String]): Array[String] =
+  override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] =
     mergeInto(buf, sig)
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] =
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     mergeInto(a, b.toSeq)
 
-  override def finish(buf: Array[String]): Seq[String] = buf.toSeq
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
-  override def bufferEncoder: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
-  override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

@@ -32,20 +32,26 @@ object TextFunctions {
   /** md5 of every element. */
   def md5All(arr: Column): Column = transform(arr, x => md5(x))
 
-  /** Order-i MinHash value from per-element digests: min over the
-    * 8-hex-char window at offset 3*i of each 32-char md5. All 9 orders
-    * derive from ONE digest per element (compute [[md5All]] once and
-    * reuse — 9x fewer md5 evaluations than seeded re-hashing), at the
-    * cost of window overlap correlation between adjacent orders;
-    * measured recall on the fixture's planted pairs is identical to
-    * the 9-seed scheme (25/25 at sf0.01, same candidate volume).
-    * Windows: order i reads chars [1+3i, 8+3i], order 8 ending exactly
-    * at char 32. DuckDB expresses the same as
-    * `min(substr(md5(s), 1+3*i, 8))`.
+  /** Order-i MinHash value from per-element digests, by
+    * Kirsch-Mitzenmacher double hashing: g_i(x) = (h1(x) + i*h2(x))
+    * mod 2^32 with h1 = md5 hex chars [1,8] and h2 = chars [17,24] —
+    * two DISJOINT windows, so the 9 orders are pairwise-independent
+    * linear combinations, not overlapping windows of one digest (the
+    * pre-r6 stride-3 windows shared 5 of 8 chars between adjacent
+    * orders, silently breaking the b x r banding recall estimate for
+    * mid-similarity pairs). All 9 orders still derive from ONE digest
+    * per element (compute [[md5All]] once and reuse — 9x fewer md5
+    * evaluations than seeded re-hashing). h1 + 8*h2 < 2^36 fits a
+    * long exactly; the mod keeps every order in [0, 2^32). DuckDB
+    * expresses the same as
+    * `min(CAST((('0x'||substr(md5(s),1,8))::UBIGINT +
+    *   i*('0x'||substr(md5(s),17,8))::UBIGINT) % 4294967296 AS BIGINT))`.
     */
   def minhashOrder(digests: Column, i: Int): Column = {
     require(i >= 0 && i <= 8, s"minhash order must be 0..8, got $i")
-    array_min(transform(digests, d => substring(d, 1 + 3 * i, 8)))
+    array_min(transform(digests, d =>
+      (conv(substring(d, 1, 8), 16, 10).cast("long") +
+        lit(i.toLong) * conv(substring(d, 17, 8), 16, 10).cast("long")) % lit(4294967296L)))
   }
 
   /** Winnowing minima: for each position, the min of the `window`

@@ -94,11 +94,12 @@ object DedupQueries extends graft.QueryModule {
 
 
   // ===== MinHash + LSH banding + exact verify =====
-  // 9 MinHash orders (8-hex-char windows of ONE md5 per shingle — see
-  // TextFunctions.minhashOrder), 3 bands x 3 rows -> candidate pairs
-  // sharing any band, then exact-Jaccard verification of candidates
-  // only. Banding makes the candidate join an equi-join, so cost
-  // tracks the number of true near-dups, not n^2.
+  // 9 MinHash orders — Kirsch-Mitzenmacher double hashes (h1 + i*h2)
+  // mod 2^32 of ONE md5 per shingle, see TextFunctions.minhashOrder —
+  // 3 bands x 3 rows -> candidate pairs sharing any band, then
+  // exact-Jaccard verification of candidates only. Banding makes the
+  // candidate join an equi-join, so cost tracks the number of true
+  // near-dups, not n^2.
 
   /** Duplicate classes + verified representative near-dup pairs,
     * memoized per (session, sf-dir): the collapse-first backbone that
@@ -155,10 +156,10 @@ object DedupQueries extends graft.QueryModule {
     * frame — shared by the all-pairs and incremental pipelines (one
     * definition, so a b/r banding retune can't silently diverge).
     * Two projections: the per-shingle digests materialize ONCE, then
-    * the 9 window-min orders read them (Catalyst keeps the digest
-    * alias un-inlined because it is non-cheap and referenced 9 times
-    * — the md5 transform runs once per row, not 9x; MinHashDigestSpec
-    * pins that plan property).
+    * the 9 KM double-hash order minima read them (Catalyst keeps the
+    * digest alias un-inlined because it is non-cheap and referenced 9
+    * times — the md5 transform runs once per row, not 9x;
+    * MinHashDigestSpec pins that plan property).
     */
   private[graft] def minhashSig(sh: DataFrame, idCol: String): DataFrame = {
     import graft.functions.TextFunctions
@@ -168,16 +169,27 @@ object DedupQueries extends graft.QueryModule {
           (0 until 9).map(i => TextFunctions.minhashOrder(col("__dig"), i).as(s"m$i")): _*)
   }
 
-  /** 3-band (band_id, band_key) rows from a m0..m8 signature frame. */
-  private[graft] def bandKeys(sig: DataFrame, idCol: String): DataFrame =
+  /** 3-band (band_id, band_key) rows from a m0..m8 signature frame.
+    * The key joins the band's three numeric orders with a separator —
+    * without one, variable-length decimal renderings could collide
+    * ("1"+"23" = "12"+"3"), admitting spurious candidates the oracle
+    * wouldn't propose. `concat` (NOT concat_ws) so a shingle-less
+    * doc's NULL orders yield a NULL key that the candidate equi-join
+    * drops — exactly what `m0 || '_' || m1 || '_' || m2` does in the
+    * oracle; concat_ws would silently bucket every empty doc together.
+    */
+  private[graft] def bandKeys(sig: DataFrame, idCol: String): DataFrame = {
+    def key(a: String, b: String, c: String) = concat(
+      col(a).cast("string"), lit("_"), col(b).cast("string"), lit("_"), col(c).cast("string"))
     sig.select(
       col(idCol),
       explode(array(
-        struct(lit(0).as("band_id"), concat(col("m0"), col("m1"), col("m2")).as("band_key")),
-        struct(lit(1).as("band_id"), concat(col("m3"), col("m4"), col("m5")).as("band_key")),
-        struct(lit(2).as("band_id"), concat(col("m6"), col("m7"), col("m8")).as("band_key"))
+        struct(lit(0).as("band_id"), key("m0", "m1", "m2").as("band_key")),
+        struct(lit(1).as("band_id"), key("m3", "m4", "m5").as("band_key")),
+        struct(lit(2).as("band_id"), key("m6", "m7", "m8").as("band_key"))
       )).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
 
   /** Candidate pairs sharing any (band_id, band_key): the LSH propose
     * step, one equi-join + distinct — shared by the all-pairs pipeline
@@ -234,11 +246,11 @@ object DedupQueries extends graft.QueryModule {
     // self-join below read this frame, and the signature build is the
     // dominant cost of the whole pipeline — uncached it runs twice
     // (the same self-join-over-derived-index lesson as the ngram
-    // prefix index). Since r5 the 9 orders share ONE md5 per shingle
-    // (TextFunctions.minhashOrder) — 9x less hash CPU; stage wall
-    // 1.1s -> 0.73s at sf0.1, recall on planted pairs unchanged
-    // (25/25 at sf0.01, 256/256 at sf0.1, zero extras, vs exact
-    // ground truth).
+    // prefix index). The 9 orders share ONE md5 per shingle — 9x less
+    // hash CPU than seeded re-hashing — and since r6 are decorrelated
+    // KM double hashes (TextFunctions.minhashOrder), restoring the
+    // b x r banding independence assumption; recall on planted pairs
+    // re-measured vs exact ground truth at both sfs after the change.
     val sig = scope.cached(minhashSig(shArr, "doc_id"))
     val cand = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
     jaccardVerify(cand, shArr, 4, 5) // jaccard >= 0.8
@@ -593,8 +605,8 @@ object DedupQueries extends graft.QueryModule {
     * Band keys are computed for both sides, but the candidate join is
     * strictly batch x corpus, so per-ingest cost tracks the batch
     * size; at scale the corpus band index is a persisted table the
-    * batch probes. Same 9-seed signatures / banding / exact-verify
-    * arithmetic as [[dedupMinhash]].
+    * batch probes. Same 9 KM double-hash orders of one md5 per
+    * shingle / banding / exact-verify arithmetic as [[dedupMinhash]].
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingles(spark, dir)
@@ -836,6 +848,17 @@ object DedupQueries extends graft.QueryModule {
 
   private lazy val minhashOracle: String = oraclesBase("q_dedup_minhash")
 
+  /** The 9 KM double-hash order minima as oracle select items —
+    * mirrors [[graft.functions.TextFunctions.minhashOrder]] exactly:
+    * order i = (h1 + i*h2) mod 2^32, h1/h2 the disjoint md5 hex
+    * windows [1,8] and [17,24]. ONE definition feeds every sig CTE so
+    * the scheme can never diverge between oracles.
+    */
+  private lazy val sigSqlItems: String = (0 until 9).map(i =>
+    s"min(CAST((('0x' || substr(md5(s), 1, 8))::UBIGINT + $i * " +
+      s"('0x' || substr(md5(s), 17, 8))::UBIGINT) % 4294967296 AS BIGINT)) AS m$i")
+    .mkString(",\n         ")
+
   /** Shared recursive-CTE prelude computing the per-doc cluster labels
     * (same transitive closure as the q_dedup_clusters oracle).
     */
@@ -872,14 +895,12 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH $shinglesCte,
         |sig AS (
         |  SELECT doc_id,
-        |         min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
-        |         min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
-        |         min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
+        |         $sigSqlItems
         |  FROM sh GROUP BY doc_id
         |), bands AS (
-        |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, m3 || m4 || m5 FROM sig
-        |  UNION ALL SELECT doc_id, 2, m6 || m7 || m8 FROM sig
+        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
         |  FROM bands x JOIN bands y
@@ -931,9 +952,7 @@ object DedupQueries extends graft.QueryModule {
         |  SELECT d.lang, s.s FROM sh s JOIN documents d ON d.doc_id = s.doc_id
         |)
         |SELECT lang,
-        |       min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
-        |       min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
-        |       min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
+        |       $sigSqlItems
         |FROM langsh GROUP BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -942,14 +961,12 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH $shinglesCte,
         |sig AS (
         |  SELECT doc_id,
-        |         min(substr(md5(s), 1, 8)) AS m0, min(substr(md5(s), 4, 8)) AS m1, min(substr(md5(s), 7, 8)) AS m2,
-        |         min(substr(md5(s), 10, 8)) AS m3, min(substr(md5(s), 13, 8)) AS m4, min(substr(md5(s), 16, 8)) AS m5,
-        |         min(substr(md5(s), 19, 8)) AS m6, min(substr(md5(s), 22, 8)) AS m7, min(substr(md5(s), 25, 8)) AS m8
+        |         $sigSqlItems
         |  FROM sh GROUP BY doc_id
         |), bands AS (
-        |  SELECT doc_id, 0 AS band_id, m0 || m1 || m2 AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, m3 || m4 || m5 FROM sig
-        |  UNION ALL SELECT doc_id, 2, m6 || m7 || m8 FROM sig
+        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y

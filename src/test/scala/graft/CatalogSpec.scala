@@ -61,10 +61,10 @@ class CatalogSpec extends SparkSpec {
     // went quadratic; this is the guard that keeps it from landing.
     // (q_bm25 and q_tfidf cross-join a single-row corpus-stats
     // aggregate; q_knn_recall composes the two ANN pipelines;
-    // q_semdedup reads the same broadcast 10-row centroid crossJoin
-    // as q_knn_ivf via the shared IVF index)
+    // q_semdedup and q_semdedup_incremental read the same broadcast
+    // 10-row centroid crossJoin as q_knn_ivf via the shared IVF index)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
-      "q_tfidf", "q_semdedup")
+      "q_tfidf", "q_semdedup", "q_semdedup_incremental")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -1,13 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.Md5
 import graft.functions.TextFunctions
 
 /** The single-digest MinHash scheme: one md5 per shingle feeding all
-  * 9 window-min orders — the plan property (digest not re-inlined per
-  * order) and the window geometry the DuckDB oracle mirrors.
+  * 9 Kirsch-Mitzenmacher double-hash orders — the plan property
+  * (digest not re-inlined per order) and the (h1 + i*h2) mod 2^32
+  * arithmetic the DuckDB oracle mirrors.
   */
 class MinHashDigestSpec extends SparkSpec {
+
+  /** g_i(d) per the KM scheme: h1 = hex chars [0,8), h2 = [16,24). */
+  private def km(digest: String, i: Int): Long =
+    (java.lang.Long.parseLong(digest.substring(0, 8), 16) +
+      i.toLong * java.lang.Long.parseLong(digest.substring(16, 24), 16)) % 4294967296L
 
   test("the signature projection evaluates md5 once, not once per order") {
     // a parquet-backed frame — a local Seq would constant-fold the
@@ -20,14 +27,18 @@ class MinHashDigestSpec extends SparkSpec {
       .select(col("doc_id"), TextFunctions.md5All(col("sh_arr")).as("__dig"))
       .select(col("doc_id") +:
         (0 until 9).map(i => TextFunctions.minhashOrder(col("__dig"), i).as(s"m$i")): _*)
-    val plan = sig.queryExecution.executedPlan.toString
-    // CollapseProject must NOT inline the non-cheap digest transform
-    // into its 9 consumers — one md5 in the plan, not nine
-    val md5Count = "md5".r.findAllIn(plan).length
-    assert(md5Count == 1, s"expected 1 md5 in plan, found $md5Count:\n$plan")
+    // count Md5 expression NODES by traversing the optimized plan —
+    // CollapseProject must not inline the non-cheap digest transform
+    // into its 9 consumers. (Traversal, not plan-string regex: a Spark
+    // upgrade changing plan rendering must not flip this test.)
+    val md5Count = sig.queryExecution.optimizedPlan
+      .collect { case node =>
+        node.expressions.map(_.collect { case m: Md5 => m }.size).sum }
+      .sum
+    assert(md5Count == 1, s"expected 1 Md5 node in the optimized plan, found $md5Count")
   }
 
-  test("orders are 8-char windows at stride 3, order 8 ending at char 32") {
+  test("order i is (h1 + i*h2) mod 2^32 over the disjoint digest windows") {
     import spark.implicits._
     val df = Seq(Seq("x")).toDF("sh_arr")
       .select(TextFunctions.md5All(col("sh_arr")).as("dig"))
@@ -36,17 +47,20 @@ class MinHashDigestSpec extends SparkSpec {
     val orders = df.select(
       (0 until 9).map(i => TextFunctions.minhashOrder(col("dig"), i).as(s"m$i")): _*)
       .head()
-    for (i <- 0 until 9) {
-      val want = digest.substring(3 * i, 3 * i + 8) // 0-based [3i, 3i+8)
-      assert(orders.getString(i) == want, s"order $i window mismatch")
-    }
+    for (i <- 0 until 9)
+      assert(orders.getLong(i) == km(digest, i), s"order $i KM arithmetic mismatch")
+    // the windows are disjoint, so consecutive orders differ by
+    // exactly h2 (mod 2^32) — the linear structure KM guarantees
+    val h2 = java.lang.Long.parseLong(digest.substring(16, 24), 16)
+    for (i <- 1 until 9)
+      assert((orders.getLong(i - 1) + h2) % 4294967296L == orders.getLong(i))
   }
 
-  test("each order takes the min over its own windows, not the min digest's window") {
+  test("each order takes the min over its own hash, not the min digest's") {
     import spark.implicits._
-    // two shingles whose digests order differently in different
-    // windows — the per-order min must be windowwise, which is what
-    // makes the orders (partially) independent permutations
+    // several shingles whose digests order differently under different
+    // orders — the per-order min must be orderwise, which is what
+    // makes the orders independent permutations
     val df = Seq(Seq("a", "b", "c", "d", "e")).toDF("sh_arr")
       .select(TextFunctions.md5All(col("sh_arr")).as("dig"))
     val digs = df.select(col("dig")).head().getSeq[String](0)
@@ -54,13 +68,13 @@ class MinHashDigestSpec extends SparkSpec {
       (0 until 9).map(i => TextFunctions.minhashOrder(col("dig"), i).as(s"m$i")): _*)
       .head()
     for (i <- 0 until 9) {
-      val want = digs.map(_.substring(3 * i, 3 * i + 8)).min
-      assert(got.getString(i) == want)
+      val want = digs.map(km(_, i)).min
+      assert(got.getLong(i) == want)
     }
     // sanity: at least two different digests supply the 9 minima on
-    // this fixture (if one digest won every window the independence
+    // this fixture (if one digest won every order the independence
     // claim would be untested)
-    val winners = (0 until 9).map(i => digs.minBy(_.substring(3 * i, 3 * i + 8)))
+    val winners = (0 until 9).map(i => digs.minBy(km(_, i)))
     assert(winners.distinct.size >= 2)
   }
 }

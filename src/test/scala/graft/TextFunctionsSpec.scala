@@ -20,7 +20,7 @@ class TextFunctionsSpec extends SparkSpec {
       (2, Array("a b c", "x y z"))).toDF("id", "sh")
       .select(col("id"),
         TextFunctions.minhashOrder(TextFunctions.md5All(col("sh")), 0).as("m"))
-    val ms = df.orderBy("id").collect().map(_.getString(1))
+    val ms = df.orderBy("id").collect().map(_.getLong(1))
     assert(ms(0) == ms(1))
   }
 
