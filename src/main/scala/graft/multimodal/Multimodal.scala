@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -102,6 +102,29 @@ object Multimodal {
         lit(width).as("width"), lit(height).as("height"),
         col("meta.format").as("format"), col("meta.n_frames").as("n_frames")))
 
+  /** All 4-byte grams of a payload's hex encoding (8 hex chars at byte
+    * stride 1), the shingle set of the fuzzy-hash dedup below: the
+    * binary analog of word shingles — shift-invariant (an insertion
+    * only perturbs grams that straddle it), so near-identical payloads
+    * keep a high gram-set Jaccard while unrelated payloads from the
+    * same byte distribution do not. (A histogram feature cannot make
+    * that distinction: measured on the fixture, planted near-dup
+    * pairs' histogram cosine (min 0.9965) sits BELOW the background
+    * maximum (0.9987) for 16-bin, 256-bin, and 4x16-block variants —
+    * same-distribution payloads are indistinguishable by any
+    * content-blind histogram, which is why the media path shares the
+    * gram machinery with text dedup instead of banding decodeStub's
+    * histogram.)
+    */
+  def byteGrams(payload: Column): Column = {
+    val h = hex(payload)
+    when(length(h) >= 8,
+      transform(
+        sequence(lit(0), ((length(h) - lit(8)) / lit(2)).cast("int")),
+        i => h.substr(i * lit(2) + lit(1), lit(8))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Frame sampling: one output row per kept frame (every `everyN`-th),
     * payload sliced per frame — the explode shape a video pipeline uses.
     */
@@ -152,10 +175,41 @@ object MultimodalQueries extends graft.QueryModule {
 
   private val RESIZE_W = 32
 
+  /** Perceptual near-dup over the media payloads — the fuzzy-hash
+    * (ssdeep-family) design: MinHash-LSH over the payload's byte
+    * 4-gram set (see [[Multimodal.byteGrams]] for why grams, not
+    * histograms), then exact gram-Jaccard verification at 0.7 of the
+    * proposed candidates only. Reuses the text pipeline's signature /
+    * banding / verify machinery verbatim — one LSH implementation
+    * serves both modalities, which is exactly what an opaque binary
+    * column buys: the dedup layer never needs to decode.
+    *
+    * Scale: identical shape to dedupMinhash — map-only gram+signature
+    * build, banded equi-join proposal, row-level array_intersect
+    * verify; cost tracks true near-dups, not n^2. The gram/signature
+    * frames are memoized per (session, dir) like every shared index.
+    */
+  def dedupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupQueries
+    val (grams, sig) = graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "media.fuzzyIndex", spark, dir) { scope =>
+      val g = scope.cached(Multimodal.mediaTable(spark, dir)
+        .select(col("media_id").as("doc_id"),
+          array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
+        .filter(size(col("sh_arr")) > 0))
+      // cached: both sides of the band self-join read the signatures
+      (g, scope.cached(DedupQueries.minhashSig(g, "doc_id")))
+    }
+    val cand = DedupQueries.bandCandidates(DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
+    DedupQueries.jaccardVerify(cand, grams, 7, 10) // gram jaccard >= 0.7
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSampleQ,
-    "q_resize_features" -> resizeFeatures
+    "q_resize_features" -> resizeFeatures,
+    "q_dedup_media" -> dedupMedia
   )
 
   /** Shared low-nibble histogram oracle: recount payload bytes from
@@ -218,6 +272,44 @@ object MultimodalQueries extends graft.QueryModule {
         |            AS BIGINT) AS frame_len
         |FROM f""".stripMargin,
     "q_resize_features" -> nibbleHistOracle(Some(RESIZE_W)),
-    "q_media_features" -> nibbleHistOracle(None)
+    "q_media_features" -> nibbleHistOracle(None),
+    // byte 4-grams = 8-hex-char windows at even offsets of the
+    // payload hex (both engines render uppercase hex); signature /
+    // bands / verify mirror q_dedup_minhash's oracle with the shared
+    // sigSqlItems definition, threshold 0.7 via 17c >= 7(na+nb)
+    "q_dedup_media" ->
+      s"""WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, substr(h, 2 * i + 1, 8) AS s
+        |  FROM hx, LATERAL (SELECT unnest(range(0, (length(h) - 8) // 2 + 1)) AS i) t
+        |  WHERE length(h) >= 8
+        |), sh AS (SELECT DISTINCT doc_id, s FROM g0),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${graft.operators.DedupQueries.sigSqlItems}
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT media_a, media_b, count(*) AS c
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = media_a
+        |  JOIN sh sb ON sb.doc_id = media_b AND sa.s = sb.s
+        |  GROUP BY media_a, media_b
+        |)
+        |SELECT media_a, media_b,
+        |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes za ON za.doc_id = media_a
+        |JOIN sizes zb ON zb.doc_id = media_b
+        |WHERE 17 * c >= 7 * (za.n_sh + zb.n_sh)""".stripMargin
   )
 }

@@ -854,7 +854,7 @@ object DedupQueries extends graft.QueryModule {
     * windows [1,8] and [17,24]. ONE definition feeds every sig CTE so
     * the scheme can never diverge between oracles.
     */
-  private lazy val sigSqlItems: String = (0 until 9).map(i =>
+  private[graft] lazy val sigSqlItems: String = (0 until 9).map(i =>
     s"min(CAST((('0x' || substr(md5(s), 1, 8))::UBIGINT + $i * " +
       s"('0x' || substr(md5(s), 17, 8))::UBIGINT) % 4294967296 AS BIGINT)) AS m$i")
     .mkString(",\n         ")

@@ -47,6 +47,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").length <= 16)
   }
 
+  test("byteGrams: byte-aligned 8-hex windows, shift-invariant, empty under 4 bytes") {
+    import spark.implicits._
+    val grams = Seq(("abcdef", 1), ("abc", 2), ("Xabcdef", 3)).toDF("t", "id")
+      .select(col("id"), Multimodal.byteGrams(col("t").cast("binary")).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    // "abcdef" -> 3 grams of 4 bytes each, hex-encoded uppercase
+    assert(grams(1) == Seq("61626364", "62636465", "63646566"))
+    assert(grams(2).isEmpty) // shorter than one gram
+    // a 1-byte prefix insertion preserves every original gram
+    // (shift-invariance: only grams straddling the edit change)
+    assert(grams(1).toSet.subsetOf(grams(3).toSet))
+  }
+
+  test("dedupMedia finds the fixture's near-identical payloads, pairs verified at gram jaccard >= 0.7") {
+    val out = graft.multimodal.MultimodalQueries.dedupMedia(spark, sf0001).cache()
+    assert(out.filter(col("jaccard") < 0.7).count() == 0)
+    assert(out.filter(col("media_a") >= col("media_b")).count() == 0)
+    // the fixture plants near-dup documents; their payloads must pair
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
   test("frame sampling emits every Nth frame with sliced payload") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val frames = Multimodal.frameSample(media, everyN = 4)
