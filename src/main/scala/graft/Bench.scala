@@ -59,14 +59,19 @@ object Bench {
     // numbers incomparable across rounds (r4's gate flagged an
     // untouched query for exactly this). A fixed order keeps every
     // round's cost attribution stable.
-    // Each query runs TWICE: the first (cold) execution carries
+    // Each query runs THREE times: the first (cold) execution carries
     // whatever one-time cost lands on it — table first-scan, shared
-    // materializations the dedup/text families reuse — and the second
-    // (steady) execution is the query's own repeatable plan cost.
+    // materializations the dedup/text families reuse — and the
+    // recorded steady number is the MIN of two further executions.
     // Keeping both stops shared-build attribution (one consumer pays
     // ~3s the whole family amortizes) from masquerading as a per-query
     // regression across rounds: the gate compares steady, the cold
-    // total stays comparable with pre-r5 artifacts.
+    // total stays comparable with pre-r5 artifacts. Min-of-2 (round
+    // 5's lesson): a single steady execution on a loaded box recorded
+    // q_dedup_ngram at 8.74s steady vs 0.90s idle — steady > cold is
+    // physically impossible for a memoized-build query, so one noisy
+    // sample must never BE the committed artifact; the min of two
+    // samples is the plan-cost estimator (box noise only ever adds).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -76,7 +81,13 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (cold, coldErr) = once()
-      val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else once()
+      val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else {
+        val (s1, e1) = once()
+        if (e1.isDefined) (s1, e1) else {
+          val (s2, e2) = once()
+          if (e2.isDefined) (s2, e2) else (math.min(s1, s2), None)
+        }
+      }
       (name, cold, coldErr, steady, coldErr.orElse(steadyErr))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -97,7 +108,15 @@ object Bench {
     // (a failed attempt's elapsed time is time-to-failure garbage)
     val total = results.collect { case (_, cold, None, _, _) => cold }.sum
     val steadyTotal = results.collect { case (_, _, _, steady, None) => steady }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    // stamp the box's 1/5/15-min load averages so a load-skewed run is
+    // self-identifying in the committed artifact (round 5's official
+    // steady numbers carried ~11s of box noise nobody could see)
+    val loadavg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":2,"loadavg":${jstr(loadavg)},"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was
     // a truncated stdout tail and the regression gate had nothing to

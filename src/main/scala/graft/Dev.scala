@@ -223,6 +223,32 @@ object Dev {
           new Directory(new java.io.File(out)).deleteRecursively()
           ()
         }
+      case "mediaprof" :: dir :: Nil =>
+        // stage timing of the media fuzzy-dedup pipeline
+        import org.apache.spark.sql.functions._
+        def t(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"${(System.nanoTime() - t0) / 1e9}%6.2fs  $label (n=$n)")
+        }
+        val media = graft.multimodal.Multimodal.mediaTable(spark, dir)
+        t("media table scan")(media.count())
+        val g = media.select(col("media_id").as("doc_id"),
+          array_distinct(graft.multimodal.Multimodal.byteGrams(col("payload"))).as("sh_arr"))
+          .filter(size(col("sh_arr")) > 0)
+        t("gram build (no cache)")(g.count())
+        val gc = g.cache()
+        t("gram cache build")(gc.count())
+        t("gram cache reread")(gc.count())
+        import graft.operators.DedupQueries
+        val sig = DedupQueries.minhashSig(gc, "doc_id").cache()
+        t("signatures")(sig.count())
+        val cand = DedupQueries.bandCandidates(DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
+        t("band join")(cand.count())
+        t("verify")(DedupQueries.jaccardVerify(cand, gc, 7, 10).count())
+        t("full query (memoized)")(SparkEntry.queries("q_dedup_media")(spark, dir).count())
+        t("full query again")(SparkEntry.queries("q_dedup_media")(spark, dir).count())
+        gc.unpersist(); sig.unpersist()
       case "ivfprof" :: dir :: rest =>
         // Per-sublist profile of the subsplit IVF assignment at an
         // optionally stacked corpus ("ivfprof <dir> 100" = 100x): the

@@ -102,28 +102,46 @@ object Multimodal {
         lit(width).as("width"), lit(height).as("height"),
         col("meta.format").as("format"), col("meta.n_frames").as("n_frames")))
 
-  /** All 4-byte grams of a payload's hex encoding (8 hex chars at byte
-    * stride 1), the shingle set of the fuzzy-hash dedup below: the
-    * binary analog of word shingles — shift-invariant (an insertion
-    * only perturbs grams that straddle it), so near-identical payloads
-    * keep a high gram-set Jaccard while unrelated payloads from the
-    * same byte distribution do not. (A histogram feature cannot make
-    * that distinction: measured on the fixture, planted near-dup
-    * pairs' histogram cosine (min 0.9965) sits BELOW the background
-    * maximum (0.9987) for 16-bin, 256-bin, and 4x16-block variants —
+  /** Fuzzy-hash gram width in bytes. The choice is measured, not
+    * guessed (all numbers at sf0.1 vs the exact gram-Jaccard ground
+    * truth): 4-byte grams give planted-pair Jaccard >= 0.84 but a
+    * BACKGROUND Jaccard of ~0.3-0.44 between unrelated same-
+    * distribution payloads — high enough that 3x3 MinHash banding
+    * proposes ~870k candidate pairs from 5000 media (quadratic, the
+    * LSH defeated). 8-byte grams keep planted pairs at >= 0.83 while
+    * background drops to <= 0.14, so banding proposes only ~4k
+    * candidates and the candidate volume tracks true near-dups again.
+    */
+  val GRAM_BYTES = 8
+
+  /** All GRAM_BYTES-byte grams of a payload, hex-encoded (byte stride
+    * 1) — the shingle set of the fuzzy-hash dedup below: the binary
+    * analog of word shingles, shift-invariant (an insertion only
+    * perturbs grams that straddle it), so near-identical payloads keep
+    * a high gram-set Jaccard while unrelated payloads from the same
+    * byte distribution do not. (A histogram feature cannot make that
+    * distinction: measured on the fixture, planted near-dup pairs'
+    * histogram cosine (min 0.9965) sits BELOW the background maximum
+    * (0.9987) for 16-bin, 256-bin, and 4x16-block variants —
     * same-distribution payloads are indistinguishable by any
     * content-blind histogram, which is why the media path shares the
     * gram machinery with text dedup instead of banding decodeStub's
     * histogram.)
+    *
+    * Construction note: each gram is hex(substring(payload, i, n)) —
+    * an 8-byte slice of the payload ATTRIBUTE hexed per element.
+    * Hexing the whole payload once and windowing the hex string reads
+    * nicer, but higher-order-function lambdas evaluate interpreted,
+    * so a non-attribute subexpression inside the lambda re-executes
+    * per element (measured: whole-payload hex inside the lambda made
+    * the gram build ~5s at sf0.1; the slice form is ~1s).
     */
-  def byteGrams(payload: Column): Column = {
-    val h = hex(payload)
-    when(length(h) >= 8,
+  def byteGrams(payload: Column): Column =
+    when(length(payload) >= GRAM_BYTES,
       transform(
-        sequence(lit(0), ((length(h) - lit(8)) / lit(2)).cast("int")),
-        i => h.substr(i * lit(2) + lit(1), lit(8))))
+        sequence(lit(0), length(payload) - lit(GRAM_BYTES)),
+        i => hex(payload.substr(i + lit(1), lit(GRAM_BYTES)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Frame sampling: one output row per kept frame (every `everyN`-th),
     * payload sliced per frame — the explode shape a video pipeline uses.
@@ -273,7 +291,7 @@ object MultimodalQueries extends graft.QueryModule {
         |FROM f""".stripMargin,
     "q_resize_features" -> nibbleHistOracle(Some(RESIZE_W)),
     "q_media_features" -> nibbleHistOracle(None),
-    // byte 4-grams = 8-hex-char windows at even offsets of the
+    // byte 8-grams = 16-hex-char windows at even offsets of the
     // payload hex (both engines render uppercase hex); signature /
     // bands / verify mirror q_dedup_minhash's oracle with the shared
     // sigSqlItems definition, threshold 0.7 via 17c >= 7(na+nb)
@@ -281,9 +299,10 @@ object MultimodalQueries extends graft.QueryModule {
       s"""WITH hx AS (
         |  SELECT doc_id, hex(encode(text)) AS h FROM documents
         |), g0 AS (
-        |  SELECT doc_id, substr(h, 2 * i + 1, 8) AS s
-        |  FROM hx, LATERAL (SELECT unnest(range(0, (length(h) - 8) // 2 + 1)) AS i) t
-        |  WHERE length(h) >= 8
+        |  SELECT doc_id, substr(h, 2 * i + 1, ${2 * Multimodal.GRAM_BYTES}) AS s
+        |  FROM hx, LATERAL (SELECT unnest(range(0,
+        |    (length(h) - ${2 * Multimodal.GRAM_BYTES}) // 2 + 1)) AS i) t
+        |  WHERE length(h) >= ${2 * Multimodal.GRAM_BYTES}
         |), sh AS (SELECT DISTINCT doc_id, s FROM g0),
         |sig AS (
         |  SELECT doc_id,

@@ -47,13 +47,13 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").length <= 16)
   }
 
-  test("byteGrams: byte-aligned 8-hex windows, shift-invariant, empty under 4 bytes") {
+  test("byteGrams: byte-aligned hex windows, shift-invariant, empty under GRAM_BYTES") {
     import spark.implicits._
-    val grams = Seq(("abcdef", 1), ("abc", 2), ("Xabcdef", 3)).toDF("t", "id")
+    val grams = Seq(("abcdefghij", 1), ("abcdefg", 2), ("Xabcdefghij", 3)).toDF("t", "id")
       .select(col("id"), Multimodal.byteGrams(col("t").cast("binary")).as("g"))
       .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
-    // "abcdef" -> 3 grams of 4 bytes each, hex-encoded uppercase
-    assert(grams(1) == Seq("61626364", "62636465", "63646566"))
+    // 10 bytes -> 3 grams of GRAM_BYTES=8 bytes each, hex uppercase
+    assert(grams(1) == Seq("6162636465666768", "6263646566676869", "636465666768696A"))
     assert(grams(2).isEmpty) // shorter than one gram
     // a 1-byte prefix insertion preserves every original gram
     // (shift-invariance: only grams straddling the edit change)
