@@ -11,14 +11,18 @@ Usage:
 
 Accepts either the raw one-line JSON printed by graft.Bench or the
 driver's BENCH_rN.json wrapper (JSON line embedded in a "tail" field).
-Queries faster than FLOOR seconds in both runs are ignored: at that
-scale the delta is scheduler noise, not a plan change.
+A ratio only counts when the ABSOLUTE delta also clears FLOOR seconds:
+sub-second queries jitter 2-3x between back-to-back idle runs (measured
+r6: 0.21s -> 0.58s on an untouched single-aggregate query), so a pure
+ratio gate at that scale trains readers to wave flags through — while
+a genuine 2x regression of any query that matters loses whole seconds
+and always clears the floor.
 """
 import json
 import re
 import sys
 
-FLOOR = 0.4  # seconds; below this in both runs -> noise, not signal
+FLOOR = 0.75  # seconds of absolute delta below which a ratio is noise
 
 
 def load_bench(path):
@@ -73,7 +77,7 @@ def main():
         o, n = oq[name], nq[name]
         if o is None or n is None:  # failed query: reported elsewhere
             continue
-        if o < FLOOR and n < FLOOR:
+        if abs(n - o) < FLOOR:  # absolute delta too small to be signal
             continue
         if o > 0 and n > o * threshold:
             failures.append((name, o, n, n / o))

@@ -125,6 +125,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // ...and APPEND to a committed history file: target/bench.json is
+    // last-run-wins (round 6 lost the round-5 baseline to exactly that
+    // — a dev run overwrote it before the gate compared), so every run
+    // also lands in an append-only log that overwrites can't destroy.
+    val hist = java.nio.file.Paths.get("bench_history.jsonl")
+    java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
