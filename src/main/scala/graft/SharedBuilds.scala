@@ -45,6 +45,35 @@ object SharedBuilds {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[Key, Entry]()
 
+  /** Maximum distinct dirs with live builds. Entries used to live until
+    * session stop or an explicit [[invalidate]] — a long-lived session
+    * sweeping many dirs (stress sweeps do exactly this) accumulated
+    * cached frames without bound. Every access touches its dir; when a
+    * new dir pushes the live-dir count over this cap, the least-
+    * recently-used dir's builds are invalidated and its frames
+    * unpersisted. 4 covers every real working set (the three fixture
+    * scale factors plus one stress dir) while bounding storage at
+    * O(MaxDirs x builds-per-dir).
+    */
+  val MaxDirs = 4
+
+  // access-ordered: iteration starts at the least-recently-used dir
+  private val dirLru = new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true)
+
+  private def touchDir(dir: String): Unit = {
+    val evicted = dirLru.synchronized {
+      dirLru.put(dir, java.lang.Boolean.TRUE)
+      if (dirLru.size > MaxDirs) {
+        val it = dirLru.keySet.iterator
+        val eldest = it.next()
+        it.remove()
+        Some(eldest)
+      } else None
+    }
+    // unpersist outside the lock: eviction touches Spark state
+    evicted.foreach(d => remove(_.dir == d))
+  }
+
   /** The memoized value for (kind, session, dir), building it on first
     * access; the value may be a DataFrame or any tuple of frames —
     * callers cast back via the type parameter.
@@ -66,6 +95,7 @@ object SharedBuilds {
   def getOrBuild[T <: AnyRef](kind: String, spark: SparkSession, dir: String)(
       build: CacheScope => T): T = {
     purgeStopped()
+    touchDir(dir)
     val key = Key(kind, spark, dir)
     val existing = memo.get(key)
     if (existing != null) return existing.value.asInstanceOf[T]
@@ -80,13 +110,20 @@ object SharedBuilds {
       }
     val prev = memo.putIfAbsent(key, entry)
     if (prev != null) {
-      // Lost a cold-key race. Do NOT unpersist our duplicate frames:
-      // both builds are deterministic, so their plans are sameResult
-      // and Spark's CacheManager deduplicated them into ONE cache
-      // entry — unpersisting "ours" would uncache the winner's frames
-      // too, silently degrading every consumer to recompute. The
-      // loser's Entry is simply dropped; the winner's frames list
-      // covers the shared entries for invalidate().
+      // Lost a cold-key race. When both builds are plan-deterministic
+      // (the contract here), their plans are sameResult and Spark's
+      // CacheManager deduplicated them into ONE cache entry —
+      // unpersisting "ours" would uncache the winner's frames too,
+      // silently degrading every consumer to recompute. GUARD the
+      // contract rather than trusting it: a loser frame whose plan
+      // matches NO winner frame is a nondeterministic stray that would
+      // otherwise stay persisted with no invalidate() handle —
+      // unpersist exactly those.
+      scope.frames.foreach { f =>
+        val shared = prev.frames.exists(
+          _.queryExecution.analyzed.sameResult(f.queryExecution.analyzed))
+        if (!shared) f.unpersist()
+      }
       prev.value.asInstanceOf[T]
     } else entry.value.asInstanceOf[T]
   }
@@ -95,10 +132,16 @@ object SharedBuilds {
     * unpersist its cached frames. Call when the data under `dir`
     * changes; the next access rebuilds from the new data.
     */
-  def invalidate(dir: String): Unit = remove(_.dir == dir)
+  def invalidate(dir: String): Unit = {
+    dirLru.synchronized { dirLru.remove(dir) }
+    remove(_.dir == dir)
+  }
 
   /** Drop and unpersist everything (test teardown). */
-  def invalidateAll(): Unit = remove(_ => true)
+  def invalidateAll(): Unit = {
+    dirLru.synchronized { dirLru.clear() }
+    remove(_ => true)
+  }
 
   private def remove(p: Key => Boolean): Unit = {
     val it = memo.entrySet().iterator()

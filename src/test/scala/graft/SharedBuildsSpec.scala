@@ -110,6 +110,37 @@ class SharedBuildsSpec extends SparkSpec {
     } finally SharedBuilds.invalidate("/spec/dirM")
   }
 
+  test("the registry caps live dirs: the LRU dir is evicted and unpersisted") {
+    // start from a clean LRU so this test owns the full window
+    SharedBuilds.invalidateAll()
+    var builds = 0
+    def get(i: Int): DataFrame =
+      SharedBuilds.getOrBuild[DataFrame]("spec.lru", spark, s"/spec/lru$i") { scope =>
+        builds += 1
+        scope.cached(frame(s"lru$i"))
+      }
+    try {
+      val frames = (0 to SharedBuilds.MaxDirs).map { i =>
+        val f = get(i); f.count(); f
+      }
+      // dir 0 (least recently used) was evicted when dir MaxDirs came
+      // in; every younger dir is still cached
+      assert(frames.head.storageLevel == StorageLevel.NONE)
+      assert(frames.tail.forall(_.storageLevel != StorageLevel.NONE))
+      // re-access rebuilds dir 0 (and in turn evicts dir 1)
+      val before = builds
+      get(0)
+      assert(builds == before + 1)
+      assert(frames(1).storageLevel == StorageLevel.NONE)
+      // touching a dir protects it: dir 2 is now LRU, but a re-access
+      // moves it to the front so inserting a fresh dir evicts dir 3
+      get(2)
+      get(SharedBuilds.MaxDirs + 1)
+      assert(frames(2).storageLevel != StorageLevel.NONE)
+      assert(frames(3).storageLevel == StorageLevel.NONE)
+    } finally SharedBuilds.invalidateAll()
+  }
+
   test("production shared builds flow through the registry and invalidate cleanly") {
     // sanity: the dedup/text shared builds are registered under real
     // kinds and invalidate() unpersists them (catches a future memo
