@@ -18,17 +18,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val retried = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       // One retry: a transient failure (an executor hiccup, a race in
       // some cached build) must not zero a query in the driver's
       // correctness gate — the result is deterministic, so a clean
       // second run is as valid as a clean first. Persistent failures
-      // still fail (and print both attempts).
+      // still fail (and print both attempts). Every retry is recorded
+      // in retried.json: a pass-on-second-attempt is a FLAKE the
+      // machine-readable artifact must surface (the round-5
+      // computeIfAbsent race would otherwise have hidden behind a
+      // clean gate), not just a stderr note in scrollback.
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       try attempt()
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed (retrying): ${e.getMessage}")
+        retried += name
         try attempt()
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")
@@ -50,6 +56,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a separate file (not a key in oracle_sql.json, whose values the
+    // driver executes as SQL): empty list = no flakes this run
+    Files.writeString(Paths.get(s"$outDir/retried.json"),
+      retried.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
