@@ -312,10 +312,12 @@ object Dev {
           case "sessions" => StreamingOps.sessionCounts(events)
           case "dedup"    => StreamingOps.dedupWithinWatermark(events)
           case "totals"   => StreamingOps.userRunningTotals(spark, events).toDF()
+          case "neardup"  =>
+            StreamingOps.dedupNearStream(spark, StreamingOps.docStream(spark, dir)).toDF()
         }
         val mode = op match {
           case "dedup" | "attrib" => "append"
-          case "totals"           => "update"
+          case "totals" | "neardup" => "update"
           case _                  => "complete"
         }
         val q = df.writeStream.outputMode(mode).format("memory").queryName("dev_stream").start()

@@ -239,6 +239,59 @@ object StreamingOps {
       }
   }
 
+  case class StreamBand(band_pk: String, band_id: Int, doc_id: Long)
+  case class NearDupHit(doc_id: Long, band_id: Int, anchor_doc: Long,
+      is_candidate: Boolean)
+
+  /** Streaming NEAR-dup detection at ingest — the streaming
+    * counterpart of the batch `dedupIncremental`: each arriving doc is
+    * shingled, MinHash-signed, and banded with the SAME 9 KM
+    * double-hash orders / 3-band scheme as the batch pipeline (one
+    * definition — [[graft.operators.DedupQueries.minhashSig]] /
+    * `bandKeys` — so a banding retune can't diverge), then each band
+    * key probes keyed state holding the FIRST doc that ever produced
+    * that key. A later doc sharing any band with an earlier one emits
+    * `is_candidate = true` with that anchor — LSH candidate
+    * generation, the propose half of the batch propose/verify split;
+    * the exact-Jaccard disposal stays a downstream batch join against
+    * the corpus store (per-candidate, exactly as in
+    * [[graft.operators.DedupQueries.jaccardVerify]]), because the
+    * full shingle arrays don't belong in streaming state.
+    *
+    * State is ONE long per distinct band key (3x distinct signatures)
+    * — bounded by distinct corpus content like [[dedupExactStream]]'s,
+    * and naturally partitioned by the band key. Within a batch,
+    * doc_id order decides the anchor, so replays make identical
+    * choices. Shingle-less docs (< 3 tokens) produce NULL band keys
+    * and are filtered out — mirroring the batch candidate equi-join
+    * dropping NULL keys.
+    */
+  def dedupNearStream(spark: SparkSession, docs: DataFrame): Dataset[NearDupHit] = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.DedupQueries
+    val sh = docs.select(
+      col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+        .as("sh_arr"))
+    DedupQueries.bandKeys(DedupQueries.minhashSig(sh, "doc_id"), "doc_id")
+      .filter(col("band_key").isNotNull)
+      .select(
+        concat_ws(":", col("band_id"), col("band_key")).as("band_pk"),
+        col("band_id"), col("doc_id"))
+      .as[StreamBand]
+      .groupByKey(_.band_pk)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[StreamBand], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val anchor = state.getOption.getOrElse(sorted.head.doc_id)
+          if (state.getOption.isEmpty) state.update(anchor)
+          sorted.iterator.map { b =>
+            NearDupHit(b.doc_id, b.band_id, anchor, b.doc_id != anchor)
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState — the escape hatch for semantics the
     * built-in aggregations can't express.

@@ -158,4 +158,53 @@ class PropertySpec extends SparkSpec {
         s"seed ${42 + i}, levels=$levels: diverged")
     }
   }
+
+  test("q_split stability: monotone-id appends never move an existing doc's split") {
+    // Pins the NOTES_r5 claim "late-arriving cluster members are
+    // stable". It holds under two preconditions, asserted here:
+    //   1. ingest ids are MONOTONE — every appended doc_id is larger
+    //      than every existing one, so the min-doc_id group label of
+    //      any existing class/cluster cannot shrink;
+    //   2. an appended doc joins at most ONE existing cluster — a doc
+    //      near-dup to two previously-separate clusters legitimately
+    //      merges them and relabels the larger-min one (that is a
+    //      semantic merge, not an instability).
+    // Appends here are exact copies of one existing doc (join exactly
+    // that doc's class) or fresh-vocabulary singletons (join nothing).
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val vocabGen = Gen.choose(0, 9).map(i => ('a' + i).toChar.toString)
+    val textGen = Gen.listOfN(5, vocabGen).map(_.mkString(" "))
+    def writeDir(rows: Seq[(Long, String)]): String = {
+      val out = java.nio.file.Files.createTempDirectory("split_stab").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("lang", lit("xx"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    (0 until 3).foreach { trial =>
+      val texts = Gen.listOfN(12, textGen)
+        .apply(Gen.Parameters.default, Seed(9000L + trial)).getOrElse(Nil)
+      // 12 random 5-token docs over a 10-token vocab (dense enough to
+      // form real near-dup clusters), plus an empty-text exact class
+      val base = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } ++
+        Seq((13L, ""), (14L, ""))
+      val copyIdx = Gen.listOfN(3, Gen.choose(0, base.size - 1))
+        .apply(Gen.Parameters.default, Seed(9100L + trial)).getOrElse(Nil)
+      val appended = copyIdx.zipWithIndex.map { case (ci, j) =>
+        ((100 + j).toLong, base(ci)._2)
+      } ++ Seq((200L, s"z$trial zz$trial zzz$trial zzzz$trial zzzzz$trial"),
+        (201L, ""))
+      val before = graft.operators.CurationQueries
+        .leakSafeSplit(spark, writeDir(base))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val after = graft.operators.CurationQueries
+        .leakSafeSplit(spark, writeDir(base ++ appended))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      before.foreach { case (id, sp) =>
+        assert(after(id) == sp,
+          s"trial=$trial: doc $id moved $sp -> ${after(id)} after append")
+      }
+    }
+  }
 }

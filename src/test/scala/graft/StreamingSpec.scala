@@ -248,6 +248,66 @@ class StreamingSpec extends SparkSpec {
     assert(kept.select("doc_id").except(want).count() == 0)
   }
 
+  test("streaming near-dup flags a batch-2 near-dup of a batch-1 doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.dedupNearStream(spark, docs).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sneardup").start()
+    // batch 1: doc 1, an in-batch exact copy (3), an unrelated doc (2),
+    // and a shingle-less doc (4: two tokens -> no 3-shingle, no bands)
+    mem.addData((1L, "a b c a b"), (3L, "a b c a b"),
+      (2L, "p q r s t u"), (4L, "xy zz"))
+    q.processAllAvailable()
+    // batch 2: doc 10 is a ROTATION of doc 1 (identical 3-shingle SET,
+    // so identical signature — state must remember batch 1's anchor),
+    // doc 11 is fresh content
+    mem.addData((10L, "b c a b c"), (11L, "fresh words only here never seen"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sneardup")
+      .select("doc_id", "band_id", "anchor_doc", "is_candidate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val byDoc = hits.groupBy(_._1)
+    // doc 1 anchors all 3 of its bands (smallest id in batch 1)
+    assert(byDoc(1L).forall(h => h._3 == 1L && !h._4))
+    // in-batch copy: every band of doc 3 hits doc 1's anchor
+    assert(byDoc(3L).length == 3 && byDoc(3L).forall(h => h._3 == 1L && h._4))
+    // CROSS-BATCH: doc 10's bands all anchor to batch-1's doc 1
+    assert(byDoc(10L).length == 3 && byDoc(10L).forall(h => h._3 == 1L && h._4))
+    // unrelated and fresh docs are their own anchors on every band
+    assert(byDoc(2L).forall(h => h._3 == 2L && !h._4))
+    assert(byDoc(11L).forall(h => h._3 == 11L && !h._4))
+    // shingle-less doc emits nothing
+    assert(!byDoc.contains(4L))
+  }
+
+  test("streaming near-dup candidates cover the batch pipeline's pairs on the fixture") {
+    // Every verified near-dup pair the BATCH pipeline reports must be
+    // proposed by the streaming band state too (same signatures, same
+    // bands — streaming can only add unverified candidates, never
+    // miss a true pair's bands... unless the pair shares no band, in
+    // which case batch wouldn't have found it either).
+    val stream = StreamingOps.docStream(spark, sf0001)
+    val q = StreamingOps.dedupNearStream(spark, stream).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sneardup_fix").start()
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sneardup_fix")
+    val batchPairs = graft.operators.DedupQueries.dedupMinhash(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"))
+    // a batch pair (a,b) is covered if b (larger id) hit some anchor
+    // in a's duplicate-class/cluster — conservatively: b has at least
+    // one candidate band hit
+    val flagged = hits.filter(col("is_candidate")).select(col("doc_id")).distinct()
+    val uncovered = batchPairs.join(flagged,
+      batchPairs("doc_b") === flagged("doc_id"), "left_anti")
+    assert(uncovered.count() == 0,
+      "batch near-dup pairs whose larger doc was never flagged by the stream")
+  }
+
   // ===== multi-batch watermark semantics =====
   // The windowed aggregations under LATE data arriving in a LATER
   // micro-batch — exactly where state-store/watermark bugs hide and
