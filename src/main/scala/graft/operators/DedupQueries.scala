@@ -450,6 +450,29 @@ object DedupQueries extends graft.QueryModule {
       if ((h(0) & 0x80) == 0) 1L else -1L
     }
 
+  /** (vec_id, qv) -> (vec_id, band_id, band_key): the EMB_BANDS LSH
+    * bucket keys per vector, each key EMB_BITS dot-product sign bits
+    * against the fixed hyperplanes — map-only integer kernels. ONE
+    * definition shared by the batch pipeline ([[dedupEmbedding]]) and
+    * the streaming ingest path
+    * ([[graft.streaming.StreamingOps.dedupEmbeddingStream]]), so a
+    * bits/bands retune can't silently diverge between them.
+    */
+  private[graft] def embBandKeys(vecs: DataFrame): DataFrame = {
+    val bandCols = (0 until EMB_BANDS).map { b =>
+      val key = (0 until EMB_BITS).map { j =>
+        val k = b * EMB_BITS + j
+        when(aggregate(
+            zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
+            lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    vecs.select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.band_key"))
+  }
+
   /** Near-duplicate vectors by cosine >= 0.40. Round 2 blocked on the
     * fixture `label` column — all-pairs within a GIVEN block, which is
     * quadratic whenever labels are coarse and useless when absent. The
@@ -485,19 +508,7 @@ object DedupQueries extends graft.QueryModule {
       val vecs = scope.cached(groups
         .select(col("rep").as("vec_id"), quantized(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))
-      val bandCols = (0 until EMB_BANDS).map { b =>
-        val key = (0 until EMB_BITS).map { j =>
-          val k = b * EMB_BITS + j
-          when(aggregate(
-              zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
-              lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
-            .otherwise(lit(0))
-        }.reduce(_ + _)
-        struct(lit(b).as("band_id"), key.as("band_key"))
-      }
-      val keys = scope.cached(vecs
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("vec_id"), col("band.band_id"), col("band.band_key")))
+      val keys = scope.cached(embBandKeys(vecs))
       (groups, vecs, keys)
     }
 

@@ -76,6 +76,22 @@ object StreamingOps {
     spark.readStream.schema(docSchema).parquet(streamDir.toString)
   }
 
+  /** Raw parquet schema of `embeddings` (TESTDATA.md). */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** The `embeddings` table as a file stream (same staged-symlink-dir
+    * mechanics as [[docStream]]) — the arriving-vector shape a
+    * streaming semantic-dedup pass consumes.
+    */
+  def vecStream(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = docStagingDirs.computeIfAbsent(dir + "#embeddings",
+      _ => stageSingleFile(dir, "embeddings.parquet", "vecs_stream"))
+    spark.readStream.schema(vecSchema).parquet(streamDir.toString)
+  }
+
   /** Streaming scan of the events table: nanos -> micros TimestampType,
     * same conversion as the batch reader. Requires
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
@@ -288,6 +304,51 @@ object StreamingOps {
           if (state.getOption.isEmpty) state.update(anchor)
           sorted.iterator.map { b =>
             NearDupHit(b.doc_id, b.band_id, anchor, b.doc_id != anchor)
+          }
+      }
+  }
+
+  case class EmbBand(band_pk: String, band_id: Int, vec_id: Long)
+  case class EmbNearDupHit(vec_id: Long, band_id: Int, anchor_vec: Long,
+      is_candidate: Boolean)
+
+  /** Streaming SEMANTIC near-dup detection at ingest — completes the
+    * streaming dedup matrix (exact: [[dedupExactStream]], text
+    * near-dup: [[dedupNearStream]], embeddings: here). Each arriving
+    * vector is quantized and bucketed with the SAME hyperplane
+    * sign-bit bands as the batch `dedupEmbedding`
+    * ([[graft.operators.DedupQueries.embBandKeys]] — one definition,
+    * so a bits/bands retune can't diverge); each band key probes
+    * keyed state holding the FIRST vector that ever produced it. A
+    * later vector sharing any band emits `is_candidate = true` with
+    * that anchor — the propose half of propose/verify; the exact
+    * cosine disposal stays a downstream batch join against the vector
+    * store (per-candidate), because full vectors don't belong in
+    * streaming state.
+    *
+    * State is ONE long per distinct band key (EMB_BANDS x distinct
+    * sign patterns) — bounded by distinct corpus content, naturally
+    * partitioned by band key. Within a batch, vec_id order decides
+    * the anchor, so replays make identical choices.
+    */
+  def dedupEmbeddingStream(spark: SparkSession, vecs: DataFrame): Dataset[EmbNearDupHit] = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    import graft.operators.DedupQueries
+    val qv = vecs.select(col("vec_id"), VectorFunctions.quantized(col("embedding")).as("qv"))
+    DedupQueries.embBandKeys(qv)
+      .select(
+        concat_ws(":", col("band_id"), col("band_key")).as("band_pk"),
+        col("band_id"), col("vec_id"))
+      .as[EmbBand]
+      .groupByKey(_.band_pk)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[EmbBand], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_.vec_id)
+          val anchor = state.getOption.getOrElse(sorted.head.vec_id)
+          if (state.getOption.isEmpty) state.update(anchor)
+          sorted.iterator.map { b =>
+            EmbNearDupHit(b.vec_id, b.band_id, anchor, b.vec_id != anchor)
           }
       }
   }

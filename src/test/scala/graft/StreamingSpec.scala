@@ -308,6 +308,60 @@ class StreamingSpec extends SparkSpec {
       "batch near-dup pairs whose larger doc was never flagged by the stream")
   }
 
+  test("streaming embedding near-dup flags a batch-2 copy of a batch-1 vector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.dedupEmbeddingStream(spark, vecs).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sembdup").start()
+    val v1 = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val v2 = Seq.tabulate(64)(i => math.cos(3.0 * i + 1.0))
+    // batch 1: vec 1, an in-batch exact copy (3), an unrelated vector (2)
+    mem.addData((1L, v1), (3L, v1), (2L, v2))
+    q.processAllAvailable()
+    // batch 2: vec 10 re-ingests vec 1's embedding — state must
+    // remember batch 1's anchors across micro-batches
+    mem.addData((10L, v1))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sembdup")
+      .select("vec_id", "band_id", "anchor_vec", "is_candidate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val byVec = hits.groupBy(_._1)
+    // vec 1 anchors all 6 of its bands (smallest id in batch 1)
+    assert(byVec(1L).length == 6 && byVec(1L).forall(h => h._3 == 1L && !h._4))
+    // in-batch copy: identical qv -> identical keys -> all 6 bands hit
+    assert(byVec(3L).length == 6 && byVec(3L).forall(h => h._3 == 1L && h._4))
+    // CROSS-BATCH: vec 10's bands all anchor to batch-1's vec 1
+    assert(byVec(10L).length == 6 && byVec(10L).forall(h => h._3 == 1L && h._4))
+    // the unrelated vector emits its 6 bands; anchor assertions on it
+    // would be probabilistic (random vectors share a band at ~1/8 per
+    // band — precision is the batch verify's job, not the LSH's)
+    assert(byVec(2L).length == 6)
+  }
+
+  test("streaming embedding near-dup candidates cover the batch pipeline's pairs on the fixture") {
+    // Every verified pair the BATCH dedupEmbedding reports must have
+    // its larger vec flagged by the stream: identical embeddings carry
+    // identical band keys, and a cross-class pair's shared band key
+    // was anchored by some vec <= the pair's smaller side.
+    val stream = StreamingOps.vecStream(spark, sf0001)
+    val q = StreamingOps.dedupEmbeddingStream(spark, stream).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sembdup_fix").start()
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sembdup_fix")
+    val batchPairs = graft.operators.DedupQueries.dedupEmbedding(spark, sf0001)
+      .select(col("vec_a"), col("vec_b"))
+    val flagged = hits.filter(col("is_candidate")).select(col("vec_id")).distinct()
+    val uncovered = batchPairs.join(flagged,
+      batchPairs("vec_b") === flagged("vec_id"), "left_anti")
+    assert(uncovered.count() == 0,
+      "batch embedding near-dup pairs whose larger vec was never flagged by the stream")
+  }
+
   // ===== multi-batch watermark semantics =====
   // The windowed aggregations under LATE data arriving in a LATER
   // micro-batch — exactly where state-store/watermark bugs hide and
