@@ -207,27 +207,61 @@ object MultimodalQueries extends graft.QueryModule {
     * verify; cost tracks true near-dups, not n^2. The gram/signature
     * frames are memoized per (session, dir) like every shared index.
     */
-  def dedupMedia(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared fuzzy-hash index build, memoized per (session, dir):
+    * (distinct gram sets, band keys). Cached at the BAND level — both
+    * sides of the all-pairs self-join AND the incremental
+    * batch-x-corpus split read the band index, so the gram + signature
+    * arithmetic runs once per corpus, not once per consumer.
+    */
+  private def fuzzyIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.operators.DedupQueries
-    val (grams, sig) = graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
         "media.fuzzyIndex", spark, dir) { scope =>
       val g = scope.cached(Multimodal.mediaTable(spark, dir)
         .select(col("media_id").as("doc_id"),
           array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
         .filter(size(col("sh_arr")) > 0))
-      // cached: both sides of the band self-join read the signatures
-      (g, scope.cached(DedupQueries.minhashSig(g, "doc_id")))
+      (g, scope.cached(DedupQueries.bandKeys(DedupQueries.minhashSig(g, "doc_id"), "doc_id")))
     }
-    val cand = DedupQueries.bandCandidates(DedupQueries.bandKeys(sig, "doc_id"), "doc_id")
+  }
+
+  def dedupMedia(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupQueries
+    val (grams, bands) = fuzzyIndex(spark, dir)
+    val cand = DedupQueries.bandCandidates(bands, "doc_id")
     DedupQueries.jaccardVerify(cand, grams, 7, 10) // gram jaccard >= 0.7
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("jaccard"))
+  }
+
+  /** Incremental media near-dup — dedup-at-ingest for the binary
+    * modality, completing the incremental family (text:
+    * [[graft.operators.DedupQueries.dedupIncremental]], embeddings:
+    * [[graft.operators.SimilarityQueries.semDedupIncremental]]): an
+    * ARRIVING batch (media_id % 10 = 0 stands in for it) probes the
+    * persisted corpus band index, so the candidate join is strictly
+    * batch x corpus — per-ingest cost tracks the batch size, never
+    * corpus^2 — followed by the same exact gram-Jaccard disposal at
+    * 0.7. Same grams / signature / banding as [[dedupMedia]] (one
+    * [[fuzzyIndex]] build serves both).
+    */
+  def dedupMediaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupQueries
+    val (grams, bands) = fuzzyIndex(spark, dir)
+    val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
+      .join(bands.filter(col("doc_id") % 10 =!= 0).alias("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    DedupQueries.jaccardVerify(cand, grams, 7, 10)
+      .select(col("doc_a").as("new_media"), col("doc_b").as("corpus_media"), col("jaccard"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSampleQ,
     "q_resize_features" -> resizeFeatures,
-    "q_dedup_media" -> dedupMedia
+    "q_dedup_media" -> dedupMedia,
+    "q_dedup_media_incremental" -> dedupMediaIncremental
   )
 
   /** Shared low-nibble histogram oracle: recount payload bytes from
@@ -295,40 +329,58 @@ object MultimodalQueries extends graft.QueryModule {
     // payload hex (both engines render uppercase hex); signature /
     // bands / verify mirror q_dedup_minhash's oracle with the shared
     // sigSqlItems definition, threshold 0.7 via 17c >= 7(na+nb)
-    "q_dedup_media" ->
-      s"""WITH hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
-        |), g0 AS (
-        |  SELECT doc_id, substr(h, 2 * i + 1, ${2 * Multimodal.GRAM_BYTES}) AS s
-        |  FROM hx, LATERAL (SELECT unnest(range(0,
-        |    (length(h) - ${2 * Multimodal.GRAM_BYTES}) // 2 + 1)) AS i) t
-        |  WHERE length(h) >= ${2 * Multimodal.GRAM_BYTES}
-        |), sh AS (SELECT DISTINCT doc_id, s FROM g0),
-        |sig AS (
-        |  SELECT doc_id,
-        |         ${graft.operators.DedupQueries.sigSqlItems}
-        |  FROM sh GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
-        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b
+    "q_dedup_media" -> mediaVerifySql(
+      """SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b
         |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-        |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT media_a, media_b, count(*) AS c
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = media_a
-        |  JOIN sh sb ON sb.doc_id = media_b AND sa.s = sb.s
-        |  GROUP BY media_a, media_b
-        |)
-        |SELECT media_a, media_b,
-        |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes za ON za.doc_id = media_a
-        |JOIN sizes zb ON zb.doc_id = media_b
-        |WHERE 17 * c >= 7 * (za.n_sh + zb.n_sh)""".stripMargin
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
+      "media_a", "media_b"),
+    // batch x corpus: the arriving side (doc_id % 10 = 0) probes the
+    // corpus band index; no ordering constraint between the sides
+    "q_dedup_media_incremental" -> mediaVerifySql(
+      """SELECT DISTINCT x.doc_id AS new_media, y.doc_id AS corpus_media
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin,
+      "new_media", "corpus_media")
   )
+
+  /** Shared CTE prelude mirroring [[fuzzyIndex]] (grams -> signature
+    * -> bands), plus the exact gram-Jaccard disposal at 0.7 over a
+    * caller-supplied candidate CTE — ONE definition for the all-pairs
+    * and incremental oracles, so the gram/banding scheme can never
+    * diverge between them.
+    */
+  private def mediaVerifySql(candCte: String, aCol: String, bCol: String): String =
+    s"""WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, substr(h, 2 * i + 1, ${2 * Multimodal.GRAM_BYTES}) AS s
+      |  FROM hx, LATERAL (SELECT unnest(range(0,
+      |    (length(h) - ${2 * Multimodal.GRAM_BYTES}) // 2 + 1)) AS i) t
+      |  WHERE length(h) >= ${2 * Multimodal.GRAM_BYTES}
+      |), sh AS (SELECT DISTINCT doc_id, s FROM g0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         ${graft.operators.DedupQueries.sigSqlItems}
+      |  FROM sh GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+      |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
+      |), cand AS (
+      |  $candCte
+      |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT $aCol, $bCol, count(*) AS c
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = $aCol
+      |  JOIN sh sb ON sb.doc_id = $bCol AND sa.s = sb.s
+      |  GROUP BY $aCol, $bCol
+      |)
+      |SELECT $aCol, $bCol,
+      |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes za ON za.doc_id = $aCol
+      |JOIN sizes zb ON zb.doc_id = $bCol
+      |WHERE 17 * c >= 7 * (za.n_sh + zb.n_sh)""".stripMargin
 }
