@@ -127,6 +127,60 @@ object SimilarityQueries extends graft.QueryModule {
       .select("query_id", "neighbor_id", "rnk", "cosine")
   }
 
+  /** Rerank depth of the scalar-quantized two-stage search. */
+  private val RERANK = 2 * K
+
+  /** Int8 scalar-quantized two-stage ANN — the compressed-index scale
+    * path: at corpus scale the full-precision vectors don't fit hot
+    * storage, so candidate generation runs over per-vector symmetric
+    * int8 codes (8x smaller than the fp64 components, integer-SIMD
+    * dot kernels) and only the top-RERANK survivors per query are
+    * re-scored with the full-precision cosine. Quantization: scale
+    * m = max|component| (floored at 1), code_i = sign(qv_i) *
+    * round_half_up(|qv_i| * 127 / m) in [-127, 127] — exact integer
+    * arithmetic both engines reproduce literally (the // floor
+    * division runs on non-negative operands only). The output carries
+    * BOTH scores, so the hash compare certifies the int8 candidate
+    * ranking itself, not just the reranked result.
+    */
+  def knnSq(spark: SparkSession, dir: String): DataFrame = {
+    val coded = qvecs(spark, dir)
+      .withColumn("m", greatest(
+        aggregate(col("qv"), lit(0L), (acc, x) => greatest(acc, abs(x))), lit(1L)))
+      .withColumn("q8", transform(col("qv"), x =>
+        when(x < 0, -floor((abs(x) * lit(254L) + col("m")) / (col("m") * 2)))
+          .otherwise(floor((x * lit(254L) + col("m")) / (col("m") * 2)))
+          .cast("bigint")))
+      .withColumn("n28", qnorm2(col("q8")))
+      .select("vec_id", "qv", "n2", "q8", "n28")
+    val queries = coded.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"),
+        col("q8").as("q_q8"), col("n28").as("q_n28"),
+        col("qv").as("q_qv"), col("n2").as("q_n2"))
+
+    // stage 1: int8 scores only — one corpus scan against the
+    // broadcast query codes, top-RERANK per query survives
+    val w8 = Window.partitionBy(col("query_id")).orderBy(col("sq_cosine").desc, col("neighbor_id"))
+    val cand = coded
+      .join(broadcast(queries.select("query_id", "q_q8", "q_n28")),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        qcosine(qdot(col("q_q8"), col("q8")), col("q_n28"), col("n28")).as("sq_cosine"))
+      .withColumn("srnk", row_number().over(w8))
+      .filter(col("srnk") <= RERANK)
+
+    // stage 2: full-precision rerank of the survivors only
+    val wX = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("qv"), col("n2")), Seq("neighbor_id"))
+      .join(broadcast(queries.select("query_id", "q_qv", "q_n2")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sq_cosine"),
+        qcosine(qdot(col("q_qv"), col("qv")), col("q_n2"), col("n2")).as("cosine"))
+      .withColumn("rnk", row_number().over(wX))
+      .filter(col("rnk") <= K)
+      .select("query_id", "neighbor_id", "rnk", "cosine", "sq_cosine")
+  }
+
   /** Per-label centroid, long form (label, component position, mean in
     * quantized 1e-3 units) — the k-means/IVF aggregate exposed as its
     * own checked operator: one Lloyd-recompute step, the tall-skinny
@@ -298,6 +352,7 @@ object SimilarityQueries extends graft.QueryModule {
     "q_knn_recall" -> knnRecall,
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_sq" -> knnSq,
     "q_semdedup" -> semDedup,
     "q_semdedup_incremental" -> semDedupIncremental
   )
@@ -365,6 +420,57 @@ object SimilarityQueries extends graft.QueryModule {
         |LEFT JOIN ivf v ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
         |GROUP BY b.query_id""".stripMargin,
     "q_knn_ivf" -> ivfOracle,
+    // int8 codes: m = GREATEST(max|q|, 1) per vector; the CASE keeps
+    // the // floor division on non-negative operands in both engines
+    "q_knn_sq" ->
+      s"""WITH $compsCte,
+        |m AS (SELECT vec_id, GREATEST(max(abs(q)), 1) AS m FROM q GROUP BY vec_id),
+        |q8 AS (
+        |  SELECT q.vec_id, q.p,
+        |         CASE WHEN q.q < 0 THEN -((abs(q.q) * 254 + m.m) // (2 * m.m))
+        |              ELSE (q.q * 254 + m.m) // (2 * m.m) END AS c
+        |  FROM q JOIN m ON m.vec_id = q.vec_id
+        |), norms8 AS (SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS n28 FROM q8 GROUP BY vec_id),
+        |dots8 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(sum(a.c * b.c) AS BIGINT) AS dot8
+        |  FROM q8 a JOIN q8 b ON a.p = b.p AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < $NQ
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT query_id, neighbor_id, sq_cosine FROM (
+        |    SELECT query_id, neighbor_id, sq_cosine,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |             ORDER BY sq_cosine DESC, neighbor_id) AS srnk
+        |    FROM (
+        |      SELECT query_id, neighbor_id,
+        |             CAST(dot8 AS DOUBLE) /
+        |               (sqrt(CAST(na.n28 AS DOUBLE)) * sqrt(CAST(nb.n28 AS DOUBLE))) AS sq_cosine
+        |      FROM dots8
+        |      JOIN norms8 na ON na.vec_id = query_id
+        |      JOIN norms8 nb ON nb.vec_id = neighbor_id
+        |    ) s0
+        |  ) s WHERE srnk <= $RERANK
+        |), dots AS (
+        |  SELECT c.query_id, c.neighbor_id, c.sq_cosine,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN q a ON a.vec_id = c.query_id
+        |  JOIN q b ON b.vec_id = c.neighbor_id AND a.p = b.p
+        |  GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT query_id, neighbor_id, sq_cosine,
+        |         CAST(dot AS DOUBLE) /
+        |           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, rnk, cosine, sq_cosine FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+        |  FROM scored
+        |) r WHERE rnk <= $K""".stripMargin,
     "q_semdedup" ->
       s"""WITH $compsCte,
         |$ivfAssignCte,
