@@ -11,6 +11,6 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx8g \
+exec java $ADD_OPENS -Xmx"${SPARK_GRAFT_XMX:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

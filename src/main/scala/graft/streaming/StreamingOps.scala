@@ -290,7 +290,20 @@ object StreamingOps {
       col("doc_id"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
         .as("sh_arr"))
-    DedupQueries.bandKeys(DedupQueries.minhashSig(sh, "doc_id"), "doc_id")
+    bandAnchorState(spark,
+      DedupQueries.bandKeys(DedupQueries.minhashSig(sh, "doc_id"), "doc_id"))
+  }
+
+  /** The shared first-anchor band state: each (band_id, band_key)
+    * holds the FIRST id that ever produced it; later ids sharing the
+    * key emit `is_candidate = true` with that anchor. One machine for
+    * every MinHash-banded streaming ingest path (text shingles in
+    * [[dedupNearStream]], payload byte-grams in [[dedupMediaStream]])
+    * — the modality only decides how `bands` was built.
+    */
+  private def bandAnchorState(spark: SparkSession, bands: DataFrame): Dataset[NearDupHit] = {
+    import spark.implicits._
+    bands
       .filter(col("band_key").isNotNull)
       .select(
         concat_ws(":", col("band_id"), col("band_key")).as("band_pk"),
@@ -306,6 +319,27 @@ object StreamingOps {
             NearDupHit(b.doc_id, b.band_id, anchor, b.doc_id != anchor)
           }
       }
+  }
+
+  /** Streaming media near-dup at ingest — the streaming form of the
+    * batch `dedupMedia`: each arriving binary payload is byte-grammed
+    * and MinHash-banded with the SAME scheme as the batch fuzzy index
+    * (one gram + signature definition), and probes the shared
+    * first-anchor band state. Completes the modality x mode dedup
+    * matrix: every modality (text, embeddings, media) now has batch,
+    * incremental, and streaming near-dup. As with the text path, this
+    * is the propose half — exact gram-Jaccard disposal stays a batch
+    * join against the corpus store.
+    */
+  def dedupMediaStream(spark: SparkSession, media: DataFrame): Dataset[NearDupHit] = {
+    import graft.operators.DedupQueries
+    import graft.multimodal.Multimodal
+    val g = media.select(
+      col("media_id").as("doc_id"),
+      array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+    bandAnchorState(spark,
+      DedupQueries.bandKeys(DedupQueries.minhashSig(g, "doc_id"), "doc_id"))
   }
 
   case class EmbBand(band_pk: String, band_id: Int, vec_id: Long)

@@ -308,6 +308,37 @@ class StreamingSpec extends SparkSpec {
       "batch near-dup pairs whose larger doc was never flagged by the stream")
   }
 
+  test("streaming media near-dup flags a batch-2 copy of a batch-1 payload") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val media = mem.toDF().toDF("media_id", "payload")
+    val q = StreamingOps.dedupMediaStream(spark, media).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("smediadup").start()
+    val p1 = ("the quick brown fox jumps over the lazy dog" * 3).getBytes("UTF-8")
+    val p2 = ("completely different binary content with other bytes" * 3).getBytes("UTF-8")
+    // batch 1: payload 1, an in-batch exact copy (3), unrelated (2),
+    // and a too-short payload (4: under the 8-byte gram width)
+    mem.addData((1L, p1), (3L, p1), (2L, p2), (4L, Array[Byte](1, 2)))
+    q.processAllAvailable()
+    // batch 2: media 10 re-ingests payload 1 — cross-batch state
+    mem.addData((10L, p1))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("smediadup")
+      .select("doc_id", "band_id", "anchor_doc", "is_candidate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val byId = hits.groupBy(_._1)
+    // payload 1 anchors all 3 of its bands; the copies hit on every band
+    assert(byId(1L).length == 3 && byId(1L).forall(h => h._3 == 1L && !h._4))
+    assert(byId(3L).length == 3 && byId(3L).forall(h => h._3 == 1L && h._4))
+    assert(byId(10L).length == 3 && byId(10L).forall(h => h._3 == 1L && h._4))
+    // unrelated payload anchors itself; gram-less payload emits nothing
+    assert(byId(2L).forall(h => h._3 == 2L && !h._4))
+    assert(!byId.contains(4L))
+  }
+
   test("streaming embedding near-dup flags a batch-2 copy of a batch-1 vector") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
