@@ -144,15 +144,20 @@ object SimilarityQueries extends graft.QueryModule {
     * ranking itself, not just the reranked result.
     */
   def knnSq(spark: SparkSession, dir: String): DataFrame = {
-    val coded = qvecs(spark, dir)
-      .withColumn("m", greatest(
-        aggregate(col("qv"), lit(0L), (acc, x) => greatest(acc, abs(x))), lit(1L)))
-      .withColumn("q8", transform(col("qv"), x =>
-        when(x < 0, -floor((abs(x) * lit(254L) + col("m")) / (col("m") * 2)))
-          .otherwise(floor((x * lit(254L) + col("m")) / (col("m") * 2)))
-          .cast("bigint")))
-      .withColumn("n28", qnorm2(col("q8")))
-      .select("vec_id", "qv", "n2", "q8", "n28")
+    // the code table is a persisted index artifact like the IVF
+    // assignment — memoized per (session, dir), built once
+    val coded = graft.SharedBuilds.getOrBuild[DataFrame](
+        "sim.sqCodes", spark, dir) { scope =>
+      scope.cached(qvecs(spark, dir)
+        .withColumn("m", greatest(
+          aggregate(col("qv"), lit(0L), (acc, x) => greatest(acc, abs(x))), lit(1L)))
+        .withColumn("q8", transform(col("qv"), x =>
+          when(x < 0, -floor((abs(x) * lit(254L) + col("m")) / (col("m") * 2)))
+            .otherwise(floor((x * lit(254L) + col("m")) / (col("m") * 2)))
+            .cast("bigint")))
+        .withColumn("n28", qnorm2(col("q8")))
+        .select("vec_id", "qv", "n2", "q8", "n28"))
+    }
     val queries = coded.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"),
         col("q8").as("q_q8"), col("n28").as("q_n28"),

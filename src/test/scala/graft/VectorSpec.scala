@@ -131,4 +131,28 @@ class VectorSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("prev") < col("cosine"))
     assert(violations.count() == 0)
   }
+
+  test("int8 quantizer invariants: range, sign, max-component saturation") {
+    import graft.functions.VectorFunctions._
+    // the same code construction knnSq uses, over the fixture vectors
+    val coded = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+      .withColumn("m", greatest(
+        aggregate(col("qv"), lit(0L), (acc, x) => greatest(acc, abs(x))), lit(1L)))
+      .withColumn("q8", transform(col("qv"), x =>
+        when(x < 0, -floor((abs(x) * lit(254L) + col("m")) / (col("m") * 2)))
+          .otherwise(floor((x * lit(254L) + col("m")) / (col("m") * 2)))
+          .cast("bigint")))
+    // every code in [-127, 127]
+    assert(coded.filter(
+      exists(col("q8"), c => abs(c) > 127)).count() == 0)
+    // no component ever flips sign (small components may round to 0)
+    assert(coded.filter(exists(
+      arrays_zip(col("qv"), col("q8")),
+      p => p.getField("qv") * p.getField("q8") < 0)).count() == 0)
+    // the max-magnitude component saturates to exactly +-127 whenever
+    // the vector is non-degenerate (m > 1)
+    assert(coded.filter(col("m") > 1)
+      .filter(!exists(col("q8"), c => abs(c) === 127)).count() == 0)
+  }
 }
