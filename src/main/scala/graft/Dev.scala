@@ -211,7 +211,9 @@ object Dev {
               "q_dedup_incremental", "q_knn_ivf", "q_knn_recall", "q_fingerprint",
               "q_minhash_by_lang", "q_decontaminate", "q_bm25", "q_chunk",
               "q_sample_hash", "q_outlier", "q_quality_gate", "q_pack",
-              "q_semdedup", "q_split", "q_quota", "q_ngram_novelty")
+              "q_semdedup", "q_split", "q_quota", "q_ngram_novelty",
+              "q_semdedup_incremental", "q_knn_sq", "q_dedup_media",
+              "q_dedup_media_incremental")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()

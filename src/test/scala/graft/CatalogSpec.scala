@@ -62,9 +62,11 @@ class CatalogSpec extends SparkSpec {
     // (q_bm25 and q_tfidf cross-join a single-row corpus-stats
     // aggregate; q_knn_recall composes the two ANN pipelines;
     // q_semdedup and q_semdedup_incremental read the same broadcast
-    // 10-row centroid crossJoin as q_knn_ivf via the shared IVF index)
+    // 10-row centroid crossJoin as q_knn_ivf via the shared IVF index;
+    // q_knn_sq scores the corpus against the broadcast <=5-row query
+    // codes under the same non-equi self-exclusion as q_knn_brute)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
-      "q_tfidf", "q_semdedup", "q_semdedup_incremental")
+      "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
