@@ -52,10 +52,25 @@ object PipelineQueries extends graft.QueryModule {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
   }
 
+  // ===== K1 companion: SCD2 historization of a change log =====
+  /** The orders table as a change log of each customer's ordering
+    * state: every order versions the customer's "latest order"
+    * dimension row. One window by customer; ties on the date broken
+    * by o_orderkey (replay-deterministic).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Scd2.fromChangeLog(
+        Tables.orders(spark, dir)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+        key = "o_custkey", ts = "o_orderdate", seq = "o_orderkey")
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "valid_from", "valid_to", "is_current")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_parse" -> jsonParse,
     "q_flatten" -> flattenTokens,
-    "q_upsert" -> upsertMerge
+    "q_upsert" -> upsertMerge,
+    "q_scd2" -> scd2History
   )
 
   def oracles: Map[String, String] = Map(
@@ -81,6 +96,13 @@ object PipelineQueries extends graft.QueryModule {
         |           1 AS prio
         |    FROM orders WHERE o_orderkey % 100 = 0
         |  ) u
-        |) m WHERE rn = 1""".stripMargin
+        |) m WHERE rn = 1""".stripMargin,
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
 }

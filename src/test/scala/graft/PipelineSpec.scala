@@ -193,4 +193,37 @@ class PipelineSpec extends SparkSpec {
     val r = out.collect().head
     assert(r.getInt(0) == 9 && r.getString(1) == "FootLocker" && r.getString(2) == "fl.com")
   }
+
+  test("SCD2 history: intervals chain per key, one current row, asOf picks the right version") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val log = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (1L, 11L, "b", "2024-02-01 00:00:00"),
+      (1L, 12L, "c", "2024-03-01 00:00:00"),
+      (2L, 20L, "x", "2024-01-15 00:00:00"),
+      // same-timestamp tie on key 3: seq column must decide
+      (3L, 30L, "p", "2024-01-01 00:00:00"),
+      (3L, 31L, "q", "2024-01-01 00:00:00")
+    ).toDF("k", "sq", "v", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val hist = graft.pipeline.Scd2.fromChangeLog(log, "k", "ts", "sq").cache()
+    // exactly one current row per key
+    assert(hist.filter(col("is_current")).groupBy("k").count()
+      .filter(col("count") =!= 1).count() == 0)
+    assert(hist.filter(col("is_current")).count() == 3)
+    // intervals chain: each non-final row's valid_to = next row's valid_from
+    val w = Window.partitionBy("k").orderBy(col("ts"), col("sq"))
+    val broken = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(broken.count() == 0)
+    // the tie on key 3 is ordered by the sequence column
+    val k3 = hist.filter(col("k") === 3 && col("is_current")).collect().head
+    assert(k3.getAs[Long]("sq") == 31L)
+    // point-in-time readback: mid-February sees key 1's version "b"
+    val at = graft.pipeline.Scd2.asOf(hist, lit("2024-02-15 00:00:00").cast("timestamp"))
+    val v1 = at.filter(col("k") === 1).collect()
+    assert(v1.length == 1 && v1.head.getAs[String]("v") == "b")
+    hist.unpersist()
+  }
 }
