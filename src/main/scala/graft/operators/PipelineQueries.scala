@@ -66,11 +66,35 @@ object PipelineQueries extends graft.QueryModule {
       .select("o_custkey", "o_orderkey", "o_totalprice",
         "valid_from", "valid_to", "is_current")
 
+  // ===== range join: no-equi-key containment via bucketization =====
+  /** Shipments landing inside promotion windows: every 1000th order
+    * opens a 7-day window from its order date; count the lineitems
+    * whose ship date falls inside each window (windows with zero
+    * shipments kept at 0). No equi key relates the two sides — the
+    * bucketized [[RangeJoin]] turns the containment predicate into a
+    * hash join; the DuckDB oracle runs the naive range predicate.
+    */
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val promos = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 1000 === 0)
+      .select(col("o_orderkey").as("promo_id"),
+        col("o_orderdate").as("p_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("p_end"))
+    val ships = Tables.lineitem(spark, dir).select(col("l_shipdate"))
+    val matched = RangeJoin.pointInInterval(
+        ships, "l_shipdate", promos, "p_start", "p_end", bucketSeconds = 7L * 86400)
+      .groupBy(col("promo_id")).agg(count(lit(1)).as("n_shipped"))
+    promos.select("promo_id")
+      .join(matched, Seq("promo_id"), "left")
+      .select(col("promo_id"), coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_parse" -> jsonParse,
     "q_flatten" -> flattenTokens,
     "q_upsert" -> upsertMerge,
-    "q_scd2" -> scd2History
+    "q_scd2" -> scd2History,
+    "q_range_join" -> rangeJoinQ
   )
 
   def oracles: Map[String, String] = Map(
@@ -103,6 +127,15 @@ object PipelineQueries extends graft.QueryModule {
         |       lead(o_orderdate) OVER w AS valid_to,
         |       lead(o_orderdate) OVER w IS NULL AS is_current
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_range_join" ->
+      """SELECT o.o_orderkey AS promo_id,
+        |       CAST(count(l.l_shipdate) AS BIGINT) AS n_shipped
+        |FROM orders o
+        |LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 1000 = 0
+        |GROUP BY 1""".stripMargin
   )
 }
