@@ -72,6 +72,22 @@ object Bench {
     // physically impossible for a memoized-build query, so one noisy
     // sample must never BE the committed artifact; the min of two
     // samples is the plan-cost estimator (box noise only ever adds).
+    // /proc/stat cpu jiffies: (steal, total). The delta across the run
+    // measures how much CPU the HYPERVISOR withheld — the direct
+    // signature of the noisy-neighbor windows this round measured
+    // (identical binaries: 67-221s cold across ten runs). loadavg only
+    // shows what THIS box scheduled; steal_pct shows what it was
+    // denied, so a skewed run is self-identifying in the artifact.
+    def cpuJiffies(): Option[(Long, Long)] = try {
+      val cols = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      Some((if (cols.length > 7) cols(7) else 0L, cols.sum))
+    } catch { case _: Throwable => None }
+    val jiffies0 = cpuJiffies()
+    // SPARK_GRAFT_STEADY_RUNS raises the per-query steady sample count
+    // (min-of-N) for reruns on a noisy box; 2 is the committed default.
+    val steadyRuns = sys.env.getOrElse("SPARK_GRAFT_STEADY_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -82,11 +98,9 @@ object Bench {
       }
       val (cold, coldErr) = once()
       val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else {
-        val (s1, e1) = once()
-        if (e1.isDefined) (s1, e1) else {
-          val (s2, e2) = once()
-          if (e2.isDefined) (s2, e2) else (math.min(s1, s2), None)
-        }
+        val samples = Iterator.continually(once()).take(steadyRuns).toSeq
+        samples.collectFirst { case (s, Some(e)) => (s, Some(e)) }
+          .getOrElse((samples.map(_._1).min, None))
       }
       (name, cold, coldErr, steady, coldErr.orElse(steadyErr))
     }
@@ -116,7 +130,12 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "unavailable" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":2,"loadavg":${jstr(loadavg)},"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    val stealPct = (jiffies0, cpuJiffies()) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        f"${100.0 * (s1 - s0) / (t1 - t0)}%.2f"
+      case _ => "-1"
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$steadyRuns,"loadavg":${jstr(loadavg)},"steal_pct":$stealPct,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was
     // a truncated stdout tail and the regression gate had nothing to
