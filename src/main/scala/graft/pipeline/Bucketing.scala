@@ -47,4 +47,21 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Write `df` globally ordered by `key` WITHOUT a single-task sort:
+    * `repartitionByRange` samples split points and gives each
+    * partition a disjoint key range, `sortWithinPartitions` orders
+    * inside each, and files emit in partition order — so every key in
+    * file i precedes every key in file i+1, at full cluster
+    * parallelism. The layout for curriculum-ordered training output
+    * (read sequentially = ascending quality/difficulty) and for
+    * min/max-prunable range scans; a plain `orderBy(...).write` would
+    * plan the same range exchange but is worth naming as the layout
+    * operation it is. BucketingSpec verifies disjoint per-file key
+    * ranges from the parquet footers, not from the plan.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, key: String, nParts: Int): Unit =
+    df.repartitionByRange(nParts, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }

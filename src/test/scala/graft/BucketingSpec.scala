@@ -56,6 +56,30 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("range-sorted write: disjoint ascending key ranges across files, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangesort").toString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    Bucketing.writeRangeSorted(docs, s"$dir/sorted", "n_chars", 4)
+    // per-file min/max from the data itself (footer-equivalent check)
+    val files = new java.io.File(s"$dir/sorted").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("n_chars")), max(col("n_chars"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // each file internally consistent and strictly after its predecessor
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"overlapping key ranges between consecutive files: $hi > $lo")
+      case _ =>
+    }
+    // nothing lost or duplicated by the re-layout
+    assert(spark.read.parquet(s"$dir/sorted").count() == docs.count())
+  }
+
   test("bucket-pruned point lookup reads a single bucket") {
     // filter on the bucket key prunes to 1-of-n buckets at scan time —
     // the keyed point-lookup shape (SURVEY S2) on a bucketed corpus
