@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Driver contract: exactly (sfDir, outDir). Extra args are a
+    // dev-only query-name filter for fast single-query iteration.
+    val Array(sfDir, outDir, only @ _*) = args: @unchecked
     // Default to every core; SPARK_GRAFT_CPUS overrides for experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -19,7 +21,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val retried = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       // One retry: a transient failure (an executor hiccup, a race in
       // some cached build) must not zero a query in the driver's
       // correctness gate — the result is deterministic, so a clean

@@ -115,6 +115,50 @@ object CurationQueries extends graft.QueryModule {
         expr("array_join(slice(toks, st + 1, 8), ' ')").as("chunk_text"),
         least(lit(8), size(col("toks")) - col("st")).cast("int").as("n_tokens"))
 
+  /** Repeated-segment (boilerplate) removal — the C4/RefinedWeb line-
+    * dedup pass re-expressed over token segments (the fixture text has
+    * no newlines): a document is cut into consecutive 8-token segments,
+    * a segment that appears in >= 3 distinct documents corpus-wide is
+    * boilerplate (headers, footers, chants), and each document is
+    * reassembled from its surviving segments in order. Output carries
+    * the removal accounting plus an md5 digest of the reassembled text
+    * so the oracle certifies the exact cleaned string.
+    *
+    * Shape: segmentation is a row-level expression (sequence → slice),
+    * one explode+groupBy builds the segment document-frequency table,
+    * one equi-join annotates segments, one per-doc aggregate
+    * reassembles (array_sort of (seg_idx, seg) structs — collect_list
+    * drops the NULLed removed segments). Three shuffles total, all on
+    * keys that partition freely; the df table is the only corpus-wide
+    * state and it shrinks with dedup pressure. At 100 TB this is the
+    * same shape as the shingle-df build the dedup family already runs.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 8), " +
+            "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+    val df = segs.groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(df, Seq("seg"))
+      .withColumn("keep", col("n_docs") < 3)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("keep"), size(split(col("seg"), " ")).cast("long"))
+          .otherwise(0L)).as("n_kept_tokens"),
+        collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))
+          .as("kept"))
+      .select(
+        col("doc_id"), col("n_segments"), col("n_removed"), col("n_kept_tokens"),
+        md5(array_join(
+          transform(array_sort(col("kept")), s => s.getField("seg")), " "))
+          .as("cleaned_digest"))
+  }
+
   /** BM25 (k1 = 1.2, b = 0.75) top-5 terms per document. The idf
     * factor is the monotone-equivalent N/df ratio (same policy as
     * tf-idf: no log — libm is only 1-ulp-accurate and could flip
@@ -388,6 +432,7 @@ object CurationQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_weights" -> mixWeights,
     "q_split" -> leakSafeSplit,
+    "q_boilerplate" -> boilerplate,
     "q_decontaminate" -> decontaminate,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
@@ -415,6 +460,25 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), seg AS (
+        |  SELECT doc_id, CAST((pos - 1) // 8 AS INT) AS seg_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS seg
+        |  FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg
+        |)
+        |SELECT s.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST(sum(CASE WHEN d.n_docs < 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |       CAST(coalesce(sum(len(string_split(s.seg, ' '))) FILTER (WHERE d.n_docs < 3), 0) AS BIGINT) AS n_kept_tokens,
+        |       md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx) FILTER (WHERE d.n_docs < 3), '')) AS cleaned_digest
+        |FROM seg s JOIN df d ON d.seg = s.seg
+        |GROUP BY s.doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH per_source AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -294,7 +294,54 @@ object TextAnalysisQueries extends graft.QueryModule {
           .as("novelty"))
   }
 
+  /** PMI-style collocation mining — corpus phrase detection (the
+    * word2vec-phrases / "new york" -> "new_york" preprocessing step of
+    * a training-data pipeline). Score = lift = P(w1 w2) / (P(w1)P(w2))
+    * computed as c_pair * N / (c1 * c2) — monotone-equivalent to PMI
+    * (log of it) without a cross-engine log(); exact integer products
+    * in DECIMAL (overflow is a loud NULL, not a silent wrap — same
+    * width policy as diversity/outlier), ONE double division. Noise
+    * floor c_pair >= 5, top-3 per leading word.
+    *
+    * Shape: one explode+groupBy for pair counts, unigram counts reuse
+    * the shared term-frequency build, N rides a 1-row broadcast. The
+    * two unigram joins are vocabulary-sized — AQE broadcasts when
+    * small (same no-hint policy as langId). The rank window partitions
+    * by leading word: per-partition width is bounded by vocabulary,
+    * never corpus size, so it holds at 100 TB.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val pairs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2)).as("g"))
+      .select(
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val tf = sharedTermFreq(spark, dir)
+    val uni = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_tok"))
+    val stats = tf.agg(sum(col("tf")).as("n_tokens"))
+    val scored = pairs
+      .filter(col("c_pair") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("c_tok").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c_tok").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lift",
+        (col("c_pair").cast("decimal(38,0)") * col("n_tokens").cast("decimal(38,0)"))
+          .cast("double") /
+          (col("c1").cast("decimal(38,0)") * col("c2").cast("decimal(38,0)"))
+            .cast("double"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("lift").desc, col("w2"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("w1", "w2", "c_pair", "c1", "c2", "n_tokens", "lift", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> collocations,
     "q_ngram_novelty" -> ngramNovelty,
     "q_tfidf" -> tfidfTop,
     "q_lang_id" -> langId,
@@ -308,6 +355,34 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), bg0 AS (
+        |  SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks
+        |), pair AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+        |  FROM bg0 WHERE w2 IS NOT NULL GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c_tok FROM toks GROUP BY 1
+        |), stats AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |scored AS (
+        |  SELECT p.w1, p.w2, p.c_pair, u1.c_tok AS c1, u2.c_tok AS c2, s.n_tokens,
+        |         CAST(p.c_pair * s.n_tokens AS DOUBLE) /
+        |         CAST(u1.c_tok * u2.c_tok AS DOUBLE) AS lift
+        |  FROM pair p
+        |  JOIN uni u1 ON p.w1 = u1.tok
+        |  JOIN uni u2 ON p.w2 = u2.tok, stats s
+        |  WHERE p.c_pair >= 5
+        |)
+        |SELECT w1, w2, c_pair, c1, c2, n_tokens, lift, CAST(rnk AS INT) AS rnk
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY lift DESC, w2) AS rnk
+        |  FROM scored
+        |) r WHERE rnk <= 3""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH ${DedupQueries.shinglesCte},
         |firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
