@@ -81,6 +81,37 @@ object CurationQueries extends graft.QueryModule {
       .filter(col("bucket") < col("threshold"))
       .select("doc_id", "lang", "bucket")
 
+  /** Weight-proportional Poisson sampling with Horvitz-Thompson
+    * reweighting — the "sample long documents more, reweight so
+    * estimates stay unbiased" pass of corpus curation. Inclusion
+    * probability p_i = n_chars / (5 * max_chars); a doc is kept iff
+    * u(doc_id) < 2^32 * p_i, evaluated as the all-integer inequality
+    * 5 * u * max_w < 2^32 * n_chars (u = first 8 md5 hex chars of the
+    * salted id — uniform on [0, 2^32), reproducible, partition-
+    * independent). ht_weight = 1/p_i makes any sample-side sum an
+    * unbiased corpus estimate. Products run in DECIMAL on the Spark
+    * side so a width overflow is a loud NULL, not a silent long wrap
+    * (the oracle's BIGINT arithmetic errors loudly — same policy).
+    *
+    * Shape: map-only over the corpus plus a 1-row broadcast max; no
+    * shuffle, no order dependence — at 100 TB this is a pure scan.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.agg(max(col("n_chars")).as("max_w"))
+    docs
+      .withColumn("u",
+        conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .crossJoin(broadcast(stats))
+      .filter(
+        col("u").cast("decimal(38,0)") * col("max_w").cast("decimal(38,0)") * lit(5) <
+          lit(4294967296L).cast("decimal(38,0)") * col("n_chars").cast("decimal(38,0)"))
+      .select(col("doc_id"), col("n_chars"), col("u"),
+        ((col("max_w") * lit(5)).cast("double") / col("n_chars").cast("double"))
+          .as("ht_weight"))
+  }
+
   /** Per-stratum fixed quota: the 10 documents per language with the
     * smallest id-hash — the deterministic equivalent of per-group
     * reservoir sampling (uniform because md5 is, reproducible because
@@ -434,6 +465,7 @@ object CurationQueries extends graft.QueryModule {
     "q_split" -> leakSafeSplit,
     "q_boilerplate" -> boilerplate,
     "q_decontaminate" -> decontaminate,
+    "q_weighted_sample" -> weightedSample,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
     "q_chunk" -> chunk,
@@ -460,6 +492,14 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      """WITH stats AS (SELECT CAST(max(n_chars) AS BIGINT) AS max_w FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(('0x' || substr(md5('ws:' || doc_id), 1, 8))::UBIGINT AS BIGINT) AS u,
+        |       CAST(max_w * 5 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ht_weight
+        |FROM documents, stats
+        |WHERE CAST(('0x' || substr(md5('ws:' || doc_id), 1, 8))::UBIGINT AS BIGINT) * max_w * 5
+        |      < 4294967296 * n_chars""".stripMargin,
     "q_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,

@@ -340,7 +340,54 @@ object TextAnalysisQueries extends graft.QueryModule {
       .select("w1", "w2", "c_pair", "c1", "c2", "n_tokens", "lift", "rnk")
   }
 
+  /** Count-min-sketch frequency estimation + heavy-hitter report: 4
+    * hash rows x 64 buckets (256 cells TOTAL — the fixed-memory sketch
+    * that replaces an unbounded per-key count table when the key
+    * domain explodes: URLs, hosts, n-grams at 100 TB), estimate =
+    * min over rows of the keyed cell, reported for every token at or
+    * above 0.1% corpus frequency next to its exact count. est >= exact
+    * always (CMS one-sided guarantee — pinned in SketchSpec for EVERY
+    * token); the hash compare certifies the sketch cells themselves
+    * since est is derived from them.
+    *
+    * Shape: cell build is one groupBy over (row, bucket) — output
+    * bounded at d*w rows regardless of corpus size; the estimate join
+    * broadcasts the 256-cell table. Exact counts ride the shared
+    * term-frequency build (at true scale the exact side exists only
+    * for this audit; production reads the sketch alone).
+    */
+  /** (tok, c_tok, est) for EVERY token — the unfiltered CMS estimate
+    * frame [[heavyHitters]] thresholds; SketchSpec asserts the
+    * one-sided est >= c_tok guarantee over all of it.
+    */
+  private[graft] def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val tf = sharedTermFreq(spark, dir)
+    val uni = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_tok"))
+    def bucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"cm$i:"), col("tok"))), 1, 8), 16, 10)
+        .cast("long") % 64
+    val keyed = uni.select(col("tok"), col("c_tok"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("r"), bucket(i).as("b"))): _*)).as("rb"))
+      .select(col("tok"), col("c_tok"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val cells = keyed.groupBy(col("r"), col("b")).agg(sum(col("c_tok")).as("cell"))
+    keyed.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("tok"), col("c_tok"))
+      .agg(min(col("cell")).as("est"))
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val stats = sharedTermFreq(spark, dir).agg(sum(col("tf")).as("n_tokens"))
+    cmsEstimates(spark, dir)
+      .crossJoin(broadcast(stats))
+      .filter(col("c_tok") * 1000 >= col("n_tokens"))
+      .select(col("tok"), col("c_tok"), col("est"),
+        (col("est") - col("c_tok")).as("err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> heavyHitters,
     "q_collocations" -> collocations,
     "q_ngram_novelty" -> ngramNovelty,
     "q_tfidf" -> tfidfTop,
@@ -355,6 +402,24 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c_tok FROM toks GROUP BY tok
+        |), stats AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |keyed AS (
+        |  SELECT tok, c_tok, r,
+        |         CAST(('0x' || substr(md5('cm' || r || ':' || tok), 1, 8))::UBIGINT % 64 AS BIGINT) AS b
+        |  FROM uni, (SELECT unnest([0,1,2,3]) AS r) rows
+        |), cells AS (
+        |  SELECT r, b, CAST(sum(c_tok) AS BIGINT) AS cell FROM keyed GROUP BY r, b
+        |)
+        |SELECT k.tok, k.c_tok, CAST(min(c.cell) AS BIGINT) AS est,
+        |       CAST(min(c.cell) - k.c_tok AS BIGINT) AS err
+        |FROM keyed k JOIN cells c ON c.r = k.r AND c.b = k.b, stats s
+        |GROUP BY k.tok, k.c_tok, s.n_tokens
+        |HAVING k.c_tok * 1000 >= s.n_tokens""".stripMargin,
     "q_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
