@@ -429,6 +429,73 @@ object DedupQueries extends graft.QueryModule {
     intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup: ordered pairs where >= 80% of
+    * doc_a's distinct bigrams appear in doc_b — the subset/quote
+    * duplicate class symmetric Jaccard MISSES (a small doc quoted
+    * inside a large one has tiny Jaccard but containment ~1). Lossless
+    * prefix filter, containment-adapted: if |A∩B| >= ceil(0.8|A|),
+    * the intersection cannot avoid A's first |A| - ceil(0.8|A|) + 1
+    * grams in the global (df asc, gram) order, so candidates =
+    * A-prefix x B-FULL-index sharing a gram. The A side re-cuts the
+    * SAME cached Jaccard-0.7 prefix (ceil(0.8n) >= ceil(0.7n), so the
+    * 0.8-prefix is a strict subset); only the B side needs full
+    * postings — and the joined gram always comes from A's rarest ~20%,
+    * which keeps hot corpus-wide grams out of the join key. Exact
+    * collapse first as in [[dedupNgram]]; expansion keeps DIRECTION
+    * (no least/greatest): containment is not symmetric. Oracle is the
+    * plain all-pairs formulation — the hash match certifies the filter
+    * loses no qualifying ordered pair. ceil(0.8n) = (4n+4) div 5,
+    * integer-exact in both engines.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val (groups, gramArr, prefix) = ngramIndex(spark, dir)
+    val pfx = prefix.filter(
+      col("rn") <= col("n_g") - expr("(4 * n_g + 4) div 5") + lit(1))
+    val full = gramArr.select(col("doc_id"), explode(col("g_arr")).as("g"))
+    val cand = pfx.alias("a").join(full.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val repPairs = cand
+      .join(gramArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
+      .join(gramArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("overlap"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .filter(lit(5) * col("overlap") >= lit(4) * col("n_a"))
+
+    // ordered expansion: rep-pair metrics hold for every (member of A,
+    // member of B) pair because gram sets are constant within a class
+    val cross = repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("__ma")), Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("__mb")), Seq("doc_b"))
+      .select(col("overlap"), col("n_a"), col("n_b"),
+        explode(col("__ma")).as("a"), col("__mb"))
+      .select(col("overlap"), col("n_a"), col("n_b"), col("a"),
+        explode(col("__mb")).as("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_a"), col("n_b"), col("overlap"))
+
+    // intra-class ordered pairs: identical text => containment 1.0 in
+    // BOTH directions (docs without a bigram never pair in the oracle)
+    val intra = groups
+      .join(gramArr.filter(size(col("g_arr")) > 0)
+        .select(col("doc_id").as("rep"), size(col("g_arr")).cast("long").as("n_g")),
+        Seq("rep"))
+      .filter(size(col("members")) >= 2)
+      .select(col("n_g"), explode(col("members")).as("a"), col("members"))
+      .select(col("n_g"), col("a"), explode(col("members")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_g").as("n_a"), col("n_g").as("n_b"), col("n_g").as("overlap"))
+
+    intra.unionByName(cross)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("overlap"),
+        (col("overlap").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
   // ===== embedding near-dup: random-hyperplane LSH + exact verify =====
   /** Blocking constants: EMB_BANDS bands of EMB_BITS sign bits each.
     * The hyperplanes are Rademacher (+-1 component) vectors seeded
@@ -841,6 +908,7 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_embedding" -> dedupEmbedding
   )
 
@@ -1013,6 +1081,27 @@ object DedupQueries extends graft.QueryModule {
         |SELECT doc_id,
         |       string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
         |FROM sums GROUP BY doc_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), grams AS (SELECT DISTINCT doc_id, g FROM g0 WHERE g IS NOT NULL),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b, za.n_g AS n_a, zb.n_g AS n_b, i.c AS overlap,
+        |       CAST(i.c AS DOUBLE) / CAST(za.n_g AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE 5 * i.c >= 4 * za.n_g""".stripMargin,
     "q_dedup_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS tok,
