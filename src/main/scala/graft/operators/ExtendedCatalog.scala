@@ -141,7 +141,23 @@ object ExtendedCatalog extends graft.QueryModule {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** Z-order (Morton) key over (user_id, event_id) mod 2^16 — the
+    * multi-dimensional clustering key [[graft.pipeline.Bucketing
+    * .writeZOrdered]] lays tables out on (StorageSpec proves the
+    * two-dimensional file pruning); exposed as a query so the oracle
+    * certifies the bit interleave itself. Pure shift/mask expression
+    * tree, map-only; the oracle spells the same 32 terms out as
+    * disjoint-bit additions.
+    */
+  def zorderKeyQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.pipeline.Bucketing.zorderKey(
+          pmod(col("user_id"), lit(65536)).cast("long"),
+          pmod(col("event_id"), lit(65536)).cast("long"), 16).as("zkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> zorderKeyQuery,
     "q_cube" -> cubeAgg,
     "q_pivot" -> pivotAgg,
     "q_null_handling" -> nullHandling,
@@ -154,7 +170,17 @@ object ExtendedCatalog extends graft.QueryModule {
     "q_sql_revenue" -> sqlRevenue
   )
 
+  private lazy val zorderOracleTerms: String =
+    (0 until 16).flatMap(i => Seq(
+      s"((((user_id % 65536) >> $i) & 1) << ${2 * i})",
+      s"((((event_id % 65536) >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""SELECT event_id, user_id,
+        |       CAST($zorderOracleTerms AS BIGINT) AS zkey
+        |FROM events""".stripMargin,
     "q_string_funcs2" ->
       """SELECT p_partkey,
         |       trim(p_name) AS trimmed,

@@ -64,4 +64,40 @@ object Bucketing {
     df.repartitionByRange(nParts, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** 2-D Z-order (Morton) key: interleave the low `bits` bits of x and
+    * y (x in even positions, y in odd). A pure codegen expression tree
+    * of 2*bits shift/mask terms — no UDF. Inputs must be non-negative;
+    * callers bucketize/`pmod` first.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered on the Z-order curve of (xCol, yCol) — the
+    * layout for data skipping on TWO dimensions at once. Range-sort on
+    * one key prunes scans filtered on that key only; sorting on the
+    * Morton key keeps each output file's rows inside a small square of
+    * the (x, y) grid, so per-file parquet min/max stats are narrow in
+    * BOTH columns and a filter on EITHER prunes most files. The curve
+    * key orders the write and is then dropped — pruning reads the
+    * natural column stats, no derived column survives in the table.
+    * Same range-exchange + per-partition-sort shape as
+    * [[writeRangeSorted]]: full parallelism, no single-task sort.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, nParts: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z", zorderKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

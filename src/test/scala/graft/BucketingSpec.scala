@@ -80,6 +80,55 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sorted").count() == docs.count())
   }
 
+  test("z-ordered write: per-file min/max narrow in BOTH dimensions") {
+    // 64x64 grid; z-layout should cut it into near-square blocks so a
+    // filter on EITHER dimension overlaps few files, while a
+    // single-key range sort prunes only its own key
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    Bucketing.writeZOrdered(grid, s"$dir/z", "x", "y", 6, 16)
+    Bucketing.writeRangeSorted(grid, s"$dir/xsorted", "x", 16)
+
+    def fileRanges(path: String, dim: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+        .map { f =>
+          val r = spark.read.parquet(f).agg(min(col(dim)), max(col(dim))).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+
+    def overlapping(ranges: Array[(Long, Long)], lo: Long, hi: Long): Int =
+      ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val zY = fileRanges(s"$dir/z", "y")
+    val zX = fileRanges(s"$dir/z", "x")
+    val xsY = fileRanges(s"$dir/xsorted", "y")
+    assert(zY.length > 4)
+    // an eighth-of-domain window on either dimension prunes most z files
+    assert(overlapping(zY, 0, 7) <= zY.length * 2 / 5,
+      s"y-window should prune z-layout files: ${overlapping(zY, 0, 7)}/${zY.length}")
+    assert(overlapping(zX, 0, 7) <= zX.length * 2 / 5,
+      s"x-window should prune z-layout files: ${overlapping(zX, 0, 7)}/${zX.length}")
+    // the x-sorted layout cannot prune on y: every file spans all of y
+    assert(overlapping(xsY, 0, 7) == xsY.length)
+    // nothing lost by the re-layout
+    assert(spark.read.parquet(s"$dir/z").count() == 4096)
+  }
+
+  test("zorderKey interleave matches a reference bit-by-bit model") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    import spark.implicits._
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Bucketing.zorderKey(col("x"), col("y"), 16).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y)) }
+  }
+
   test("bucket-pruned point lookup reads a single bucket") {
     // filter on the bucket key prunes to 1-of-n buckets at scan time —
     // the keyed point-lookup shape (SURVEY S2) on a bucketed corpus
