@@ -112,6 +112,33 @@ object CurationQueries extends graft.QueryModule {
           .as("ht_weight"))
   }
 
+  /** Exact global rank + percentile of every document by n_chars with
+    * NO single-task pass over corpus rows — the curriculum-ordering /
+    * quantile-assignment primitive a naive
+    * `rank() over (order by ...)` turns into a one-task sort of the
+    * whole corpus. Shape: counts per DISTINCT value (one shuffle,
+    * value-domain-sized output), exclusive prefix sum over the value
+    * domain through the [[graft.pipeline.PrefixSum]] L-level tree
+    * (bounded rows per task at any domain size), then a value-domain
+    * join back (AQE broadcasts it when small). rank = 1 + count of
+    * strictly smaller values — RANK() semantics with ties exactly;
+    * pct = below / (N - 1) is PERCENT_RANK(), one double division of
+    * exact integers.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vals = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.pipeline.PrefixSum.exclusiveOffsets(
+      vals, Seq.empty, "n_chars", "cnt", "below")
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    docs.join(cum.select(col("n_chars"), col("below")), Seq("n_chars"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_chars"),
+        (col("below") + lit(1L)).as("rk"),
+        (col("below").cast("double") / (col("n_docs") - lit(1)).cast("double"))
+          .as("pct"))
+  }
+
   /** Per-stratum fixed quota: the 10 documents per language with the
     * smallest id-hash — the deterministic equivalent of per-group
     * reservoir sampling (uniform because md5 is, reproducible because
@@ -465,6 +492,7 @@ object CurationQueries extends graft.QueryModule {
     "q_split" -> leakSafeSplit,
     "q_boilerplate" -> boilerplate,
     "q_decontaminate" -> decontaminate,
+    "q_global_rank" -> globalRank,
     "q_weighted_sample" -> weightedSample,
     "q_sample_hash" -> sampleHash,
     "q_sample_group" -> sampleGroup,
@@ -492,6 +520,11 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |       RANK() OVER (ORDER BY n_chars) AS rk,
+        |       PERCENT_RANK() OVER (ORDER BY n_chars) AS pct
+        |FROM documents""".stripMargin,
     "q_weighted_sample" ->
       """WITH stats AS (SELECT CAST(max(n_chars) AS BIGINT) AS max_w FROM documents)
         |SELECT doc_id, n_chars,

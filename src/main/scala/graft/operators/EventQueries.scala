@@ -59,7 +59,34 @@ object EventQueries extends graft.QueryModule {
       .select("event_id", "user_id", "event_type", "ts", "value")
   }
 
+  /** Ordered-sequence funnel: per user, the strict view → click →
+    * purchase conversion chain — t1 = first view, t2 = first click
+    * AFTER t1, t3 = first purchase AFTER t2 (the product-analytics
+    * query class where order matters, not just membership). One
+    * groupBy collects each user's events; the conditional-min chain is
+    * three nested row-level array expressions (filter → transform →
+    * array_min) — no sort, no further shuffle. Per-user array size is
+    * bounded by user activity; a corpus with unbounded power users
+    * would swap this for the equivalent three-join min chain the
+    * oracle spells out (same values, join-shaped).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_type").as("et"))).as("evs"))
+      .withColumn("t1",
+        expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.ts))"))
+      .filter(col("t1").isNotNull)
+      .withColumn("t2",
+        expr("array_min(transform(filter(evs, e -> e.et = 'click' AND e.ts > t1), e -> e.ts))"))
+      .withColumn("t3",
+        expr("array_min(transform(filter(evs, e -> e.et = 'purchase' AND e.ts > t2), e -> e.ts))"))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2).otherwise(1)
+          .cast("int").as("stage"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel,
     "q_tumbling_window" -> tumbling,
     "q_sliding_window" -> sliding,
     "q_session_window" -> sessionize,
@@ -67,6 +94,25 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.t1, c.t2, p.t3,
+        |       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |                 WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+        |FROM v
+        |LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
     "q_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS win_start,
         |       time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 15 MINUTE AS win_end,
