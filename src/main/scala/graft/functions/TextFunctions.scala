@@ -79,6 +79,20 @@ object TextFunctions {
           i => array_min(slice(hashes, i + lit(1), lit(window)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Count-min-sketch cell keys for one token: array of (r, b) structs,
+    * 4 md5-salted hash rows x 64 buckets. ONE definition shared by the
+    * batch estimator (TextAnalysisQueries.cmsEstimates, whose DuckDB
+    * oracle mirrors the same salt/window scheme) and the streaming
+    * sketch (StreamingOps.cmsCellsStream) — the same
+    * one-definition-per-banding policy as embBandKeys.
+    */
+  def cmsKeys(tok: Column): Column =
+    array((0 until 4).map { i =>
+      struct(lit(i).as("r"),
+        (conv(substring(md5(concat(lit(s"cm$i:"), tok)), 1, 8), 16, 10)
+          .cast("long") % 64).as("b"))
+    }: _*)
+
   /** Integer value of the first 8 md5 hex chars of every token —
     * precomputed once per doc so the 32 SimHash bit-votes reuse it.
     */

@@ -361,15 +361,10 @@ object TextAnalysisQueries extends graft.QueryModule {
     * one-sided est >= c_tok guarantee over all of it.
     */
   private[graft] def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     val tf = sharedTermFreq(spark, dir)
     val uni = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_tok"))
-    def bucket(i: Int): Column =
-      conv(substring(md5(concat(lit(s"cm$i:"), col("tok"))), 1, 8), 16, 10)
-        .cast("long") % 64
     val keyed = uni.select(col("tok"), col("c_tok"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("r"), bucket(i).as("b"))): _*)).as("rb"))
+        explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
       .select(col("tok"), col("c_tok"), col("rb.r").as("r"), col("rb.b").as("b"))
     val cells = keyed.groupBy(col("r"), col("b")).agg(sum(col("c_tok")).as("cell"))
     keyed.join(broadcast(cells), Seq("r", "b"))

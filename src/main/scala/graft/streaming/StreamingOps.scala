@@ -152,6 +152,23 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming count-min sketch over document tokens: the running
+    * (r, b) cell counts of the SAME 4x64 sketch the batch estimator
+    * reads (one key definition: TextFunctions.cmsKeys). The point in
+    * streaming: state is bounded at d*w = 256 rows FOREVER — a running
+    * per-token count table grows with the key domain, the sketch does
+    * not, so frequency tracking at ingest survives any corpus size.
+    * Update/complete-mode aggregation; estimates read min over a
+    * token's 4 cells exactly as in the batch path.
+    */
+  def cmsCellsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("cell"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so state for

@@ -209,6 +209,39 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == keys)
   }
 
+  test("streaming CMS cells equal the batch sketch and state stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.cmsCellsStream(docs)
+      .writeStream.outputMode("complete").format("memory").queryName("cms").start()
+    mem.addData((1L, "a b a"), (2L, "b c"))
+    q.processAllAvailable()
+    mem.addData((3L, "a a d"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cms").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // bounded: never more cells than d*w, regardless of token domain
+    assert(got.size <= 256)
+    // equals the batch sketch over everything ingested so far
+    val batch = Seq((1L, "a b a"), (2L, "b c"), (3L, "a a d")).toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == batch)
+    // the sketch estimate for 'a' (4 occurrences) is >= truth
+    val aCells = Seq((0L, "a")).toDF("i", "tok")
+      .select(explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
+      .select(col("rb.r"), col("rb.b")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(aCells.map(got).min >= 4L)
+  }
+
   test("streaming exact dedup: first content wins within and across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
