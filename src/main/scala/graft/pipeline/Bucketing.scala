@@ -65,6 +65,43 @@ object Bucketing {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Compact a directory of many small files into few bounded ones —
+    * the maintenance pass every long-running ingest needs (streaming
+    * sinks and fine-grained upserts accrete small files; at 100 TB,
+    * millions of tiny files turn scan planning and the namenode into
+    * the bottleneck before any byte is read). Rows-per-file is bounded
+    * above by `maxRecordsPerFile` (enforced by the writer even if a
+    * partition holds more) and below by the partition count, sized
+    * here from the actual row count so the rewrite neither
+    * under-parallelizes nor re-fragments. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, maxRecordsPerFile: Long): (Int, Int) = {
+    def parts(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("part-"))
+    val before = parts(path).length
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    // 90% fill target: round-robin repartition is not exact, so a
+    // partition sized exactly to the cap would spill a handful of rows
+    // into a second file per partition and re-fragment the output
+    val nParts = math.max(1, math.ceil(n.toDouble / (0.9 * maxRecordsPerFile)).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nParts)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp)
+    // swap via rename; the _prev aside makes the swap crash-recoverable
+    // (same pattern as foreachBatchUpsert's sink swap)
+    val dir = new java.io.File(path)
+    val prev = new java.io.File(path.stripSuffix("/") + "__prev")
+    if (prev.exists()) { prev.listFiles().foreach(_.delete()); prev.delete() }
+    dir.renameTo(prev)
+    new java.io.File(tmp).renameTo(dir)
+    prev.listFiles().foreach(_.delete()); prev.delete()
+    (before, parts(path).length)
+  }
+
   /** 2-D Z-order (Morton) key: interleave the low `bits` bits of x and
     * y (x in even positions, y in odd). A pure codegen expression tree
     * of 2*bits shift/mask terms — no UDF. Inputs must be non-negative;

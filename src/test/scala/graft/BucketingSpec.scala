@@ -129,6 +129,28 @@ class BucketingSpec extends SparkSpec {
     pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y)) }
   }
 
+  test("compact: many small files become few bounded ones, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/frag"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    val n = docs.count()
+    // fragment deliberately: one file per row-ish
+    docs.repartition(32).write.parquet(path)
+    val (before, after) = Bucketing.compact(spark, path, maxRecordsPerFile = 20)
+    assert(before == 32)
+    // bounded by the 90%-fill partition count plus at most one split
+    assert(after <= math.ceil(n / (0.9 * 20)).toInt + 1 && after < before)
+    // no file exceeds the record bound; nothing lost or duplicated
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath)
+    files.foreach { f =>
+      assert(spark.read.parquet(f).count() <= 20)
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() == n)
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+  }
+
   test("bucket-pruned point lookup reads a single bucket") {
     // filter on the bucket key prunes to 1-of-n buckets at scan time —
     // the keyed point-lookup shape (SURVEY S2) on a bucketed corpus
