@@ -430,35 +430,58 @@ object DedupQueries extends graft.QueryModule {
   }
 
   /** Asymmetric containment near-dup: ordered pairs where >= 80% of
-    * doc_a's distinct bigrams appear in doc_b — the subset/quote
+    * doc_a's distinct 3-shingles appear in doc_b — the subset/quote
     * duplicate class symmetric Jaccard MISSES (a small doc quoted
     * inside a large one has tiny Jaccard but containment ~1). Lossless
     * prefix filter, containment-adapted: if |A∩B| >= ceil(0.8|A|),
     * the intersection cannot avoid A's first |A| - ceil(0.8|A|) + 1
-    * grams in the global (df asc, gram) order, so candidates =
-    * A-prefix x B-FULL-index sharing a gram. The A side re-cuts the
-    * SAME cached Jaccard-0.7 prefix (ceil(0.8n) >= ceil(0.7n), so the
-    * 0.8-prefix is a strict subset); only the B side needs full
-    * postings — and the joined gram always comes from A's rarest ~20%,
-    * which keeps hot corpus-wide grams out of the join key. Exact
-    * collapse first as in [[dedupNgram]]; expansion keeps DIRECTION
-    * (no least/greatest): containment is not symmetric. Oracle is the
-    * plain all-pairs formulation — the hash match certifies the filter
-    * loses no qualifying ordered pair. ceil(0.8n) = (4n+4) div 5,
-    * integer-exact in both engines.
+    * shingles in the global (df asc, shingle) order, so candidates =
+    * A-prefix x B-FULL-index sharing a shingle, further cut by the
+    * lossless size bound 4 n_a <= 5 n_b (|A∩B| <= |B|). Only the B
+    * side needs full postings — the joined shingle always comes from
+    * A's rarest ~20%. Exact collapse first as in [[dedupNgram]];
+    * expansion keeps DIRECTION (no least/greatest): containment is
+    * not symmetric. Oracle is the plain all-pairs formulation — the
+    * hash match certifies the filter loses no qualifying ordered
+    * pair. ceil(0.8n) = (4n+4) div 5, integer-exact in both engines.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val (groups, gramArr, prefix) = ngramIndex(spark, dir)
-    val pfx = prefix.filter(
-      col("rn") <= col("n_g") - expr("(4 * n_g + 4) div 5") + lit(1))
-    val full = gramArr.select(col("doc_id"), explode(col("g_arr")).as("g"))
+    import graft.functions.TextFunctions
+    // Exact-collapse classes are shared with the bigram path; the
+    // containment basis is the 3-SHINGLE set (not bigrams): with k=3
+    // the shingle domain is cubically larger, so posting lists stay
+    // short where the fixture's dense 30-word vocabulary makes every
+    // bigram corpus-frequent (a bigram-basis candidate join measured
+    // 60s at sf0.1 — df of "rare" bigrams grows linearly with this
+    // corpus, the exact failure mode rare-prefix filtering assumes
+    // away; 3-shingle df stays near-constant).
+    val (groups, _, _) = ngramIndex(spark, dir)
+    val shArr = graft.SharedBuilds.getOrBuild[DataFrame](
+        "dedup.containShingles", spark, dir) { scope =>
+      scope.cached(groups.select(
+        col("rep").as("doc_id"),
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
+          .as("g_arr")))
+    }
+    val full = shArr.filter(size(col("g_arr")) > 0)
+      .select(col("doc_id"), size(col("g_arr")).cast("long").as("n_g"),
+        explode(col("g_arr")).as("g"))
+    val dfreq = full.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val pfx = full.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_g") - expr("(4 * n_g + 4) div 5") + lit(1))
+      .select(col("doc_id"), col("g"), col("n_g"))
+    // lossless size predicate: |A∩B| <= n_b, so containment >= 0.8
+    // forces ceil(0.8 n_a) <= n_b, i.e. 4 n_a <= 5 n_b
     val cand = pfx.alias("a").join(full.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          lit(4) * col("a.n_g") <= lit(5) * col("b.n_g"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val repPairs = cand
-      .join(gramArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
-      .join(gramArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
+      .join(shArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("overlap"),
@@ -479,9 +502,9 @@ object DedupQueries extends graft.QueryModule {
         col("n_a"), col("n_b"), col("overlap"))
 
     // intra-class ordered pairs: identical text => containment 1.0 in
-    // BOTH directions (docs without a bigram never pair in the oracle)
+    // BOTH directions (docs without a 3-shingle never pair in the oracle)
     val intra = groups
-      .join(gramArr.filter(size(col("g_arr")) > 0)
+      .join(shArr.filter(size(col("g_arr")) > 0)
         .select(col("doc_id").as("rep"), size(col("g_arr")).cast("long").as("n_g")),
         Seq("rep"))
       .filter(size(col("members")) >= 2)
@@ -1082,18 +1105,11 @@ object DedupQueries extends graft.QueryModule {
         |       string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
         |FROM sums GROUP BY doc_id""".stripMargin,
     "q_dedup_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '), 1) AS pos
-        |  FROM documents
-        |), g0 AS (
-        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS g
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |), grams AS (SELECT DISTINCT doc_id, g FROM g0 WHERE g IS NOT NULL),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM grams GROUP BY doc_id),
+      s"""WITH $shinglesCte,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT i.doc_a, i.doc_b, za.n_g AS n_a, zb.n_g AS n_b, i.c AS overlap,
