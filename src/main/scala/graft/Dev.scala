@@ -213,7 +213,9 @@ object Dev {
               "q_sample_hash", "q_outlier", "q_quality_gate", "q_pack",
               "q_semdedup", "q_split", "q_quota", "q_ngram_novelty",
               "q_semdedup_incremental", "q_knn_sq", "q_dedup_media",
-              "q_dedup_media_incremental")
+              "q_dedup_media_incremental",
+              "q_dedup_containment", "q_boilerplate", "q_collocations",
+              "q_heavy_hitters", "q_global_rank", "q_weighted_sample")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()

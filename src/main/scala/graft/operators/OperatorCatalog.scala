@@ -111,6 +111,31 @@ object OperatorCatalog extends graft.QueryModule {
       .select("p_partkey", "p_name")
   }
 
+  // ===== full outer join: two-sided reconciliation =====
+  /** FULL OUTER reconciliation of two per-user aggregates with
+    * deliberately asymmetric membership (high-value clicks vs
+    * high-value purchases): users on either side only surface with
+    * NULL-coalesced counts — the missing join type in the family
+    * (inner/semi/anti/asof/range are covered elsewhere). Plain
+    * shuffled hash join on user_id; outer joins can't broadcast the
+    * preserved side, so this is the partition-aligned shape at scale.
+    */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(t: String): DataFrame = ev
+      .filter(col("event_type") === t && col("value") > 150.0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(s"n_$t"),
+        exactSum(col("value")).as(s"sum_$t"))
+    side("click").as("c")
+      .join(side("purchase").as("p"),
+        col("c.user_id") === col("p.user_id"), "full_outer")
+      .select(
+        coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        col("sum_click"), col("sum_purchase"))
+  }
+
   // ===== J1/J2/S6: multi-table star join with exact revenue =====
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -310,6 +335,7 @@ object OperatorCatalog extends graft.QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> fullOuter,
     "q_approx_quantile" -> approxQuantile,
     "q_approx_distinct" -> approxDistinct,
     "q_filter_range" -> filterRange,
@@ -335,6 +361,23 @@ object OperatorCatalog extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_click,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click
+        |  FROM events WHERE event_type = 'click' AND value > 150.0
+        |  GROUP BY user_id
+        |), p AS (
+        |  SELECT user_id, count(*) AS n_purchase,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_purchase
+        |  FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |  GROUP BY user_id
+        |)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |       coalesce(c.n_click, 0) AS n_click,
+        |       coalesce(p.n_purchase, 0) AS n_purchase,
+        |       c.sum_click, p.sum_purchase
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""".stripMargin,
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
