@@ -63,6 +63,25 @@ class StorageSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"))
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // a long-lived table gains a column mid-life; old files lack it.
+    // mergeSchema must union the schemas and NULL-fill the old files —
+    // the read-side contract that lets a 100 TB table evolve without
+    // rewriting history.
+    val path = tmp("evolve")
+    val docs = Tables.documents(spark, sf0001)
+    docs.select("doc_id", "n_chars").write.parquet(path)
+    docs.select(col("doc_id") + 1000000L as "doc_id", col("n_chars"),
+        col("lang")) // the new generation carries an extra column
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(merged.count() == 2 * docs.count())
+    // old generation reads as NULL lang; new generation keeps values
+    assert(merged.filter(col("doc_id") < 1000000L && col("lang").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") >= 1000000L && col("lang").isNull).count() == 0)
+  }
+
   test("csv and json round-trips preserve values") {
     val src = Tables.supplier(spark, sf0001)
     val csvPath = tmp("csv_rt")
