@@ -64,9 +64,14 @@ class CatalogSpec extends SparkSpec {
     // q_semdedup and q_semdedup_incremental read the same broadcast
     // 10-row centroid crossJoin as q_knn_ivf via the shared IVF index;
     // q_knn_sq scores the corpus against the broadcast <=5-row query
-    // codes under the same non-equi self-exclusion as q_knn_brute)
+    // codes under the same non-equi self-exclusion as q_knn_brute;
+    // q_heavy_hitters, q_collocations, q_weighted_sample and
+    // q_global_rank ride the same single-row broadcast stats
+    // crossJoin as q_bm25 — n_tokens / max-weight / corpus-count
+    // scalars joined under a non-equi threshold)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
-      "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq")
+      "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
+      "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
