@@ -67,6 +67,89 @@ object CurationQueries extends graft.QueryModule {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination pre-filter — the 100 TB shape of
+    * [[decontaminate]]. The exact-join form above broadcasts the
+    * benchmark's shingle STRINGS; once the benchmark grows past
+    * broadcast size (a full eval-suite union is billions of n-grams)
+    * that plan degrades to a corpus-wide shuffle. Here the benchmark
+    * side instead compresses to a constant-size Bloom bitset
+    * ([[graft.functions.BloomFilterAggregator]], BLOOM_WORDS*64 bits
+    * regardless of benchmark cardinality), the corpus probes it with
+    * row-local bit reads (map-only, no shuffle, no join), and ONLY the
+    * Bloom-positive shingles — true hits plus a bounded false-positive
+    * trickle — reach the exact verification join. One-sided error
+    * makes this lossless: a Bloom negative is a certain non-member, so
+    * the exact join's result is identical to [[decontaminate]]'s while
+    * touching a fraction of the rows. K=3 positions per shingle by the
+    * house Kirsch-Mitzenmacher scheme ((h1 + i*h2) mod M over the two
+    * disjoint md5 windows — same decorrelation as
+    * [[graft.functions.TextFunctions.minhashOrder]]).
+    *
+    * The 64k-bit M is deliberately small for the fixture so the
+    * false-positive path actually executes (at sf0.01 the bench set
+    * fills ~9% of the bits → a handful of `is_fp` rows); production
+    * sizes M from the benchmark cardinality (m ≈ -n·ln(p)/ln(2)², still
+    * KiB-to-MiB for billions of entries — the broadcast that always
+    * fits). Output: every train doc with ≥1 Bloom-positive shingle,
+    * its Bloom hit count, its exact hit count, and whether the doc was
+    * a pure false positive.
+    */
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val BloomWords = 1024 // 65536 bits
+    val M = BloomWords.toLong * 64
+
+    val sh = DedupQueries.sharedShingles(spark, dir)
+      .select("doc_id", "sh_arr")
+      .filter(size(col("sh_arr")) > 0)
+      .withColumn("is_bench", col("doc_id") % 20 === 0)
+
+    def positions(digest: Column): Seq[Column] = (0 until 3).map { i =>
+      (conv(substring(digest, 1, 8), 16, 10).cast("long") +
+        lit(i.toLong) * conv(substring(digest, 17, 8), 16, 10).cast("long")) % lit(M)
+    }
+
+    val bloomAgg = udaf(new graft.functions.BloomFilterAggregator(BloomWords))
+    val bloom = sh.filter(col("is_bench"))
+      .select(explode(col("sh_arr")).as("s"))
+      .select(md5(col("s")).as("d"))
+      .select(explode(array(positions(col("d")): _*)).as("p"))
+      .agg(bloomAgg(col("p")).as("bits"))
+
+    // map-only probe: 3 bit reads per shingle against the broadcast
+    // 8 KiB bitset; bit b of the filter lives in word b div 64 at
+    // offset b mod 64 (same layout the aggregator writes)
+    def bitSet(p: String): Column =
+      expr(s"(shiftright(element_at(bits, cast($p div 64 as int) + 1), " +
+        s"cast($p % 64 as int)) & 1) = 1")
+    val probed = sh.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("s"))
+      .withColumn("d", md5(col("s")))
+      .withColumn("p0", positions(col("d"))(0))
+      .withColumn("p1", positions(col("d"))(1))
+      .withColumn("p2", positions(col("d"))(2))
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", bitSet("p0") && bitSet("p1") && bitSet("p2"))
+
+    val perDoc = probed.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sh"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom"))
+
+    // exact verification joins ONLY the Bloom-positive shingles
+    val benchSet = sh.filter(col("is_bench"))
+      .select(explode(col("sh_arr")).as("s")).distinct()
+    val exact = probed.filter(col("hit")).select("doc_id", "s")
+      .join(benchSet, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+
+    perDoc.filter(col("n_bloom") > 0)
+      .join(exact, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_sh"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_exact"), lit(0L)) === 0).as("is_fp"))
+  }
+
   /** Deterministic stratified subsample: keep a document iff the md5
     * of its id falls under its language's hex threshold — 50% for
     * `en`, 25% for everything else. Pure map-only filter: no shuffle,
@@ -492,6 +575,7 @@ object CurationQueries extends graft.QueryModule {
     "q_split" -> leakSafeSplit,
     "q_boilerplate" -> boilerplate,
     "q_decontaminate" -> decontaminate,
+    "q_bloom_prune" -> bloomPrune,
     "q_global_rank" -> globalRank,
     "q_weighted_sample" -> weightedSample,
     "q_sample_hash" -> sampleHash,
@@ -602,6 +686,40 @@ object CurationQueries extends graft.QueryModule {
         |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS overlap_frac,
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    "q_bloom_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |bpos AS (
+        |  SELECT DISTINCT CAST((('0x'||substr(md5(s),1,8))::UBIGINT
+        |        + g.i * ('0x'||substr(md5(s),17,8))::UBIGINT) % 65536 AS BIGINT) AS p
+        |  FROM bench, (SELECT unnest([0,1,2]) AS i) g
+        |),
+        |khits AS (
+        |  SELECT t.doc_id, t.s, count(*) AS k_in
+        |  FROM train t, (SELECT unnest([0,1,2]) AS i) g
+        |  WHERE CAST((('0x'||substr(md5(t.s),1,8))::UBIGINT
+        |        + g.i * ('0x'||substr(md5(t.s),17,8))::UBIGINT) % 65536 AS BIGINT)
+        |        IN (SELECT p FROM bpos)
+        |  GROUP BY t.doc_id, t.s
+        |),
+        |bloomsh AS (SELECT doc_id, s FROM khits WHERE k_in = 3),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM train GROUP BY doc_id),
+        |nbloom AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom FROM bloomsh GROUP BY doc_id),
+        |nexact AS (SELECT b2.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM bloomsh b2 JOIN bench b ON b2.s = b.s GROUP BY b2.doc_id)
+        |SELECT z.doc_id, z.n_sh, nb.n_bloom,
+        |       CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+        |       coalesce(ne.n_exact, 0) = 0 AS is_fp
+        |FROM sizes z JOIN nbloom nb ON nb.doc_id = z.doc_id
+        |LEFT JOIN nexact ne ON ne.doc_id = z.doc_id""".stripMargin,
     "q_sample_group" ->
       """SELECT doc_id, lang, h, rn FROM (
         |  SELECT doc_id, lang,

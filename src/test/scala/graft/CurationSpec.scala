@@ -208,6 +208,39 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bloom aggregator bitset matches an independent membership model") {
+    import graft.functions.BloomFilterAggregator
+    val words = 4 // 256 bits
+    val positions = Seq(0L, 1L, 63L, 64L, 65L, 255L, 128L, 64L)
+    val bf = udaf(new BloomFilterAggregator(words))
+    val bits = positions.toDF("p")
+      .agg(bf(col("p")))
+      .collect()(0).getSeq[Long](0)
+    val want = positions.toSet
+    for (b <- 0L until 256L) {
+      val set = ((bits((b >> 6).toInt) >> (b & 63)) & 1L) == 1L
+      assert(set == want.contains(b), s"bit $b")
+    }
+  }
+
+  test("bloom prune is lossless vs exact decontamination (one-sided error)") {
+    // a Bloom negative is a certain non-member, so bloomPrune's exact
+    // hit counts must equal decontaminate's for every contaminated doc
+    val exact = CurationQueries.decontaminate(spark, sf0001)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), col("n_hits"))
+    val bloom = CurationQueries.bloomPrune(spark, sf0001)
+      .select(col("doc_id"), col("n_bloom"), col("n_exact"))
+    val joined = exact.join(bloom, Seq("doc_id"), "left").cache()
+    assert(joined.filter(col("n_exact").isNull).count() == 0,
+      "a contaminated doc was missed by the bloom pre-filter")
+    assert(joined.filter(col("n_exact") =!= col("n_hits")).count() == 0,
+      "bloom-then-verify changed an exact hit count")
+    assert(bloom.filter(col("n_bloom") < col("n_exact")).count() == 0,
+      "bloom positives must be a superset of exact hits")
+    joined.unpersist()
+  }
+
   test("max_multiplicity null semantics: null array -> null, null elements skipped") {
     import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
