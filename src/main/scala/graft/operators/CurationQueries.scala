@@ -150,6 +150,64 @@ object CurationQueries extends graft.QueryModule {
         (coalesce(col("n_exact"), lit(0L)) === 0).as("is_fp"))
   }
 
+  /** Per-source distribution drift: the exact two-sample
+    * Kolmogorov-Smirnov statistic of each source's document-length
+    * distribution against the REST of the corpus — the monitoring
+    * stage that catches a crawler regression or a source gone
+    * boilerplate (its length histogram shifts) before it pollutes a
+    * training mix. KS = sup over x of |F_s(x) - F_rest(x)|; the sup
+    * of a step-function difference is attained at a jump point, so
+    * evaluating at every distinct length is exact, and the float-free
+    * cross-multiplied form |cum_s*n_rest - cum_rest*n_s| keeps the
+    * comparison in exact integers (DECIMAL(18,0) products -> loud
+    * overflow past 1e18 docs, the house policy; the single reported
+    * `ks` ratio is one IEEE division both engines reproduce).
+    *
+    * Scale: one shuffle to count (source, length) cells; the dense
+    * grid is source-domain x length-domain — METADATA cardinality
+    * (doc lengths are bounded; a corpus with unbounded value domains
+    * buckets them first, same dial as the range join's W), never
+    * corpus rows. The per-source cumsum windows partition by source;
+    * the one unpartitioned window runs over the distinct-length
+    * domain only. Output: one row per source with the exact KS
+    * numerator and its sample sizes.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir).select("source", "n_chars")
+    val counts = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val sources = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val values = docs.select("n_chars").distinct()
+    val total = docs.agg(count(lit(1)).as("n_tot"))
+
+    val gcum = counts.groupBy("n_chars").agg(sum(col("c")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(Window.orderBy("n_chars")))
+      .select("n_chars", "cum_g")
+
+    val dense = sources.crossJoin(values)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_s",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("n_chars")))
+      .join(gcum, Seq("n_chars"))
+      .crossJoin(broadcast(total))
+
+    val dec = DecimalType(18, 0)
+    dense
+      .withColumn("n_rest", col("n_tot") - col("n_s"))
+      .withColumn("d_num",
+        abs(col("cum_s").cast(dec) * col("n_rest").cast(dec) -
+          (col("cum_g") - col("cum_s")).cast(dec) * col("n_s").cast(dec)))
+      .groupBy("source")
+      .agg(
+        first(col("n_s")).as("n_s"),
+        first(col("n_rest")).as("n_rest"),
+        max(col("d_num")).cast("long").as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") /
+          (col("n_s").cast("double") * col("n_rest").cast("double")))
+  }
+
   /** Deterministic stratified subsample: keep a document iff the md5
     * of its id falls under its language's hex threshold — 50% for
     * `en`, 25% for everything else. Pure map-only filter: no shuffle,
@@ -576,6 +634,7 @@ object CurationQueries extends graft.QueryModule {
     "q_boilerplate" -> boilerplate,
     "q_decontaminate" -> decontaminate,
     "q_bloom_prune" -> bloomPrune,
+    "q_ks_drift" -> ksDrift,
     "q_global_rank" -> globalRank,
     "q_weighted_sample" -> weightedSample,
     "q_sample_hash" -> sampleHash,
@@ -720,6 +779,40 @@ object CurationQueries extends graft.QueryModule {
         |       coalesce(ne.n_exact, 0) = 0 AS is_fp
         |FROM sizes z JOIN nbloom nb ON nb.doc_id = z.doc_id
         |LEFT JOIN nexact ne ON ne.doc_id = z.doc_id""".stripMargin,
+    "q_ks_drift" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+        |vals AS (SELECT DISTINCT n_chars FROM documents),
+        |cnt AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |gcum AS (
+        |  SELECT n_chars, SUM(g) OVER (ORDER BY n_chars) AS cum_g
+        |  FROM (SELECT n_chars, count(*) AS g FROM documents GROUP BY 1) t
+        |),
+        |grid AS (SELECT s.source, s.n_s, v.n_chars FROM src s CROSS JOIN vals v),
+        |dense AS (
+        |  SELECT g.source, g.n_s, g.n_chars, coalesce(c.c, 0) AS c
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON c.source = g.source AND c.n_chars = g.n_chars
+        |),
+        |cum AS (
+        |  SELECT source, n_s, n_chars, c,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s
+        |  FROM dense
+        |),
+        |ks AS (
+        |  SELECT d.source, d.n_s, t.n_tot - d.n_s AS n_rest,
+        |         CAST(max(abs(d.cum_s * (t.n_tot - d.n_s)
+        |               - (g.cum_g - d.cum_s) * d.n_s)) AS BIGINT) AS ks_num
+        |  FROM cum d JOIN gcum g ON g.n_chars = d.n_chars CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT source, n_s, n_rest, ks_num,
+        |       CAST(ks_num AS DOUBLE) / (CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks
+        |FROM ks""".stripMargin,
     "q_sample_group" ->
       """SELECT doc_id, lang, h, rn FROM (
         |  SELECT doc_id, lang,

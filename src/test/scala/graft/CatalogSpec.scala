@@ -69,11 +69,13 @@ class CatalogSpec extends SparkSpec {
     // q_global_rank ride the same single-row broadcast stats
     // crossJoin as q_bm25 — n_tokens / max-weight / corpus-count
     // scalars joined under a non-equi threshold; q_bloom_prune
-    // crossJoins the single-row 8 KiB Bloom bitset every probe reads)
+    // crossJoins the single-row 8 KiB Bloom bitset every probe reads;
+    // q_ks_drift's grid is source-domain x length-domain — metadata
+    // cardinality, never corpus rows — plus the 1-row corpus total)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
-      "q_bloom_prune")
+      "q_bloom_prune", "q_ks_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -241,6 +241,30 @@ class CurationSpec extends SparkSpec {
     joined.unpersist()
   }
 
+  test("ks drift matches an independent brute-force KS model") {
+    val got = CurationQueries.ksDrift(spark, sf0001)
+      .select("source", "n_s", "n_rest", "ks_num")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val n = rows.length.toLong
+    val values = rows.map(_._2).distinct.sorted
+    for ((src, expectNs) <- rows.groupBy(_._1).view.mapValues(_.length.toLong)) {
+      val nRest = n - expectNs
+      // exact sup |F_s - F_rest| at every jump point, cross-multiplied
+      val ksNum = values.map { v =>
+        val cumS = rows.count(r => r._1 == src && r._2 <= v).toLong
+        val cumR = rows.count(r => r._1 != src && r._2 <= v).toLong
+        (BigInt(cumS) * nRest - BigInt(cumR) * expectNs).abs
+      }.max
+      val (ns, nr, kn) = got(src)
+      assert(ns == expectNs && nr == nRest && BigInt(kn) == ksNum, s"source $src")
+    }
+  }
+
   test("max_multiplicity null semantics: null array -> null, null elements skipped") {
     import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
