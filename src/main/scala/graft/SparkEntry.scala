@@ -22,6 +22,7 @@ object SparkEntry {
     CurationQueries,
     EventQueries,
     AsOfQueries,
+    GraphQueries,
     ExtendedCatalog,
     graft.multimodal.MultimodalQueries
   )

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Graph-propagation operators over entity relationship graphs — the
+  * quality-signal machinery a web-scale training pipeline runs on its
+  * host/link graph (a domain's rank feeds crawl prioritization and
+  * per-document quality priors; see e.g. Common Crawl's host-level
+  * ranking). The fixture graph is the customer<->supplier bipartite
+  * graph induced by orders x lineitem; the algorithm never looks at
+  * what the nodes mean.
+  *
+  * PageRank here is deliberately DataFrame-native rather than a
+  * specialized graph runtime: each iteration is ONE equi-join of the
+  * rank vector against the degree-annotated edge list plus ONE keyed
+  * aggregation — both shuffle on node id, so a 100 TB edge list
+  * partitions freely across executors, and AQE handles the power-law
+  * degree skew the same way it handles any hot aggregation key. The
+  * edge list (with out-degrees attached) is built ONCE and memoized
+  * via [[graft.SharedBuilds]]; iterations reuse the cached frame, so
+  * the per-iteration cost is join + agg, never a rebuild. Iteration
+  * count is a fixed dial (ITERS — production runs to an epsilon, a
+  * driver-side loop over exactly this step).
+  *
+  * Determinism across engines: ranks live in integer nano-units
+  * (R0 = 1e9 per node). Each node sends `r div deg` (integer
+  * division) along every out-edge and receives
+  * `150_000_000 + (85 * sum_in) div 100` — the 0.15/0.85 damped
+  * update in pure integer arithmetic, so the result is bit-identical
+  * regardless of aggregation order or engine; there is no float sum
+  * to reorder. Received sums aggregate as DECIMAL(38,0), so overflow
+  * at extreme mass concentration is loud, never a silent wrap.
+  */
+object GraphQueries extends graft.QueryModule {
+
+  private val Iters = 3
+  private val R0 = 1000000000L
+
+  /** Degree-annotated directed edge list of the customer<->supplier
+    * graph: node id = 2*custkey for customers, 2*suppkey+1 for
+    * suppliers (disjoint integer id spaces, no strings on the shuffle
+    * key); one edge each way per DISTINCT trading pair. Memoized per
+    * (session, dir) — the build costs one orders x lineitem join and
+    * every iteration of every graph query reuses it.
+    */
+  private[graft] def edgesWithDeg(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("graph.edges", spark, dir) { scope =>
+      val pairs = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      scope.cached(edges.join(deg, Seq("src")))
+    }
+
+  /** Damped PageRank after ITERS synchronous iterations; every node of
+    * the symmetric graph has in-degree >= 1, so the rank vector stays
+    * total. Output: entity type, original key, integer nano-rank.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesWithDeg(spark, dir)
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(R0))
+    for (_ <- 1 to Iters) {
+      val sums = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("w"))
+        .groupBy("dst")
+        .agg(sum(col("w").cast(DecimalType(38, 0))).as("s"))
+      ranks = sums.select(
+        col("dst").as("node"),
+        (lit(150000000L).cast(DecimalType(38, 0)) +
+          floor(col("s") * lit(85) / lit(100))).cast("long").as("r"))
+    }
+    ranks.select(
+      when(col("node") % 2 === 1, lit("s")).otherwise(lit("c")).as("entity"),
+      expr("node div 2").as("id"),
+      col("r"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> pagerank
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM pairs
+        |),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END AS entity,
+        |       node // 2 AS id, r
+        |FROM r3""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphQueries
+
+/** Differential test for the integer PageRank: replay the exact
+  * nano-unit recurrence in plain Scala over the collected fixture
+  * edge list and require bit-identical ranks (the DuckDB hash gate
+  * proves Spark==DuckDB; this proves both match the written-down
+  * recurrence, so the two engines can't be "consistently wrong"
+  * about e.g. a division-order mistake mirrored into the oracle).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank matches an independent integer-recurrence model") {
+    val got = GraphQueries.pagerank(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    // independent edge derivation (straight from the tables)
+    val pairs = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as[Long], col("l_suppkey").as[Long])
+      .collect().distinct
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq(2 * c -> (2 * s + 1), (2 * s + 1) -> (2 * c))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 3) {
+      val recv = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst) <- edges) recv(dst) += r(src) / deg(src)
+      r = recv.map { case (n, s) => n -> (BigInt(150000000) + s * 85 / 100) }.toMap
+    }
+    assert(got.size == r.size, "node set mismatch")
+    for ((node, want) <- r) {
+      val key = (if (node % 2 == 1) "s" else "c", node / 2)
+      assert(BigInt(got(key)) == want, s"rank mismatch at node $node")
+    }
+  }
+
+  test("pagerank iterations reuse the memoized edge list (one build, cached scans)") {
+    val plan = GraphQueries.pagerank(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "iterations must read the SharedBuilds-cached edge frame, not rebuild it")
+  }
+}
