@@ -215,7 +215,8 @@ object Dev {
               "q_semdedup_incremental", "q_knn_sq", "q_dedup_media",
               "q_dedup_media_incremental",
               "q_dedup_containment", "q_boilerplate", "q_collocations",
-              "q_heavy_hitters", "q_global_rank", "q_weighted_sample")
+              "q_heavy_hitters", "q_global_rank", "q_weighted_sample",
+              "q_bloom_prune", "q_ks_drift")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()
