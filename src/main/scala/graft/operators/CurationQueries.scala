@@ -150,6 +150,30 @@ object CurationQueries extends graft.QueryModule {
         (coalesce(col("n_exact"), lit(0L)) === 0).as("is_fp"))
   }
 
+  /** Robust (median/MAD) length outliers per language — the
+    * high-breakdown companion to the 2-sigma gate [[outlier]]: mean
+    * and sigma are themselves dragged by the extreme docs they are
+    * meant to catch (a few 10 MB pages inflate sigma until nothing is
+    * an outlier), while median and MAD tolerate up to 50% corruption.
+    * Flag = |x - median| > 3 * MAD, MAD = median of absolute
+    * deviations. Percentiles are the exact interpolated form (same
+    * machinery and scale caveat as [[winsorize]]/q_median: exact
+    * per-group percentile sorts within the language partition; the
+    * approx variant is the 100 TB dial). The interpolated midpoints
+    * are .5/.25-granular binary rationals of integer inputs — exact
+    * doubles both engines reproduce bit-identically.
+    */
+  def madOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val med = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = docs.join(med, Seq("lang"))
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("lang").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"), col("mad"),
+        (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+  }
+
   /** Per-source distribution drift: the exact two-sample
     * Kolmogorov-Smirnov statistic of each source's document-length
     * distribution against the REST of the corpus — the monitoring
@@ -635,6 +659,7 @@ object CurationQueries extends graft.QueryModule {
     "q_decontaminate" -> decontaminate,
     "q_bloom_prune" -> bloomPrune,
     "q_ks_drift" -> ksDrift,
+    "q_mad_outlier" -> madOutlier,
     "q_global_rank" -> globalRank,
     "q_weighted_sample" -> weightedSample,
     "q_sample_hash" -> sampleHash,
@@ -779,6 +804,20 @@ object CurationQueries extends graft.QueryModule {
         |       coalesce(ne.n_exact, 0) = 0 AS is_fp
         |FROM sizes z JOIN nbloom nb ON nb.doc_id = z.doc_id
         |LEFT JOIN nexact ne ON ne.doc_id = z.doc_id""".stripMargin,
+    "q_mad_outlier" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang
+        |), dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |         abs(d.n_chars - m.med) AS adev
+        |  FROM documents d JOIN med m ON m.lang = d.lang
+        |), mad AS (
+        |  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+        |)
+        |SELECT v.doc_id, v.lang, v.n_chars, v.med, a.mad,
+        |       v.adev > 3 * a.mad AS is_outlier
+        |FROM dev v JOIN mad a ON a.lang = v.lang""".stripMargin,
     "q_ks_drift" ->
       """WITH src AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source

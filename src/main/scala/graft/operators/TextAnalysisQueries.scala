@@ -294,6 +294,38 @@ object TextAnalysisQueries extends graft.QueryModule {
           .as("novelty"))
   }
 
+  /** Heaps-law vocabulary growth — the crawl-saturation curve at
+    * corpus granularity (the corpus-level complement of
+    * [[ngramNovelty]]'s per-doc curve): bucket documents by ingest
+    * order (doc_id div 100), count the NEW vocabulary each bucket
+    * introduces (tokens whose first occurrence falls there) beside the
+    * bucket's total token volume, and report both as cumulative
+    * curves. A flattening cum_vocab against a linear cum_tokens is
+    * the "more data, nothing new" signal that ends a crawl; Heaps'
+    * V(n) ~ K*n^beta fits directly on the two cumulative columns.
+    *
+    * Shape: first-occurrence doc per token is one groupBy over the
+    * shared term-frequency build; everything after operates on the
+    * BUCKET domain (corpus_size/100 rows) — the cumulative windows
+    * never see corpus rows (same bounded-domain policy as ksDrift's
+    * length grid).
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreq(spark, dir)
+    val newPerBucket = tf.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val tokPerBucket = tf.groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val w = Window.orderBy("bucket")
+    newPerBucket.join(tokPerBucket, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+  }
+
   /** PMI-style collocation mining — corpus phrase detection (the
     * word2vec-phrases / "new york" -> "new_york" preprocessing step of
     * a training-data pipeline). Score = lift = P(w1 w2) / (P(w1)P(w2))
@@ -385,6 +417,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     "q_heavy_hitters" -> heavyHitters,
     "q_collocations" -> collocations,
     "q_ngram_novelty" -> ngramNovelty,
+    "q_vocab_growth" -> vocabGrowth,
     "q_tfidf" -> tfidfTop,
     "q_lang_id" -> langId,
     "q_text_quality" -> qualityScore,
@@ -397,6 +430,26 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), firsts AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+        |), nv AS (
+        |  SELECT first_doc // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM firsts GROUP BY 1
+        |), tc AS (
+        |  SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM toks GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(nv.bucket, tc.bucket) AS bucket,
+        |         coalesce(n_new, 0) AS n_new, coalesce(n_tok, 0) AS n_tok
+        |  FROM nv FULL OUTER JOIN tc ON nv.bucket = tc.bucket
+        |)
+        |SELECT bucket, n_new, n_tok,
+        |       CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
+        |       CAST(SUM(n_tok) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+        |FROM j""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text,' ')) AS tok FROM documents
