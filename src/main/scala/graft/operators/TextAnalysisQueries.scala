@@ -306,9 +306,12 @@ object TextAnalysisQueries extends graft.QueryModule {
     *
     * Shape: first-occurrence doc per token is one groupBy over the
     * shared term-frequency build; everything after operates on the
-    * BUCKET domain (corpus_size/100 rows) — the cumulative windows
-    * never see corpus rows (same bounded-domain policy as ksDrift's
-    * length grid).
+    * BUCKET domain (corpus_size/100 rows). That domain still grows
+    * linearly with the corpus, so the two cumulative sums run through
+    * [[graft.pipeline.PrefixSum]]'s L-level reduction tree rather than
+    * a global ORDER BY window — no task ever sees more than k bucket
+    * rows (the oracle stays the plain-window SQL; integer arithmetic
+    * makes the tree bit-identical, and the hash match certifies it).
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val tf = sharedTermFreq(spark, dir)
@@ -317,13 +320,17 @@ object TextAnalysisQueries extends graft.QueryModule {
       .agg(count(lit(1)).as("n_new"))
     val tokPerBucket = tf.groupBy(expr("doc_id div 100").as("bucket"))
       .agg(sum(col("tf")).as("n_tok"))
-    val w = Window.orderBy("bucket")
-    newPerBucket.join(tokPerBucket, Seq("bucket"), "full")
+    val perBucket = newPerBucket.join(tokPerBucket, Seq("bucket"), "full")
       .select(col("bucket"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-      .withColumn("cum_vocab", sum(col("n_new")).over(w))
-      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+    val withVocab = graft.pipeline.PrefixSum.exclusiveOffsets(
+      perBucket, Seq.empty, "bucket", "n_new", "__cv")
+    val withTok = graft.pipeline.PrefixSum.exclusiveOffsets(
+      withVocab, Seq.empty, "bucket", "n_tok", "__ct")
+    withTok.select(col("bucket"), col("n_new"), col("n_tok"),
+      (col("__cv") + col("n_new")).as("cum_vocab"),
+      (col("__ct") + col("n_tok")).as("cum_tokens"))
   }
 
   /** PMI-style collocation mining — corpus phrase detection (the
