@@ -920,8 +920,34 @@ object DedupQueries extends graft.QueryModule {
       col("lang") +: (0 until nSeeds).map(i => col("lang_sig").getItem(i).as(s"m$i")): _*)
   }
 
+  /** Cross-source redundancy matrix: near-duplicate PAIR counts per
+    * (source, source) combination — the curation diagnostic that says
+    * WHICH feeds overlap each other (a source whose content another
+    * source already carries gets dropped or down-weighted before
+    * training; the aggregate view of [[dedupMinhash]]'s per-pair
+    * output). Unordered source pairs canonicalize via least/greatest
+    * so A-B and B-A collapse; the diagonal counts within-source
+    * redundancy.
+    *
+    * Scale: rides the near-dup pair set (output-bounded, never
+    * corpus^2); the two doc_id joins shuffle pairs against the
+    * corpus' 2-column (doc_id, source) projection; the final
+    * aggregate's domain is at most n_sources^2 rows.
+    */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    dedupMinhash(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_edit" -> dedupEditDistance,
+    "q_overlap_matrix" -> overlapMatrix,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_keep" -> dedupKeep,
     "q_cluster_stats" -> clusterStats,
@@ -1034,6 +1060,17 @@ object DedupQueries extends graft.QueryModule {
         |SELECT cluster_id, count(*) AS n_docs,
         |       CAST(count(*) - 1 AS BIGINT) AS n_removed
         |FROM labels GROUP BY cluster_id""".stripMargin,
+    // the minhash oracle runs as a subquery producing the near-dup pairs
+    "q_overlap_matrix" ->
+      s"""SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM (
+        |$minhashOracle
+        |) p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2""".stripMargin,
     // the minhash oracle runs as a subquery producing the candidate pairs
     "q_dedup_edit" ->
       s"""SELECT p.doc_a, p.doc_b,

@@ -85,8 +85,30 @@ object EventQueries extends graft.QueryModule {
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2).otherwise(1)
           .cast("int").as("stage"))
 
+  /** Cohort retention matrix: users bucketed by first-activity week,
+    * distinct active users per (cohort, weeks-since-cohort) cell — the
+    * stickiness companion of [[funnel]] (a funnel says who converts,
+    * retention says who comes back). Week index is pure integer
+    * arithmetic over the epoch second (div 604800), so both engines
+    * bucket identically with no calendar/timezone semantics in play.
+    *
+    * Scale: one hash shuffle on user_id for the cohort min, one
+    * equi-join back on user_id, then a distinct-count aggregate whose
+    * grid is (n_cohorts x max_offset) cells — Spark's two-phase
+    * count-distinct partials on the grid, never a global sort.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("w"))
+    val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> funnel,
+    "q_retention" -> retention,
     "q_tumbling_window" -> tumbling,
     "q_sliding_window" -> sliding,
     "q_session_window" -> sessionize,
@@ -94,6 +116,16 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS w FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(w) AS cohort_w FROM ev GROUP BY user_id
+        |)
+        |SELECT c.cohort_w, e.w - c.cohort_w AS offset_w,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c ON c.user_id = e.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -203,6 +203,34 @@ object SimilarityQueries extends graft.QueryModule {
         col("label"), col("pos").cast("int").as("pos"), col("n_vecs"),
         (col("s").cast("double") / col("n_vecs").cast("double")).as("c"))
 
+  /** Per-dimension embedding-space moments — the index-health audit a
+    * pipeline runs BEFORE trusting any distance-based stage: a
+    * dimension whose variance numerator n*sum_q2 - sum_q^2 is ~0 is
+    * collapsed (contributes nothing to any distance and is prunable),
+    * and wildly unequal per-axis ranges mean raw L2 is dominated by a
+    * few axes (normalize first). Moments are exact integers over the
+    * shared quantized units: sums accumulate as DECIMAL(38,0) so
+    * overflow is loud, then cast to BIGINT for the output contract.
+    *
+    * Scale: one position-explode (n_vecs x dim rows) into a hash
+    * groupBy on the dimension index — map-side partial aggregation
+    * does the heavy reduction and the output domain is dim rows.
+    */
+  def embStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(spark, dir)
+      .select(posexplode(quantized(col("embedding"))).as(Seq("pos", "qc")))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("qc").cast(DecimalType(38, 0))).cast("long").as("sum_q"),
+        sum((col("qc").cast(DecimalType(38, 0)) * col("qc"))).cast("long").as("sum_q2"),
+        min(col("qc")).as("min_q"),
+        max(col("qc")).as("max_q"))
+      .select(col("pos").cast("int").as("pos"), col("n_vecs"),
+        col("sum_q"), col("sum_q2"), col("min_q"), col("max_q"))
+  }
+
   /** ANN quality audit: IVF recall@k against the brute-force ground
     * truth — the eval a pipeline runs before trusting an approximate
     * index. Pure composition of the two search pipelines; one join +
@@ -354,6 +382,7 @@ object SimilarityQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_centroids" -> centroids,
+    "q_emb_stats" -> embStats,
     "q_knn_recall" -> knnRecall,
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf,
@@ -408,6 +437,17 @@ object SimilarityQueries extends graft.QueryModule {
         |SELECT label, pos, count(*) AS n_vecs,
         |       CAST(CAST(sum(qc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
         |FROM q GROUP BY label, pos""".stripMargin,
+    "q_emb_stats" ->
+      """WITH q AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
+        |  FROM embeddings
+        |)
+        |SELECT pos, count(*) AS n_vecs,
+        |       CAST(sum(CAST(qc AS DECIMAL(38,0))) AS BIGINT) AS sum_q,
+        |       CAST(sum(CAST(qc AS DECIMAL(38,0)) * qc) AS BIGINT) AS sum_q2,
+        |       min(qc) AS min_q, max(qc) AS max_q
+        |FROM q GROUP BY pos""".stripMargin,
     "q_knn_brute" -> bruteOracle,
     // recall@k audit: both pipelines run as nested-WITH subqueries of
     // the same oracle text the individual queries are checked against
