@@ -277,6 +277,101 @@ object DedupQueries extends graft.QueryModule {
     intra.unionByName(cross).select("doc_a", "doc_b", "jaccard")
   }
 
+  // ===== LSH recall audit: propose-step recall vs exact ground truth =====
+  /** Recall of the MinHash/LSH propose step ([[bandCandidates]])
+    * against EXACT 3-shingle Jaccard ground truth at threshold 0.5,
+    * bucketed by similarity decile — the number the hash gate cannot
+    * see on its own: q_dedup_minhash's oracle mirrors the banding, so
+    * a recall loss in the mid-similarity regime (the soft zone of the
+    * b x r curve: 3 bands x 3 rows proposes ~1-(1-s^3)^3, i.e. ~33%
+    * at s=0.5 rising to ~90% at s=0.8) would pass every other gate
+    * silently. Ground truth is computed LOSSLESSLY, not sampled: the
+    * same PPJoin prefix machinery as [[dedupNgram]] parameterized at
+    * t=1/2 — prefix length n - ceil(n/2) + 1, size bound
+    * 3*min(n_a,n_b) >= n_a+n_b, positional bound 3*(1 + min remaining)
+    * >= n_a+n_b (the t=0.7 derivation with 17/7 replaced by 3/1).
+    * Decile = (10*c) div (n_a+n_b-c): exact integer arithmetic, so a
+    * bucket boundary cannot drift between engines; recall is one
+    * division of exact longs. Collapse-first as everywhere: truth and
+    * propose run on class representatives and expand exactly
+    * (signatures and shingle sets are text functions, so the caught
+    * flag is constant within a class; intra-class pairs are J=1.0 and
+    * always caught — identical text gives identical bands). The
+    * ORACLE is the plain all-pairs formulation over all documents —
+    * the hash match certifies the t=0.5 filter's losslessness AND the
+    * expansion, and the recall column itself becomes a driver-gated
+    * number: if a future banding change (b/r retune, hash scheme)
+    * drops mid-similarity recall, this query's values move and the
+    * gate sees it even though both engines mirror the banding.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (groups, _) = minhashReps(spark, dir)
+    val (shArr, prefix, sig) =
+      graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
+          "dedup.recallAudit", spark, dir) { scope =>
+        // rep shingle arrays: read by the prefix build, the signature
+        // build, and both verify-join sides
+        val shArr = scope.cached(repShingles(spark, dir, groups))
+        val full = shArr.filter(size(col("sh_arr")) > 0)
+          .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_g"),
+            explode(col("sh_arr")).as("g"))
+        val dfreq = full.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+        // t=1/2 prefix: rarest n_g - ceil(n_g/2) + 1 shingles per rep;
+        // cached because BOTH sides of the truth-candidate self-join
+        // read it
+        val prefix = scope.cached(full.join(dfreq, Seq("g"))
+          .withColumn("rn", row_number().over(wDoc))
+          .filter(col("rn") <= col("n_g") - expr("(n_g + 1) div 2") + lit(1))
+          .select("doc_id", "g", "rn", "n_g"))
+        // same KM signature definition as the dedup pipeline; cached
+        // because both sides of the band self-join read it
+        val sig = scope.cached(minhashSig(shArr, "doc_id"))
+        (shArr, prefix, sig)
+      }
+
+    val truthCand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(3) * least(col("a.n_g"), col("b.n_g")) >= col("a.n_g") + col("b.n_g") &&
+          lit(3) * (lit(1) + least(col("a.n_g") - col("a.rn"), col("b.n_g") - col("b.rn")))
+            >= col("a.n_g") + col("b.n_g"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val truth = truthCand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"))
+      .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
+
+    val proposed = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
+      .withColumn("caught", lit(1L))
+
+    val repAudit = truth.join(proposed, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("bucket"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+
+    val cross = expandPairs(repAudit, groups, "doc_a", "doc_b", Seq("bucket", "caught"))
+
+    val intra = groups
+      .filter(col("has_sh") && size(col("members")) >= 2)
+      .select(memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(10).as("bucket"), lit(1L).as("caught"))
+
+    intra.unionByName(cross)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("caught")).as("n_caught"))
+      .select(col("bucket"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
   // ===== SimHash: 32-bit signature from md5 nibbles =====
   /** Token-multiset SimHash: per token, the first 8 md5 hex chars give
     * 32 bits; bit j contributes +1/-1; signature bit = sum > 0. Both
@@ -955,6 +1050,7 @@ object DedupQueries extends graft.QueryModule {
     "q_minhash_by_lang" -> minhashByLang,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_recall" -> dedupRecall,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_containment" -> dedupContainment,
@@ -1071,6 +1167,43 @@ object DedupQueries extends graft.QueryModule {
         |JOIN documents da ON da.doc_id = p.doc_a
         |JOIN documents db ON db.doc_id = p.doc_b
         |GROUP BY 1, 2""".stripMargin,
+    // plain all-pairs truth at t=0.5 beside the banding's candidate
+    // set — certifies the t=0.5 prefix filter AND measures propose
+    // recall per similarity decile
+    "q_dedup_recall" ->
+      s"""WITH $shinglesCte,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
+        |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
+        |  FROM inter
+        |  JOIN sizes za ON za.doc_id = doc_a
+        |  JOIN sizes zb ON zb.doc_id = doc_b
+        |  WHERE 3 * c >= za.n_sh + zb.n_sh
+        |), sig AS (
+        |  SELECT doc_id,
+        |         $sigSqlItems
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
+        |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
+        |GROUP BY bucket""".stripMargin,
     // the minhash oracle runs as a subquery producing the candidate pairs
     "q_dedup_edit" ->
       s"""SELECT p.doc_a, p.doc_b,
