@@ -310,8 +310,11 @@ object TextAnalysisQueries extends graft.QueryModule {
     * linearly with the corpus, so the two cumulative sums run through
     * [[graft.pipeline.PrefixSum]]'s L-level reduction tree rather than
     * a global ORDER BY window — no task ever sees more than k bucket
-    * rows (the oracle stays the plain-window SQL; integer arithmetic
-    * makes the tree bit-identical, and the hash match certifies it).
+    * rows — and BOTH columns share ONE tree (exclusiveOffsetsMulti:
+    * one set of bucket shuffles and descent joins, not one tree per
+    * column). The oracle stays the plain-window SQL; integer
+    * arithmetic makes the tree bit-identical, the hash match
+    * certifies it.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val tf = sharedTermFreq(spark, dir)
@@ -324,11 +327,9 @@ object TextAnalysisQueries extends graft.QueryModule {
       .select(col("bucket"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"))
-    val withVocab = graft.pipeline.PrefixSum.exclusiveOffsets(
-      perBucket, Seq.empty, "bucket", "n_new", "__cv")
-    val withTok = graft.pipeline.PrefixSum.exclusiveOffsets(
-      withVocab, Seq.empty, "bucket", "n_tok", "__ct")
-    withTok.select(col("bucket"), col("n_new"), col("n_tok"),
+    val withBoth = graft.pipeline.PrefixSum.exclusiveOffsetsMulti(
+      perBucket, Seq.empty, "bucket", Seq("n_new" -> "__cv", "n_tok" -> "__ct"))
+    withBoth.select(col("bucket"), col("n_new"), col("n_tok"),
       (col("__cv") + col("n_new")).as("cum_vocab"),
       (col("__ct") + col("n_tok")).as("cum_tokens"))
   }

@@ -45,56 +45,77 @@ object PrefixSum {
     * and unique within a partition (bucketing divides it by k).
     */
   def exclusiveOffsets(df: DataFrame, partCols: Seq[String], idCol: String,
-      valCol: String, out: String, levels: Int = 2, k: Long = 1000L): DataFrame = {
+      valCol: String, out: String, levels: Int = 2, k: Long = 1000L): DataFrame =
+    exclusiveOffsetsMulti(df, partCols, idCol, Seq(valCol -> out), levels, k)
+
+  /** Multi-column form: each `(valCol, out)` pair gets its own
+    * exclusive running total, all carried through ONE reduction tree
+    * (one set of bucket-total shuffles and descent joins instead of
+    * one tree per column — a two-column scan like q_vocab_growth's
+    * cumulative vocab + cumulative tokens halves its fixed per-level
+    * stage cost). Identical arithmetic per column to the single-column
+    * form (PrefixSumSpec pins the equivalence differentially).
+    */
+  def exclusiveOffsetsMulti(df: DataFrame, partCols: Seq[String], idCol: String,
+      vals: Seq[(String, String)], levels: Int = 2, k: Long = 1000L): DataFrame = {
     require(levels >= 1, s"levels must be >= 1, got $levels")
     require(k >= 2, s"k must be >= 2, got $k")
+    require(vals.nonEmpty, "need at least one (valCol, out) pair")
     val part = partCols.map(col)
+    val n = vals.size
     def b(i: Int) = s"__psum_b$i"
+    def tot(j: Int) = s"__psum_tot$j"
 
-    // Per-level bucket totals: t(i) has (partCols, b_i, tot). The
-    // coarser bucket is always derivable (b_{i+1} = b_i div k, since
-    // integer division composes), so each frame carries only its own
-    // bucket column.
+    // Per-level bucket totals: t(i) has (partCols, b_i, tot0..totN).
+    // The coarser bucket is always derivable (b_{i+1} = b_i div k,
+    // since integer division composes), so each frame carries only its
+    // own bucket column.
     val totals = new Array[DataFrame](levels + 1)
     totals(1) = df
       .withColumn(b(1), expr(s"$idCol div $k"))
       .groupBy(part :+ col(b(1)): _*)
-      .agg(sum(col(valCol)).as("__psum_tot"))
+      .agg(sum(col(vals.head._1)).as(tot(0)),
+        (1 until n).map(j => sum(col(vals(j)._1)).as(tot(j))): _*)
     for (i <- 2 to levels)
       totals(i) = totals(i - 1)
         .withColumn(b(i), expr(s"${b(i - 1)} div $k"))
         .groupBy(part :+ col(b(i)): _*)
-        .agg(sum(col("__psum_tot")).as("__psum_tot"))
+        .agg(sum(col(tot(0))).as(tot(0)),
+          (1 until n).map(j => sum(col(tot(j))).as(tot(j))): _*)
 
     def exclusive(w: org.apache.spark.sql.expressions.WindowSpec, c: String) =
       coalesce(sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
 
+    val outs = vals.map(_._2)
+
     // Top level: the ONLY single-task-per-partition window, over
-    // n / k^levels bucket totals.
+    // n / k^levels bucket totals (all columns share one window).
+    val wTop = Window.partitionBy(part: _*).orderBy(col(b(levels)))
     var off = totals(levels)
-      .withColumn(out, exclusive(
-        Window.partitionBy(part: _*).orderBy(col(b(levels))), "__psum_tot"))
-      .select(part ++ Seq(col(b(levels)), col(out)): _*)
+      .select(part ++ Seq(col(b(levels))) ++
+        (0 until n).map(j => exclusive(wTop, tot(j)).as(outs(j))): _*)
 
     // Descend: each level's offset = parent bucket's offset + the
     // running total of preceding sibling buckets (<= k rows per task).
     for (i <- (levels - 1) to 1 by -1) {
       val parent = b(i + 1)
-      off = totals(i)
-        .withColumn(parent, expr(s"${b(i)} div $k"))
-        .withColumn("__psum_local", exclusive(
-          Window.partitionBy(part :+ col(parent): _*).orderBy(col(b(i))), "__psum_tot"))
+      val lvl = totals(i).withColumn(parent, expr(s"${b(i)} div $k"))
+      val wLvl = Window.partitionBy(part :+ col(parent): _*).orderBy(col(b(i)))
+      off = lvl
+        .select((lvl.columns.map(col) ++
+          (0 until n).map(j => exclusive(wLvl, tot(j)).as(s"__psum_local$j"))).toSeq: _*)
         .join(off, partCols :+ parent)
-        .select(part ++ Seq(col(b(i)), (col(out) + col("__psum_local")).as(out)): _*)
+        .select(part ++ Seq(col(b(i))) ++
+          (0 until n).map(j => (col(outs(j)) + col(s"__psum_local$j")).as(outs(j))): _*)
     }
 
     // Row level: parent bucket offset + preceding rows within the
     // bucket (<= k rows per task).
-    df.withColumn(b(1), expr(s"$idCol div $k"))
-      .join(off, partCols :+ b(1))
-      .withColumn("__psum_local", exclusive(
-        Window.partitionBy(part :+ col(b(1)): _*).orderBy(col(idCol)), valCol))
-      .withColumn(out, col(out) + col("__psum_local"))
-      .drop(b(1), "__psum_local")
+    val withB = df.withColumn(b(1), expr(s"$idCol div $k"))
+    val wRow = Window.partitionBy(part :+ col(b(1)): _*).orderBy(col(idCol))
+    var res = withB.join(off, partCols :+ b(1))
+    for (j <- 0 until n)
+      res = res.withColumn(outs(j), col(outs(j)) + exclusive(wRow, vals(j)._1))
+    res.drop(b(1))
   }
 }

@@ -65,6 +65,24 @@ class PrefixSumSpec extends SparkSpec {
     assert(g1.head().getAs[Long]("got") == 0L)
   }
 
+  test("multi-column form equals one single-column tree per column") {
+    // two value columns through ONE tree must be bit-identical to two
+    // independent trees (and hence, transitively, to the plain window)
+    val df = fixture.withColumn("v2", (col("id") % 11) + 2)
+    val multi = PrefixSum.exclusiveOffsetsMulti(df, Seq("part"), "id",
+      Seq("v" -> "o1", "v2" -> "o2"), levels = 2, k = 7)
+    val s1 = PrefixSum.exclusiveOffsets(df, Seq("part"), "id", "v", "o1",
+      levels = 2, k = 7)
+    val s2 = PrefixSum.exclusiveOffsets(df, Seq("part"), "id", "v2", "o2",
+      levels = 2, k = 7)
+    val want = s1.select(col("part"), col("id"), col("o1").as("w1"))
+      .join(s2.select(col("part"), col("id"), col("o2").as("w2")), Seq("part", "id"))
+    val joined = multi.join(want, Seq("part", "id"))
+    assert(joined.count() == 5000)
+    assert(joined.filter(
+      col("o1") =!= col("w1") || col("o2") =!= col("w2")).count() == 0)
+  }
+
   test("the only unbounded window in the plan runs over top-level bucket totals") {
     // plan audit: every WindowExec but one partitions by a bucket
     // column; the remaining one (the top of the tree) sees
