@@ -557,6 +557,59 @@ object CurationQueries extends graft.QueryModule {
         expr(s"(offset + n_tok - 1) div $B").as("bin_end"))
   }
 
+  /** The END-TO-END curation pipeline — what a user of this library
+    * actually ships: every document dispositioned through the full
+    * chain (exact dedup → near-dup dedup → benchmark exclusion →
+    * decontamination → quality gate), with the FIRST failing stage as
+    * the audit reason and a leakage-safe split for the survivors. One
+    * query = the whole "raw crawl in, training corpus out" contract;
+    * every constituent is an independently hash-checked operator
+    * ([[graft.operators.DedupQueries.dedupClusters]], [[qualityGate]],
+    * [[decontaminate]], [[leakSafeSplit]]), and the composed oracle
+    * re-derives all five stages in SQL, so the hash match certifies
+    * the COMPOSITION (join domains, NULL handling at each stage
+    * boundary, reason precedence), not just the parts.
+    *
+    * Reason precedence (first match wins): exact_dup (not its text
+    * class's min doc_id), near_dup (carries a cluster label other than
+    * itself), benchmark (the held-out eval slice, doc_id % 20 = 0 —
+    * eval docs must never train), contaminated (shares a 3-shingle
+    * with the benchmark), low_quality (fails the composite gate).
+    * keep = no reason; split only for keepers.
+    *
+    * Scale shape: five equi-joins on doc_id, every input either a
+    * memoized shared build (duplicate classes, cluster labels) or a
+    * map-heavy checked operator; nothing here adds a shuffle beyond
+    * what the constituents already do, so the composition inherits
+    * their 100 TB stories unchanged.
+    */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val exactMap = DedupQueries.exactClassMap(spark, dir)
+    val labels = DedupQueries.dedupClusters(spark, dir)
+    val qg = qualityGate(spark, dir).select(col("doc_id"), col("keep").as("q_keep"))
+    val deco = decontaminate(spark, dir).select("doc_id", "contaminated")
+    val spl = leakSafeSplit(spark, dir).select("doc_id", "split")
+
+    docs
+      .join(exactMap, Seq("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(qg, Seq("doc_id"))
+      .join(deco, Seq("doc_id"), "left")
+      .join(spl, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("exact_rep") =!= col("doc_id"), "exact_dup")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            "near_dup")
+          .when(col("doc_id") % 20 === 0, "benchmark")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(!col("q_keep"), "low_quality"))
+      .select(col("doc_id"),
+        col("reason").isNull.as("keep"),
+        col("reason"),
+        when(col("reason").isNull, col("split")).as("split"))
+  }
+
   /** The composite curation gate — the decision a pipeline actually
     * executes: keep a document iff its quality score clears 0.5 AND it
     * is not repetitive AND its length is not a 2-sigma outlier, with
@@ -670,9 +723,32 @@ object CurationQueries extends graft.QueryModule {
     "q_outlier" -> outlier,
     "q_quota" -> quota,
     "q_quality_gate" -> qualityGate,
+    "q_curated_corpus" -> curatedCorpus,
     "q_winsorize" -> winsorize,
     "q_skew_agg" -> skewAgg
   )
+
+  // factored out so the q_curated_corpus composition can nest it
+  private lazy val oracleDecontaminate: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+      |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id
+      |)
+      |SELECT z.doc_id, z.n_sh, coalesce(h.n_hits, 0) AS n_hits,
+      |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS overlap_frac,
+      |       coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin
 
   private lazy val oraclesOutlier: String =
     """WITH stats AS (
@@ -750,26 +826,7 @@ object CurationQueries extends graft.QueryModule {
         |  JOIN exact e ON e.doc_id = d.doc_id
         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
         |) g""".stripMargin,
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-        |         generate_subscripts(string_split(text,' '), 1) AS pos
-        |  FROM documents
-        |), sh0 AS (
-        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
-        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM train GROUP BY doc_id),
-        |hits AS (
-        |  SELECT t.doc_id, count(*) AS n_hits
-        |  FROM train t JOIN bench b ON t.s = b.s GROUP BY t.doc_id
-        |)
-        |SELECT z.doc_id, z.n_sh, coalesce(h.n_hits, 0) AS n_hits,
-        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS overlap_frac,
-        |       coalesce(h.n_hits, 0) > 0 AS contaminated
-        |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+    "q_decontaminate" -> oracleDecontaminate,
     "q_bloom_prune" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
@@ -929,6 +986,66 @@ object CurationQueries extends graft.QueryModule {
         |         PARTITION BY source ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 2000 AS kept
         |FROM documents""".stripMargin,
+    // the full pipeline oracle: every stage re-derived in SQL — the
+    // recursive near-dup closure, the exact-class floor, the quality
+    // gate's three sub-oracles, the decontamination overlap, and the
+    // split hash — then the same reason-precedence CASE
+    "q_curated_corpus" ->
+      s"""${DedupQueries.ccLabelsCte},
+        |exact AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS exact_rep
+        |  FROM documents
+        |),
+        |qg AS (
+        |  WITH q AS (
+        |${TextAnalysisQueries.oracles("q_text_quality")}
+        |  ), r AS (
+        |${TextAnalysisQueries.oracles("q_repetition")}
+        |  ), o AS (
+        |${oraclesOutlier}
+        |  )
+        |  SELECT q.doc_id,
+        |         (q.quality >= 0.5 AND NOT coalesce(r.repetitive, FALSE)
+        |          AND NOT o.is_outlier) AS q_keep
+        |  FROM q
+        |  LEFT JOIN r ON r.doc_id = q.doc_id
+        |  JOIN o ON o.doc_id = q.doc_id
+        |),
+        |deco AS (
+        |$oracleDecontaminate
+        |),
+        |spl AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN substr(md5('split:' || g.group_id), 1, 2) < '80' THEN 'train'
+        |              WHEN substr(md5('split:' || g.group_id), 1, 2) < 'c0' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents d
+        |  JOIN (
+        |    SELECT d2.doc_id, COALESCE(l.cluster_id, e.exact_rep) AS group_id
+        |    FROM documents d2
+        |    JOIN exact e ON e.doc_id = d2.doc_id
+        |    LEFT JOIN labels l ON l.doc_id = d2.doc_id
+        |  ) g ON g.doc_id = d.doc_id
+        |),
+        |base AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN e.exact_rep <> d.doc_id THEN 'exact_dup'
+        |              WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id THEN 'near_dup'
+        |              WHEN d.doc_id % 20 = 0 THEN 'benchmark'
+        |              WHEN coalesce(c.contaminated, FALSE) THEN 'contaminated'
+        |              WHEN NOT q.q_keep THEN 'low_quality'
+        |         END AS reason,
+        |         s.split AS raw_split
+        |  FROM documents d
+        |  JOIN exact e ON e.doc_id = d.doc_id
+        |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |  JOIN qg q ON q.doc_id = d.doc_id
+        |  LEFT JOIN deco c ON c.doc_id = d.doc_id
+        |  JOIN spl s ON s.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, reason IS NULL AS keep, reason,
+        |       CASE WHEN reason IS NULL THEN raw_split END AS split
+        |FROM base""".stripMargin,
     "q_quality_gate" ->
       s"""WITH q AS (
         |${TextAnalysisQueries.oracles("q_text_quality")}
