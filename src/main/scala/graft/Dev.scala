@@ -217,7 +217,8 @@ object Dev {
               "q_dedup_containment", "q_boilerplate", "q_collocations",
               "q_heavy_hitters", "q_global_rank", "q_weighted_sample",
               "q_bloom_prune", "q_ks_drift", "q_mad_outlier",
-              "q_vocab_growth", "q_overlap_matrix", "q_emb_stats")
+              "q_vocab_growth", "q_overlap_matrix", "q_emb_stats",
+              "q_dedup_recall", "q_curated_corpus")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()
