@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -86,7 +86,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     docs
       .withColumn("toks", split(col("text"), " "))
       .select(
-        col("doc_id"), col("n_chars"),
+        col("doc_id"), col("n_chars"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long").as("n_stop"))
@@ -96,11 +96,24 @@ object TextAnalysisQueries extends graft.QueryModule {
         col("n_stop").cast("double") / col("n_tokens").cast("double"))
       .withColumn("avg_tok_len",
         (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens").cast("double"))
-      .withColumn("quality",
-        least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) *
-          (lit(0.5) + lit(0.5) * col("distinct_ratio")))
+      .withColumn("quality", qualityExpr(col("toks")))
       .select("doc_id", "n_tokens", "n_distinct", "n_stop",
         "distinct_ratio", "stop_ratio", "avg_tok_len", "quality")
+  }
+
+  /** The quality score as a standalone expression over a whitespace
+    * token array — the SAME arithmetic tree as [[qualityScore]]'s
+    * `quality` column (length term x distinct-ratio term, identical
+    * cast chain, so the doubles are bit-identical), factored out so
+    * the streaming ingest gate
+    * ([[graft.streaming.StreamingOps.ingestGateStream]]) applies the
+    * one batch-checked definition rather than a re-derivation that
+    * could drift.
+    */
+  private[graft] def qualityExpr(toks: Column): Column = {
+    val nTok = size(toks).cast("long").cast("double")
+    val nDis = size(array_distinct(toks)).cast("long").cast("double")
+    least(nTok / lit(50.0), lit(1.0)) * (lit(0.5) + lit(0.5) * (nDis / nTok))
   }
 
   /** Whitespace token count plus a BPE-ish subword estimate

@@ -255,6 +255,58 @@ object StreamingOps {
     * late copies; emitting them flagged keeps the decision auditable
     * and replay-deterministic.
     */
+  case class QualDoc(content_hash: String, doc_id: Long, source: String,
+      quality_ok: Boolean)
+  case class GatedDoc(content_hash: String, doc_id: Long, source: String,
+      quality_ok: Boolean, first_seen: Boolean, keep: Boolean,
+      reason: Option[String])
+
+  /** The streaming ingest gate — the streaming counterpart of
+    * [[graft.operators.CurationQueries.curatedCorpus]]'s row-local
+    * stages: each arriving document is dispositioned at ingest with
+    * exact-dup state (first-writer-wins per content hash, the
+    * [[dedupExactStream]] machine) and the batch-checked quality
+    * score ([[graft.operators.TextAnalysisQueries.qualityExpr]] — ONE
+    * definition, so the gate threshold can't drift between modes),
+    * with the first failing stage as the audit reason (exact_dup,
+    * then low_quality) — the same precedence order as the batch
+    * composition. The corpus-relative stages stay where they belong:
+    * near-dup propose is [[dedupNearStream]] (its own band-keyed
+    * state — Structured Streaming allows one stateful key domain per
+    * query), outlier/decontamination/split need corpus statistics and
+    * run in the batch composition.
+    *
+    * State is the same ONE boolean per distinct content hash as
+    * [[dedupExactStream]]; quality is a map-only expression on the
+    * arriving row, so the gate adds ZERO state over plain exact
+    * dedup.
+    */
+  def ingestGateStream(spark: SparkSession, docs: DataFrame): Dataset[GatedDoc] = {
+    import spark.implicits._
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(md5(col("text")).as("content_hash"), col("doc_id"), col("source"),
+        (graft.operators.TextAnalysisQueries.qualityExpr(col("toks")) >= 0.5)
+          .as("quality_ok"))
+      .as[QualDoc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[QualDoc], state: GroupState[Boolean]) =>
+          val seenBefore = state.getOption.getOrElse(false)
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          state.update(true)
+          sorted.iterator.zipWithIndex.map { case (d, i) =>
+            val first = !seenBefore && i == 0
+            val reason =
+              if (!first) Some("exact_dup")
+              else if (!d.quality_ok) Some("low_quality")
+              else None
+            GatedDoc(hash, d.doc_id, d.source, d.quality_ok, first,
+              reason.isEmpty, reason)
+          }
+      }
+  }
+
   def dedupExactStream(spark: SparkSession, docs: DataFrame): Dataset[DedupedDoc] = {
     import spark.implicits._
     docs

@@ -267,6 +267,50 @@ class StreamingSpec extends SparkSpec {
     assert(winners.count() == 0)
   }
 
+  test("streaming ingest gate: exact-dup state + quality, batch reason precedence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.ingestGateStream(spark, docs).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sgate").start()
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct: quality 0.6
+    val good2 = (31 to 60).map(i => s"w$i").mkString(" ")
+    // batch 1: a keeper and a low-quality doc ("a a a a a": quality 0.06)
+    mem.addData((1L, good, "s0"), (2L, "a a a a a", "s0"))
+    q.processAllAvailable()
+    // batch 2: an exact copy of the keeper (state must remember) and a
+    // fresh keeper; the copy is exact_dup even though its quality is ok
+    mem.addData((10L, good, "s1"), (11L, good2, "s1"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sgate")
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      1L -> (true, None), 2L -> (false, Some("low_quality")),
+      10L -> (false, Some("exact_dup")), 11L -> (true, None)))
+  }
+
+  test("streaming ingest gate quality agrees with the batch quality score") {
+    val stream = StreamingOps.docStream(spark, sf0001)
+    val q = StreamingOps.ingestGateStream(spark, stream).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sgate_fix").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sgate_fix").select("doc_id", "quality_ok")
+    val want = graft.operators.TextAnalysisQueries.qualityScore(spark, sf0001)
+      .select(col("doc_id"), (col("quality") >= 0.5).as("want_ok"))
+    val joined = got.join(want, Seq("doc_id"))
+    assert(joined.count() == want.count())
+    assert(joined.filter(col("quality_ok") =!= col("want_ok")).count() == 0)
+    // and the first_seen winner set is exactly the batch exact-dedup set
+    val kept = spark.table("sgate_fix").filter(col("first_seen")).select("doc_id")
+    val dedup = graft.operators.DedupQueries.dedupExact(spark, sf0001).select("doc_id")
+    assert(kept.except(dedup).count() == 0 && dedup.except(kept).count() == 0)
+  }
+
   test("streaming exact dedup agrees with the batch dedup on the fixture corpus") {
     val stream = StreamingOps.docStream(spark, sf0001)
     val q = StreamingOps.dedupExactStream(spark, stream).toDF()
