@@ -726,6 +726,69 @@ object DedupQueries extends graft.QueryModule {
     intra.unionByName(cross).select("vec_a", "vec_b", "cosine")
   }
 
+  // ===== embedding LSH recall audit: anchors vs exact cosine truth =====
+  /** [[dedupRecall]]'s counterpart for the SEMANTIC modality: recall
+    * of the hyperplane sign-bit propose step ([[embBandKeys]]) against
+    * EXACT cosine ground truth, per cosine decile. Ground truth is an
+    * ANCHOR SAMPLE (vec_id % 50 == 0) scored against the full corpus
+    * with the exact quantized-integer kernel — the audit-budget dial:
+    * cost is |anchors| x corpus, so production tunes the modulus to
+    * hold the anchor budget ~constant as the corpus grows (unlike the
+    * text audit, sign-random-projection truth has no lossless
+    * prefix-filter equivalent — exact cosine needs the dot product, so
+    * a sampled audit is the honest scalable form). Decile =
+    * floor(cosine * 10): the cosine doubles are bit-identical across
+    * engines (same integer dot/norm inputs, same operation order — the
+    * property every embedding oracle already hash-certifies), so the
+    * bucket boundary cannot drift. recall = caught/true per decile;
+    * the 6x3-bit banding's theoretical curve (1-(1-(1-theta/pi)^3)^6)
+    * falls off below cosine ~0.6, and this query makes that measured,
+    * gated data instead of a design-comment estimate.
+    */
+  def embRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val (vecs, keys) = graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "dedup.embRecallAudit", spark, dir) { scope =>
+      // doc-level (no exact-collapse): the oracle is the plain
+      // formulation and the anchor sample must hit duplicates too
+      val vecs = scope.cached(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), quantized(col("embedding")).as("qv"))
+        .withColumn("n2", qnorm2(col("qv"))))
+      val keys = scope.cached(embBandKeys(vecs))
+      (vecs, keys)
+    }
+
+    val anchors = vecs
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
+
+    val truth = broadcast(anchors)
+      .crossJoin(vecs.select(
+        col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb")))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.40)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cosine") * 10).cast("int").as("bucket"))
+
+    val proposed = keys.alias("x").join(keys.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") % 50 === 0 &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+
+    truth.join(proposed, Seq("vec_a", "vec_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .select(col("bucket"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
   // ===== edit-distance verification of LSH candidates =====
   /** Levenshtein verification over the MinHash-LSH candidate pairs:
     * the two-stage near-dedup pattern where a cheap sketch proposes
@@ -1054,7 +1117,8 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_containment" -> dedupContainment,
-    "q_dedup_embedding" -> dedupEmbedding
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_emb_recall" -> embRecall
   )
 
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
@@ -1108,6 +1172,33 @@ object DedupQueries extends graft.QueryModule {
     embPlanes.zipWithIndex
       .map { case (row, k) => s"($k, [${row.mkString(",")}])" }
       .mkString(",\n    ")
+
+  /** Shared embedding-oracle prelude: quantized components, integer
+    * norms, hyperplane sign bits, band keys — one definition read by
+    * the q_dedup_embedding and q_emb_recall oracles so the
+    * quantization/banding scheme cannot diverge between them.
+    */
+  private lazy val embOracleCte: String =
+    s"""q AS (
+      |  SELECT vec_id,
+      |         generate_subscripts(embedding, 1) AS p,
+      |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, CAST(sum(qc * qc) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+      |), planes AS (
+      |  SELECT k, generate_subscripts(sv, 1) AS p, unnest(sv) AS s
+      |  FROM (VALUES $planesSqlValues) t(k, sv)
+      |), bits AS (
+      |  SELECT q.vec_id, pl.k,
+      |         CASE WHEN sum(q.qc * pl.s) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM q JOIN planes pl ON q.p = pl.p
+      |  GROUP BY q.vec_id, pl.k
+      |), keys AS (
+      |  SELECT vec_id, k // $EMB_BITS AS band_id,
+      |         CAST(sum(b * (1 << (k % $EMB_BITS))) AS INT) AS band_key
+      |  FROM bits GROUP BY vec_id, k // $EMB_BITS
+      |)""".stripMargin
 
   def oracles: Map[String, String] = oraclesBase ++ Map(
     // one source of truth for the transitive closure: the clusters
@@ -1314,26 +1405,7 @@ object DedupQueries extends graft.QueryModule {
     // literals (embedded below), so the candidate set — not just the
     // verified pairs — is cross-checked
     "q_dedup_embedding" ->
-      s"""WITH q AS (
-        |  SELECT vec_id,
-        |         generate_subscripts(embedding, 1) AS p,
-        |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
-        |  FROM embeddings
-        |), norms AS (
-        |  SELECT vec_id, CAST(sum(qc * qc) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-        |), planes AS (
-        |  SELECT k, generate_subscripts(sv, 1) AS p, unnest(sv) AS s
-        |  FROM (VALUES $planesSqlValues) t(k, sv)
-        |), bits AS (
-        |  SELECT q.vec_id, pl.k,
-        |         CASE WHEN sum(q.qc * pl.s) >= 0 THEN 1 ELSE 0 END AS b
-        |  FROM q JOIN planes pl ON q.p = pl.p
-        |  GROUP BY q.vec_id, pl.k
-        |), keys AS (
-        |  SELECT vec_id, k // $EMB_BITS AS band_id,
-        |         CAST(sum(b * (1 << (k % $EMB_BITS))) AS INT) AS band_key
-        |  FROM bits GROUP BY vec_id, k // $EMB_BITS
-        |), cand AS (
+      s"""WITH $embOracleCte, cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM keys a JOIN keys b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
@@ -1349,6 +1421,37 @@ object DedupQueries extends graft.QueryModule {
         |FROM dots
         |JOIN norms na ON na.vec_id = vec_a
         |JOIN norms nb ON nb.vec_id = vec_b
-        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40""".stripMargin
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40""".stripMargin,
+    // anchors-vs-corpus exact cosine truth beside the hyperplane band
+    // candidate set — the semantic modality's propose-recall audit
+    "q_emb_recall" ->
+      s"""WITH $embOracleCte, dots AS (
+        |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
+        |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
+        |  FROM q qa
+        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id % 50 = 0 AND qa.vec_id <> qb.vec_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT vec_a, vec_b,
+        |         CAST(floor((CAST(dot AS DOUBLE) /
+        |              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 10) AS INT) AS bucket
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = vec_a
+        |  JOIN norms nb ON nb.vec_id = vec_b
+        |  WHERE CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
+        |), prop AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM keys x JOIN keys y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id
+        |)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(p.vec_a) AS BIGINT) AS n_caught,
+        |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+        |GROUP BY bucket""".stripMargin
   )
 }

@@ -71,11 +71,13 @@ class CatalogSpec extends SparkSpec {
     // scalars joined under a non-equi threshold; q_bloom_prune
     // crossJoins the single-row 8 KiB Bloom bitset every probe reads;
     // q_ks_drift's grid is source-domain x length-domain — metadata
-    // cardinality, never corpus rows — plus the 1-row corpus total)
+    // cardinality, never corpus rows — plus the 1-row corpus total;
+    // q_emb_recall scores the corpus against the broadcast anchor
+    // sample under the same non-equi self-exclusion as q_knn_brute)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
-      "q_bloom_prune", "q_ks_drift")
+      "q_bloom_prune", "q_ks_drift", "q_emb_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
