@@ -256,7 +256,37 @@ object MultimodalQueries extends graft.QueryModule {
       .select(col("doc_a").as("new_media"), col("doc_b").as("corpus_media"), col("jaccard"))
   }
 
+  /** The media modality's propose-recall audit — completes the
+    * recall-audit matrix (text: q_dedup_recall, embeddings:
+    * q_emb_recall, media: this): exact byte-gram Jaccard ground truth
+    * at t=0.5, computed LOSSLESSLY by the shared t=1/2 PPJoin machine
+    * ([[graft.operators.DedupQueries.halfJaccardPrefix]] /
+    * `halfJaccardTruth` — ONE truth implementation for every gram-set
+    * modality), bucketed by similarity decile against the fuzzy-hash
+    * band candidate set. Same oracle-certification story as the text
+    * audit: the plain all-pairs SQL formulation certifies both the
+    * filter's losslessness and the per-decile recall numbers.
+    */
+  def mediaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupQueries
+    val (grams, bands) = fuzzyIndex(spark, dir)
+    val prefix = graft.SharedBuilds.getOrBuild[DataFrame](
+        "media.recallPrefix", spark, dir) { scope =>
+      scope.cached(DedupQueries.halfJaccardPrefix(grams))
+    }
+    val truth = DedupQueries.halfJaccardTruth(prefix, grams)
+    val proposed = DedupQueries.bandCandidates(bands, "doc_id")
+      .withColumn("caught", lit(1L))
+    truth.join(proposed, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .select(col("bucket"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_recall" -> mediaRecall,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSampleQ,
     "q_resize_features" -> resizeFeatures,
@@ -341,7 +371,35 @@ object MultimodalQueries extends graft.QueryModule {
         |  FROM bands x JOIN bands y
         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin,
-      "new_media", "corpus_media")
+      "new_media", "corpus_media"),
+    // plain all-pairs gram truth at t=0.5 beside the band candidate
+    // set — same audit formulation as q_dedup_recall, gram basis
+    "q_media_recall" ->
+      s"""WITH $mediaBandsCte,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
+        |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
+        |  FROM inter
+        |  JOIN sizes za ON za.doc_id = doc_a
+        |  JOIN sizes zb ON zb.doc_id = doc_b
+        |  WHERE 3 * c >= za.n_sh + zb.n_sh
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
+        |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
+        |GROUP BY bucket""".stripMargin
   )
 
   /** Shared CTE prelude mirroring [[fuzzyIndex]] (grams -> signature
@@ -350,8 +408,12 @@ object MultimodalQueries extends graft.QueryModule {
     * and incremental oracles, so the gram/banding scheme can never
     * diverge between them.
     */
-  private def mediaVerifySql(candCte: String, aCol: String, bCol: String): String =
-    s"""WITH hx AS (
+  /** Gram -> signature -> band CTE chain (no WITH keyword) shared by
+    * every media oracle, so the gram/banding scheme has exactly one
+    * SQL rendering.
+    */
+  private lazy val mediaBandsCte: String =
+    s"""hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
       |), g0 AS (
       |  SELECT doc_id, substr(h, 2 * i + 1, ${2 * Multimodal.GRAM_BYTES}) AS s
@@ -367,7 +429,10 @@ object MultimodalQueries extends graft.QueryModule {
       |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
       |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
       |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
-      |), cand AS (
+      |)""".stripMargin
+
+  private def mediaVerifySql(candCte: String, aCol: String, bCol: String): String =
+    s"""WITH $mediaBandsCte, cand AS (
       |  $candCte
       |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (

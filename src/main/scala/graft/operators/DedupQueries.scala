@@ -304,32 +304,32 @@ object DedupQueries extends graft.QueryModule {
     * drops mid-similarity recall, this query's values move and the
     * gate sees it even though both engines mirror the banding.
     */
-  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (groups, _) = minhashReps(spark, dir)
-    val (shArr, prefix, sig) =
-      graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
-          "dedup.recallAudit", spark, dir) { scope =>
-        // rep shingle arrays: read by the prefix build, the signature
-        // build, and both verify-join sides
-        val shArr = scope.cached(repShingles(spark, dir, groups))
-        val full = shArr.filter(size(col("sh_arr")) > 0)
-          .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_g"),
-            explode(col("sh_arr")).as("g"))
-        val dfreq = full.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-        // t=1/2 prefix: rarest n_g - ceil(n_g/2) + 1 shingles per rep;
-        // cached because BOTH sides of the truth-candidate self-join
-        // read it
-        val prefix = scope.cached(full.join(dfreq, Seq("g"))
-          .withColumn("rn", row_number().over(wDoc))
-          .filter(col("rn") <= col("n_g") - expr("(n_g + 1) div 2") + lit(1))
-          .select("doc_id", "g", "rn", "n_g"))
-        // same KM signature definition as the dedup pipeline; cached
-        // because both sides of the band self-join read it
-        val sig = scope.cached(minhashSig(shArr, "doc_id"))
-        (shArr, prefix, sig)
-      }
+  /** The t=1/2 PPJoin prefix index over a (doc_id, sh_arr) frame:
+    * each doc's rarest n_g - ceil(n_g/2) + 1 grams in the global
+    * (df asc, gram) order. Callers cache it (both sides of the
+    * truth-candidate self-join read it). Shared by the text and media
+    * recall audits — one truth machine for every gram-set modality.
+    */
+  private[graft] def halfJaccardPrefix(shArr: DataFrame): DataFrame = {
+    val full = shArr.filter(size(col("sh_arr")) > 0)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_g"),
+        explode(col("sh_arr")).as("g"))
+    val dfreq = full.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    full.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n_g") - expr("(n_g + 1) div 2") + lit(1))
+      .select("doc_id", "g", "rn", "n_g")
+  }
 
+  /** Exact Jaccard >= 0.5 ground-truth pairs with their similarity
+    * decile ((10*c) div (n_a+n_b-c), integer-exact), from a cached
+    * t=1/2 prefix and the full gram arrays: lossless candidate
+    * generation (size bound 3*min >= n_a+n_b, positional bound
+    * 3*(1+min remaining) >= n_a+n_b — the [[dedupNgram]] t=0.7
+    * derivation at t=1/2), then exact verification.
+    */
+  private[graft] def halfJaccardTruth(prefix: DataFrame, shArr: DataFrame): DataFrame = {
     val truthCand = prefix.alias("a").join(prefix.alias("b"),
         col("a.g") === col("b.g") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -339,7 +339,7 @@ object DedupQueries extends graft.QueryModule {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val truth = truthCand
+    truthCand
       .join(shArr.select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa")), Seq("doc_a"))
       .join(shArr.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -349,6 +349,26 @@ object DedupQueries extends graft.QueryModule {
       .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
       .select(col("doc_a"), col("doc_b"),
         expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
+  }
+
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (groups, _) = minhashReps(spark, dir)
+    val (shArr, prefix, sig) =
+      graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
+          "dedup.recallAudit", spark, dir) { scope =>
+        // rep shingle arrays: read by the prefix build, the signature
+        // build, and both verify-join sides
+        val shArr = scope.cached(repShingles(spark, dir, groups))
+        // t=1/2 prefix: cached because BOTH sides of the
+        // truth-candidate self-join read it
+        val prefix = scope.cached(halfJaccardPrefix(shArr))
+        // same KM signature definition as the dedup pipeline; cached
+        // because both sides of the band self-join read it
+        val sig = scope.cached(minhashSig(shArr, "doc_id"))
+        (shArr, prefix, sig)
+      }
+
+    val truth = halfJaccardTruth(prefix, shArr)
 
     val proposed = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
       .withColumn("caught", lit(1L))
