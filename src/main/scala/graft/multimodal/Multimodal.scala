@@ -259,23 +259,42 @@ object MultimodalQueries extends graft.QueryModule {
   /** The media modality's propose-recall audit — completes the
     * recall-audit matrix (text: q_dedup_recall, embeddings:
     * q_emb_recall, media: this): exact byte-gram Jaccard ground truth
-    * at t=0.5, computed LOSSLESSLY by the shared t=1/2 PPJoin machine
-    * ([[graft.operators.DedupQueries.halfJaccardPrefix]] /
-    * `halfJaccardTruth` — ONE truth implementation for every gram-set
-    * modality), bucketed by similarity decile against the fuzzy-hash
-    * band candidate set. Same oracle-certification story as the text
-    * audit: the plain all-pairs SQL formulation certifies both the
-    * filter's losslessness and the per-decile recall numbers.
+    * at t=0.5 per similarity decile, beside the fuzzy-hash band
+    * candidate set. ANCHORED like the embedding audit, not
+    * prefix-filtered like the text one, and deliberately so: a t=1/2
+    * PPJoin prefix indexes the rarest HALF of every doc's grams, and
+    * byte 8-grams over repetitive payloads are corpus-frequent (this
+    * fixture: 1.35M gram rows over 13k distinct grams at sf0.1, max
+    * df 3859 — sum(df^2) makes the posting self-join quadratic, the
+    * exact failure mode the 3-shingle basis dodges for text; measured
+    * 129s steady before this form). Truth is therefore an ANCHOR
+    * SAMPLE (media_id % 50 == 0) scored against the full corpus with
+    * row-level array_intersect — no posting join at all; cost is
+    * |anchors| x corpus and the modulus is the audit-budget dial.
+    * Decile = (10*c) div (n_a+n_b-c), integer-exact; the oracle is
+    * the plain anchored all-pairs formulation.
     */
   def mediaRecall(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.DedupQueries
     val (grams, bands) = fuzzyIndex(spark, dir)
-    val prefix = graft.SharedBuilds.getOrBuild[DataFrame](
-        "media.recallPrefix", spark, dir) { scope =>
-      scope.cached(DedupQueries.halfJaccardPrefix(grams))
-    }
-    val truth = DedupQueries.halfJaccardTruth(prefix, grams)
-    val proposed = DedupQueries.bandCandidates(bands, "doc_id")
+    val anchors = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
+    val truth = broadcast(anchors)
+      .crossJoin(grams.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"))
+      .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
+    val proposed = bands.filter(col("doc_id") % 50 === 0).alias("x")
+      .join(bands.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
       .withColumn("caught", lit(1L))
     truth.join(proposed, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("bucket"))
@@ -372,14 +391,15 @@ object MultimodalQueries extends graft.QueryModule {
         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin,
       "new_media", "corpus_media"),
-    // plain all-pairs gram truth at t=0.5 beside the band candidate
-    // set — same audit formulation as q_dedup_recall, gram basis
+    // plain ANCHORED all-pairs gram truth at t=0.5 beside the band
+    // candidate set — the embedding-audit formulation on the gram basis
     "q_media_recall" ->
       s"""WITH $mediaBandsCte,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
-        |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+        |  FROM sh sa JOIN sh sb
+        |    ON sa.s = sb.s AND sa.doc_id % 50 = 0 AND sa.doc_id <> sb.doc_id
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT doc_a, doc_b,
@@ -391,7 +411,8 @@ object MultimodalQueries extends graft.QueryModule {
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id % 50 = 0 AND x.doc_id <> y.doc_id
         |)
         |SELECT bucket,
         |       CAST(count(*) AS BIGINT) AS n_true,

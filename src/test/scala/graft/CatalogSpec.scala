@@ -77,7 +77,7 @@ class CatalogSpec extends SparkSpec {
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
-      "q_bloom_prune", "q_ks_drift", "q_emb_recall")
+      "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
