@@ -610,6 +610,55 @@ object CurationQueries extends graft.QueryModule {
         when(col("reason").isNull, col("split")).as("split"))
   }
 
+  /** [[curatedCorpus]]'s INCREMENTAL form — how a 100 TB pipeline
+    * actually runs day to day: an ARRIVING batch (doc_id % 10 = 0
+    * stands in for it) is dispositioned against the standing corpus
+    * without ever re-processing the corpus itself. Stages and reason
+    * precedence mirror the batch composition where the semantics are
+    * batch-vs-corpus: exact_dup = byte-identical to a corpus document
+    * (hash semi-join against the corpus md5 set), near_dup = has a
+    * verified corpus near-dup from the incremental band-probe pipeline
+    * ([[graft.operators.DedupQueries.dedupIncremental]] — batch x
+    * corpus, never corpus^2), benchmark = the held-out eval slice,
+    * contaminated = shares a 3-shingle with it, low_quality = the
+    * row-local quality expression (the SAME
+    * [[graft.operators.TextAnalysisQueries.qualityExpr]] the streaming
+    * ingest gate applies — corpus-relative stages like the 2-sigma
+    * outlier need corpus statistics and belong to the batch
+    * recompute). Intra-batch duplicates likewise: ingest-order state
+    * is the streaming gate's job
+    * ([[graft.streaming.StreamingOps.ingestGateStream]]). The
+    * composed oracle re-derives every stage, so the hash certifies
+    * the batch-vs-corpus domain split at each boundary.
+    */
+  def curatedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysisQueries
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpusHashes = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("__h")).distinct()
+      .withColumn("__exact", lit(true))
+    val near = DedupQueries.dedupIncremental(spark, dir)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    val deco = decontaminate(spark, dir).select("doc_id", "contaminated")
+
+    batch
+      .select(col("doc_id"), md5(col("text")).as("__h"),
+        (TextAnalysisQueries.qualityExpr(split(col("text"), " ")) >= 0.5)
+          .as("__q_ok"))
+      .join(corpusHashes, Seq("__h"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(deco, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(coalesce(col("__exact"), lit(false)), "exact_dup")
+          .when(coalesce(col("__near"), lit(false)), "near_dup")
+          .when(col("doc_id") % 20 === 0, "benchmark")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(!coalesce(col("__q_ok"), lit(false)), "low_quality"))
+      .select(col("doc_id"), col("reason").isNull.as("keep"), col("reason"))
+  }
+
   /** The composite curation gate — the decision a pipeline actually
     * executes: keep a document iff its quality score clears 0.5 AND it
     * is not repetitive AND its length is not a 2-sigma outlier, with
@@ -724,6 +773,7 @@ object CurationQueries extends graft.QueryModule {
     "q_quota" -> quota,
     "q_quality_gate" -> qualityGate,
     "q_curated_corpus" -> curatedCorpus,
+    "q_curated_incremental" -> curatedIncremental,
     "q_winsorize" -> winsorize,
     "q_skew_agg" -> skewAgg
   )
@@ -1046,6 +1096,41 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id, reason IS NULL AS keep, reason,
         |       CASE WHEN reason IS NULL THEN raw_split END AS split
         |FROM base""".stripMargin,
+    // batch-vs-corpus disposition: the incremental near-dup oracle and
+    // decontamination nest as CTEs; exact is a corpus md5 semi-join;
+    // quality is the row-local expression (the streaming gate's)
+    "q_curated_incremental" ->
+      s"""WITH inc AS (
+        |${DedupQueries.oracleDedupIncremental}
+        |), deco AS (
+        |$oracleDecontaminate
+        |), nearids AS (SELECT DISTINCT new_id FROM inc),
+        |corpus_h AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+        |), btoks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), q AS (
+        |  SELECT doc_id,
+        |         least(CAST(count(*) AS DOUBLE) / 50.0, 1.0) *
+        |           (0.5 + 0.5 * (CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS quality
+        |  FROM btoks GROUP BY doc_id
+        |), base AS (
+        |  SELECT b.doc_id,
+        |         CASE WHEN ch.h IS NOT NULL THEN 'exact_dup'
+        |              WHEN n.new_id IS NOT NULL THEN 'near_dup'
+        |              WHEN b.doc_id % 20 = 0 THEN 'benchmark'
+        |              WHEN coalesce(c.contaminated, FALSE) THEN 'contaminated'
+        |              WHEN NOT coalesce(qq.quality >= 0.5, FALSE) THEN 'low_quality'
+        |         END AS reason
+        |  FROM documents b
+        |  LEFT JOIN corpus_h ch ON ch.h = md5(b.text)
+        |  LEFT JOIN nearids n ON n.new_id = b.doc_id
+        |  LEFT JOIN deco c ON c.doc_id = b.doc_id
+        |  LEFT JOIN q qq ON qq.doc_id = b.doc_id
+        |  WHERE b.doc_id % 10 = 0
+        |)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM base""".stripMargin,
     "q_quality_gate" ->
       s"""WITH q AS (
         |${TextAnalysisQueries.oracles("q_text_quality")}

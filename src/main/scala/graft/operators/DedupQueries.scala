@@ -1167,6 +1167,38 @@ object DedupQueries extends graft.QueryModule {
       s"('0x' || substr(md5(s), 17, 8))::UBIGINT) % 4294967296 AS BIGINT)) AS m$i")
     .mkString(",\n         ")
 
+  /** q_dedup_incremental oracle body — factored so the incremental
+    * curation composition can nest it. */
+  private[operators] lazy val oracleDedupIncremental: String =
+    s"""WITH $shinglesCte,
+      |sig AS (
+      |  SELECT doc_id,
+      |         $sigSqlItems
+      |  FROM sh GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+      |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+      |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+      |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT new_id, corpus_id, count(*) AS c
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = new_id
+      |  JOIN sh sb ON sb.doc_id = corpus_id AND sa.s = sb.s
+      |  GROUP BY new_id, corpus_id
+      |)
+      |SELECT new_id, corpus_id,
+      |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes za ON za.doc_id = new_id
+      |JOIN sizes zb ON zb.doc_id = corpus_id
+      |WHERE 9 * c >= 4 * (za.n_sh + zb.n_sh)""".stripMargin
+
   /** Shared recursive-CTE prelude computing the per-doc cluster labels
     * (same transitive closure as the q_dedup_clusters oracle).
     */
@@ -1226,35 +1258,7 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_clusters" ->
       s"""$ccLabelsCte
         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH $shinglesCte,
-        |sig AS (
-        |  SELECT doc_id,
-        |         $sigSqlItems
-        |  FROM sh GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
-        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
-        |), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT new_id, corpus_id, count(*) AS c
-        |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = new_id
-        |  JOIN sh sb ON sb.doc_id = corpus_id AND sa.s = sb.s
-        |  GROUP BY new_id, corpus_id
-        |)
-        |SELECT new_id, corpus_id,
-        |       CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) AS jaccard
-        |FROM inter
-        |JOIN sizes za ON za.doc_id = new_id
-        |JOIN sizes zb ON zb.doc_id = corpus_id
-        |WHERE 9 * c >= 4 * (za.n_sh + zb.n_sh)""".stripMargin,
+    "q_dedup_incremental" -> oracleDedupIncremental,
     "q_dedup_keep" ->
       s"""$ccLabelsCte
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
