@@ -51,6 +51,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t=1/2 prefix-filtered truth equals brute-force all-pairs Jaccard >= 0.5") {
+    import org.apache.spark.sql.functions._
+    // random gram-set corpora over a SMALL vocab (forces mid-similarity
+    // overlap, the regime the lossless-prefix proof must cover)
+    val corpusGen: Gen[List[(Long, List[String])]] =
+      Gen.listOfN(40, Gen.choose(2, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.choose(0, 19).map(i => s"g$i"))))
+        .map(_.zipWithIndex.map { case (gs, i) => (i.toLong, gs.distinct) })
+    var totalPairs = 0
+    (0 until 6).foreach { i =>
+      val corpus = corpusGen.apply(Gen.Parameters.default, Seed(7000L + i)).getOrElse(Nil)
+      val shArr = corpus.toDF("doc_id", "sh_arr")
+      val prefix = graft.operators.DedupQueries.halfJaccardPrefix(shArr).cache()
+      val got = graft.operators.DedupQueries.halfJaccardTruth(prefix, shArr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // independent brute force in plain Scala
+      val want = (for {
+        (a, ga) <- corpus; (b, gb) <- corpus if a < b
+        c = ga.toSet.intersect(gb.toSet).size
+        if 3 * c >= ga.size + gb.size
+      } yield (a, b, (10 * c) / (ga.size + gb.size - c))).toSet
+      prefix.unpersist()
+      assert(got == want, s"seed ${7000 + i}: prefix truth diverged from brute force")
+      totalPairs += want.size
+    }
+    // the generator must actually exercise the filter (no vacuous pass)
+    assert(totalPairs > 0, "no qualifying pairs across any seed — generator too sparse")
+  }
+
   /** Independent reference: union-find with min-id representatives. */
   private def unionFindMin(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
