@@ -94,32 +94,72 @@ object CurationQueries extends graft.QueryModule {
     * its Bloom hit count, its exact hit count, and whether the doc was
     * a pure false positive.
     */
+  private val BloomWords = 1024 // 65536 bits
+  private val BloomM = BloomWords.toLong * 64
+
+  private def bloomPositions(digest: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = (0 until 3).map { i =>
+    (conv(substring(digest, 1, 8), 16, 10).cast("long") +
+      lit(i.toLong) * conv(substring(digest, 17, 8), 16, 10).cast("long")) % lit(BloomM)
+  }
+
+  /** The 1-row benchmark Bloom bitset frame (column `bits`:
+    * array<bigint>, BloomWords words) — shared by [[bloomPrune]] and
+    * the driver-side [[bloomBits]] collector.
+    */
+  private def benchBloomFrame(spark: SparkSession, dir: String): DataFrame = {
+    val bloomAgg = udaf(new graft.functions.BloomFilterAggregator(BloomWords))
+    DedupQueries.sharedShingles(spark, dir)
+      .select("doc_id", "sh_arr")
+      .filter(size(col("sh_arr")) > 0 && col("doc_id") % 20 === 0)
+      .select(explode(col("sh_arr")).as("s"))
+      .select(md5(col("s")).as("d"))
+      .select(explode(array(bloomPositions(col("d")): _*)).as("p"))
+      .agg(bloomAgg(col("p")).as("bits"))
+  }
+
+  /** The benchmark Bloom bitset as a DRIVER-SIDE value — the artifact
+    * a streaming ingest gate embeds as a literal (index-build-at-
+    * startup, the same pattern as the memoized IVF index; the bitset
+    * is KiB regardless of benchmark cardinality, so collecting the one
+    * row is not a driver-side data loop).
+    */
+  def bloomBits(spark: SparkSession, dir: String): Seq[Long] =
+    benchBloomFrame(spark, dir).head().getSeq[Long](0)
+
+  /** SQL predicate: does ANY element of the array<string> column
+    * `shCol` set all 3 Bloom positions in the array<bigint> literal
+    * column `bitsCol`? Mirrors [[bloomPrune]]'s probe arithmetic
+    * exactly (same KM positions over the two disjoint md5 windows,
+    * same word/offset layout) — one definition of the probe for the
+    * batch pruner and the streaming gate.
+    */
+  private[graft] def bloomProbeSql(shCol: String, bitsCol: String): String = {
+    def pos(i: Int) =
+      s"((cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) + " +
+        s"$i * cast(conv(substring(md5(s), 17, 8), 16, 10) as bigint)) % $BloomM)"
+    def bit(i: Int) =
+      s"(shiftright(element_at($bitsCol, cast(${pos(i)} div 64 as int) + 1), " +
+        s"cast(${pos(i)} % 64 as int)) & 1) = 1"
+    s"exists($shCol, s -> ${bit(0)} AND ${bit(1)} AND ${bit(2)})"
+  }
+
   def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val BloomWords = 1024 // 65536 bits
-    val M = BloomWords.toLong * 64
+    val M = BloomM
 
     val sh = DedupQueries.sharedShingles(spark, dir)
       .select("doc_id", "sh_arr")
       .filter(size(col("sh_arr")) > 0)
       .withColumn("is_bench", col("doc_id") % 20 === 0)
 
-    def positions(digest: Column): Seq[Column] = (0 until 3).map { i =>
-      (conv(substring(digest, 1, 8), 16, 10).cast("long") +
-        lit(i.toLong) * conv(substring(digest, 17, 8), 16, 10).cast("long")) % lit(M)
-    }
+    def positions(digest: org.apache.spark.sql.Column) = bloomPositions(digest)
 
-    val bloomAgg = udaf(new graft.functions.BloomFilterAggregator(BloomWords))
-    val bloom = sh.filter(col("is_bench"))
-      .select(explode(col("sh_arr")).as("s"))
-      .select(md5(col("s")).as("d"))
-      .select(explode(array(positions(col("d")): _*)).as("p"))
-      .agg(bloomAgg(col("p")).as("bits"))
+    val bloom = benchBloomFrame(spark, dir)
 
     // map-only probe: 3 bit reads per shingle against the broadcast
     // 8 KiB bitset; bit b of the filter lives in word b div 64 at
     // offset b mod 64 (same layout the aggregator writes)
-    def bitSet(p: String): Column =
+    def bitSet(p: String): org.apache.spark.sql.Column =
       expr(s"(shiftright(element_at(bits, cast($p div 64 as int) + 1), " +
         s"cast($p % 64 as int)) & 1) = 1")
     val probed = sh.filter(!col("is_bench"))

@@ -256,10 +256,10 @@ object StreamingOps {
     * and replay-deterministic.
     */
   case class QualDoc(content_hash: String, doc_id: Long, source: String,
-      quality_ok: Boolean)
+      quality_ok: Boolean, contaminated: Boolean)
   case class GatedDoc(content_hash: String, doc_id: Long, source: String,
-      quality_ok: Boolean, first_seen: Boolean, keep: Boolean,
-      reason: Option[String])
+      quality_ok: Boolean, contaminated: Boolean, first_seen: Boolean,
+      keep: Boolean, reason: Option[String])
 
   /** The streaming ingest gate — the streaming counterpart of
     * [[graft.operators.CurationQueries.curatedCorpus]]'s row-local
@@ -269,25 +269,48 @@ object StreamingOps {
     * score ([[graft.operators.TextAnalysisQueries.qualityExpr]] — ONE
     * definition, so the gate threshold can't drift between modes),
     * with the first failing stage as the audit reason (exact_dup,
-    * then low_quality) — the same precedence order as the batch
-    * composition. The corpus-relative stages stay where they belong:
-    * near-dup propose is [[dedupNearStream]] (its own band-keyed
-    * state — Structured Streaming allows one stateful key domain per
-    * query), outlier/decontamination/split need corpus statistics and
-    * run in the batch composition.
+    * then contaminated, then low_quality) — the same precedence order
+    * as the batch composition. Decontamination-at-ingest rides the
+    * optional `benchBloom` bitset
+    * ([[graft.operators.CurationQueries.bloomBits]] — the KiB
+    * index-built-at-startup artifact): the probe is a pure ROW-LEVEL
+    * expression over the arriving doc's shingles (the SAME
+    * [[graft.operators.CurationQueries.bloomProbeSql]] arithmetic the
+    * batch pruner uses — no join, no state, so it composes with the
+    * stateful exact-dup stage). Bloom one-sided error means
+    * `contaminated` is the PROPOSE half: a negative is a certain
+    * non-member, a positive goes to the batch exact join — same
+    * propose/verify split as near-dup. The remaining corpus-relative
+    * stages stay where they belong: near-dup propose is
+    * [[dedupNearStream]] (its own band-keyed state — Structured
+    * Streaming allows one stateful key domain per query),
+    * outlier/split need corpus statistics and run in the batch
+    * composition.
     *
     * State is the same ONE boolean per distinct content hash as
-    * [[dedupExactStream]]; quality is a map-only expression on the
-    * arriving row, so the gate adds ZERO state over plain exact
-    * dedup.
+    * [[dedupExactStream]]; quality and the Bloom probe are map-only
+    * expressions on the arriving row, so the gate adds ZERO state
+    * over plain exact dedup.
     */
-  def ingestGateStream(spark: SparkSession, docs: DataFrame): Dataset[GatedDoc] = {
+  def ingestGateStream(spark: SparkSession, docs: DataFrame,
+      benchBloom: Option[Seq[Long]] = None): Dataset[GatedDoc] = {
     import spark.implicits._
+    import graft.functions.TextFunctions
+    val contaminatedCol = benchBloom match {
+      case Some(bits) =>
+        expr(graft.operators.CurationQueries.bloomProbeSql("__sh", "__bits"))
+      case None => lit(false)
+    }
     docs
       .withColumn("toks", split(col("text"), " "))
+      .withColumn("__sh",
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)))
+      .withColumn("__bits",
+        typedLit(benchBloom.getOrElse(Seq.empty[Long])))
       .select(md5(col("text")).as("content_hash"), col("doc_id"), col("source"),
         (graft.operators.TextAnalysisQueries.qualityExpr(col("toks")) >= 0.5)
-          .as("quality_ok"))
+          .as("quality_ok"),
+        contaminatedCol.as("contaminated"))
       .as[QualDoc]
       .groupByKey(_.content_hash)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -299,10 +322,11 @@ object StreamingOps {
             val first = !seenBefore && i == 0
             val reason =
               if (!first) Some("exact_dup")
+              else if (d.contaminated) Some("contaminated")
               else if (!d.quality_ok) Some("low_quality")
               else None
-            GatedDoc(hash, d.doc_id, d.source, d.quality_ok, first,
-              reason.isEmpty, reason)
+            GatedDoc(hash, d.doc_id, d.source, d.quality_ok, d.contaminated,
+              first, reason.isEmpty, reason)
           }
       }
   }

@@ -311,6 +311,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept.except(dedup).count() == 0 && dedup.except(kept).count() == 0)
   }
 
+  test("streaming ingest gate Bloom decontamination matches the batch probe, no false negatives") {
+    import graft.functions.TextFunctions
+    val bits = graft.operators.CurationQueries.bloomBits(spark, sf0001)
+    val stream = StreamingOps.docStream(spark, sf0001)
+    val q = StreamingOps.ingestGateStream(spark, stream, Some(bits)).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sgate_bloom").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sgate_bloom").select("doc_id", "contaminated")
+    // the literal bitset must round-trip: streaming rows probe exactly
+    // as a batch evaluation of the same expression over the same docs
+    val want = graft.Tables.documents(spark, sf0001)
+      .withColumn("__sh",
+        array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)))
+      .withColumn("__bits", typedLit(bits))
+      .select(col("doc_id"),
+        expr(graft.operators.CurationQueries.bloomProbeSql("__sh", "__bits")).as("want_c"))
+    val j = got.join(want, Seq("doc_id"))
+    assert(j.count() == want.count())
+    assert(j.filter(col("contaminated") =!= col("want_c")).count() == 0)
+    // one-sided error: a Bloom negative is a certain non-member, so
+    // every EXACTLY-contaminated doc must be flagged at ingest
+    val exact = graft.operators.CurationQueries.decontaminate(spark, sf0001)
+      .filter(col("contaminated")).select("doc_id")
+    assert(exact.except(got.filter(col("contaminated")).select("doc_id")).count() == 0)
+  }
+
   test("streaming exact dedup agrees with the batch dedup on the fixture corpus") {
     val stream = StreamingOps.docStream(spark, sf0001)
     val q = StreamingOps.dedupExactStream(spark, stream).toDF()
