@@ -267,16 +267,24 @@ object MultimodalQueries extends graft.QueryModule {
     * fixture: 1.35M gram rows over 13k distinct grams at sf0.1, max
     * df 3859 — sum(df^2) makes the posting self-join quadratic, the
     * exact failure mode the 3-shingle basis dodges for text; measured
-    * 129s steady before this form). Truth is therefore an ANCHOR
-    * SAMPLE (media_id % 50 == 0) scored against the full corpus with
-    * row-level array_intersect — no posting join at all; cost is
-    * |anchors| x corpus and the modulus is the audit-budget dial.
-    * Decile = (10*c) div (n_a+n_b-c), integer-exact; the oracle is
-    * the plain anchored all-pairs formulation.
+    * 129s steady before this form). Truth is therefore a
+    * CONSTANT-BUDGET anchor sample — the ANCHORS lowest values of
+    * md5("anc:" || media_id) (TakeOrderedAndProject, the scale-safe
+    * top-k; a fixed modulus would grow the anchor set with the corpus
+    * and make the audit N^2/modulus) — scored against the full corpus
+    * with row-level array_intersect: no posting join at all, cost
+    * O(corpus) at any scale. Decile = (10*c) div (n_a+n_b-c),
+    * integer-exact; the oracle is the plain anchored all-pairs
+    * formulation.
     */
+  private val MEDIA_ANCHORS = 64
+
   def mediaRecall(spark: SparkSession, dir: String): DataFrame = {
     val (grams, bands) = fuzzyIndex(spark, dir)
-    val anchors = grams.filter(col("doc_id") % 50 === 0)
+    val anchorIds = grams.select(col("doc_id"))
+      .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(MEDIA_ANCHORS)
+    val anchors = grams.join(anchorIds, Seq("doc_id"))
       .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
     val truth = broadcast(anchors)
       .crossJoin(grams.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
@@ -288,7 +296,7 @@ object MultimodalQueries extends graft.QueryModule {
       .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
       .select(col("doc_a"), col("doc_b"),
         expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
-    val proposed = bands.filter(col("doc_id") % 50 === 0).alias("x")
+    val proposed = bands.join(anchorIds, Seq("doc_id")).alias("x")
       .join(bands.alias("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
@@ -396,10 +404,14 @@ object MultimodalQueries extends graft.QueryModule {
     "q_media_recall" ->
       s"""WITH $mediaBandsCte,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
+        |anc AS (
+        |  SELECT doc_id FROM sh GROUP BY doc_id
+        |  ORDER BY md5('anc:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+        |), inter AS (
         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
-        |  FROM sh sa JOIN sh sb
-        |    ON sa.s = sb.s AND sa.doc_id % 50 = 0 AND sa.doc_id <> sb.doc_id
+        |  FROM sh sa
+        |  JOIN anc ON anc.doc_id = sa.doc_id
+        |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT doc_a, doc_b,
@@ -410,9 +422,11 @@ object MultimodalQueries extends graft.QueryModule {
         |  WHERE 3 * c >= za.n_sh + zb.n_sh
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
+        |  FROM bands x
+        |  JOIN anc ON anc.doc_id = x.doc_id
+        |  JOIN bands y
         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.doc_id % 50 = 0 AND x.doc_id <> y.doc_id
+        |   AND x.doc_id <> y.doc_id
         |)
         |SELECT bucket,
         |       CAST(count(*) AS BIGINT) AS n_true,

@@ -648,6 +648,8 @@ object DedupQueries extends graft.QueryModule {
   private val EMB_BANDS = 6
   private val EMB_BITS = 3
   private val EMB_DIM = 64 // fixture embedding dimension (TESTDATA.md)
+  // constant audit budget for q_emb_recall (see embRecall doc)
+  private val EMB_ANCHORS = 64
   private lazy val embPlanes: Array[Array[Long]] =
     Array.tabulate(EMB_BANDS * EMB_BITS, EMB_DIM) { (k, p) =>
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -749,14 +751,18 @@ object DedupQueries extends graft.QueryModule {
   // ===== embedding LSH recall audit: anchors vs exact cosine truth =====
   /** [[dedupRecall]]'s counterpart for the SEMANTIC modality: recall
     * of the hyperplane sign-bit propose step ([[embBandKeys]]) against
-    * EXACT cosine ground truth, per cosine decile. Ground truth is an
-    * ANCHOR SAMPLE (vec_id % 50 == 0) scored against the full corpus
-    * with the exact quantized-integer kernel — the audit-budget dial:
-    * cost is |anchors| x corpus, so production tunes the modulus to
-    * hold the anchor budget ~constant as the corpus grows (unlike the
-    * text audit, sign-random-projection truth has no lossless
-    * prefix-filter equivalent — exact cosine needs the dot product, so
-    * a sampled audit is the honest scalable form). Decile =
+    * EXACT cosine ground truth, per cosine decile. Ground truth is a
+    * CONSTANT-BUDGET anchor sample — the ANCHORS lowest values of
+    * md5("anc:" || vec_id), a deterministic draw whose size does NOT
+    * grow with the corpus (TakeOrderedAndProject, the scale-safe
+    * top-k) — scored against the full corpus with the exact
+    * quantized-integer kernel, so audit cost stays |anchors| x corpus
+    * = O(corpus) at ANY scale (a fixed modulus would make it
+    * N^2/modulus — the same constant-that-breaks-at-100x class as the
+    * r5 IVF list count). Unlike the text audit, sign-random-projection
+    * truth has no lossless prefix-filter equivalent — exact cosine
+    * needs the dot product, so a sampled audit is the honest scalable
+    * form. Decile =
     * floor(cosine * 10): the cosine doubles are bit-identical across
     * engines (same integer dot/norm inputs, same operation order — the
     * property every embedding oracle already hash-certifies), so the
@@ -778,8 +784,10 @@ object DedupQueries extends graft.QueryModule {
       (vecs, keys)
     }
 
-    val anchors = vecs
-      .filter(col("vec_id") % 50 === 0)
+    val anchorIds = vecs.select(col("vec_id"))
+      .orderBy(md5(concat(lit("anc:"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(EMB_ANCHORS)
+    val anchors = vecs.join(anchorIds, Seq("vec_id"))
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
 
     val truth = broadcast(anchors)
@@ -792,10 +800,11 @@ object DedupQueries extends graft.QueryModule {
       .select(col("vec_a"), col("vec_b"),
         floor(col("cosine") * 10).cast("int").as("bucket"))
 
-    val proposed = keys.alias("x").join(keys.alias("y"),
+    val proposed = keys
+      .join(anchorIds, Seq("vec_id")).alias("x")
+      .join(keys.alias("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.vec_id") % 50 === 0 &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
@@ -1449,11 +1458,15 @@ object DedupQueries extends graft.QueryModule {
     // anchors-vs-corpus exact cosine truth beside the hyperplane band
     // candidate set — the semantic modality's propose-recall audit
     "q_emb_recall" ->
-      s"""WITH $embOracleCte, dots AS (
+      s"""WITH $embOracleCte, anc AS (
+        |  SELECT vec_id FROM embeddings
+        |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
+        |), dots AS (
         |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
         |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
         |  FROM q qa
-        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id % 50 = 0 AND qa.vec_id <> qb.vec_id
+        |  JOIN anc ON anc.vec_id = qa.vec_id
+        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT vec_a, vec_b,
@@ -1466,9 +1479,11 @@ object DedupQueries extends graft.QueryModule {
         |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
         |), prop AS (
         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM keys x JOIN keys y
+        |  FROM keys x
+        |  JOIN anc ON anc.vec_id = x.vec_id
+        |  JOIN keys y
         |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.vec_id % 50 = 0 AND x.vec_id <> y.vec_id
+        |   AND x.vec_id <> y.vec_id
         |)
         |SELECT bucket,
         |       CAST(count(*) AS BIGINT) AS n_true,
