@@ -873,18 +873,25 @@ object DedupQueries extends graft.QueryModule {
     // k^2 edges — the expansion only happens on the final labels.
     // Classes with >= 2 shingled members but no cross-pair still form
     // a component of their own: a self-edge keeps them as vertices.
-    val (groups, repPairs) = minhashReps(spark, dir)
-    val selfEdges = groups
-      .filter(col("has_sh") && size(col("members")) >= 2)
-      .select(col("rep").as("doc_a"), col("rep").as("doc_b"))
-    val ccInput = repPairs.select("doc_a", "doc_b").unionByName(selfEdges).cache()
-    // (connectedComponents' own count() materializes ccInput)
-    val repLabels = connectedComponents(spark, ccInput)
-    ccInput.unpersist()
-    repLabels
-      .join(groups.select(col("rep").as("doc_id"), col("members")), Seq("doc_id"))
-      .select(explode(col("members")).as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
+    // The label frame is memoized per (session, dir) like every other
+    // shared index: five consumers read it (q_dedup_clusters,
+    // q_dedup_keep, q_cluster_stats, q_split, and q_curated_corpus —
+    // which joins it twice), and without the memo each execution
+    // re-runs the whole label-propagation loop.
+    graft.SharedBuilds.getOrBuild[DataFrame]("dedup.clusterLabels", spark, dir) { scope =>
+      val (groups, repPairs) = minhashReps(spark, dir)
+      val selfEdges = groups
+        .filter(col("has_sh") && size(col("members")) >= 2)
+        .select(col("rep").as("doc_a"), col("rep").as("doc_b"))
+      val ccInput = repPairs.select("doc_a", "doc_b").unionByName(selfEdges).cache()
+      // (connectedComponents' own count() materializes ccInput)
+      val repLabels = connectedComponents(spark, ccInput)
+      ccInput.unpersist()
+      scope.cached(repLabels
+        .join(groups.select(col("rep").as("doc_id"), col("members")), Seq("doc_id"))
+        .select(explode(col("members")).as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id"))
+    }
   }
 
   /** Incremental near-dedup — the production shape: an ARRIVING batch
