@@ -286,13 +286,19 @@ object MultimodalQueries extends graft.QueryModule {
       .limit(MEDIA_ANCHORS)
     val anchors = grams.join(anchorIds, Seq("doc_id"))
       .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
+    // size bound BEFORE the intersect: J >= 1/2 requires
+    // 3*min(n_a,n_b) >= n_a+n_b (c <= min), so length-divergent pairs
+    // never pay the array_intersect — uniform-length fixtures prune
+    // nothing, real corpora prune most of the |anchors| x corpus grid
     val truth = broadcast(anchors)
       .crossJoin(grams.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
       .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"),
+      .select(col("doc_a"), col("doc_b"), col("__sa"), col("__sb"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
+      .filter(lit(3) * least(col("n_a"), col("n_b")) >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"))
       .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
       .select(col("doc_a"), col("doc_b"),
         expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
