@@ -1139,7 +1139,73 @@ object DedupQueries extends graft.QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  // ===== exact-substring span dedup (ExactSubstr) =====
+
+  /** Span width in tokens for [[dupSpans]]. Lee et al. use 50 BPE
+    * tokens; the fixture docs are 25-70 whitespace tokens, so 5 keeps
+    * the operator exercised end-to-end (multi-span docs, merged
+    * regions, zero-coverage docs) at every SF. The dial changes cost
+    * only linearly (spans per doc = n_tokens - W + 1 either way).
+    */
+  private val SpanW = 5
+
+  /** Exact-substring span dedup — the ExactSubstr family of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., arXiv:2107.06499) re-expressed relationally: any W-token
+    * span whose text occurs at >= 2 positions CORPUS-WIDE (across docs
+    * or repeated within one) is duplicated text; overlapping duplicated
+    * spans merge into maximal per-doc regions; every doc reports its
+    * region count, duplicated-token total, and coverage fraction — the
+    * per-doc signal a pipeline uses to cut boilerplate-heavy documents
+    * or excise the regions themselves.
+    *
+    * The paper's suffix array is a single-node construct; the
+    * relational equivalent is (1) position-exploded span hashes, (2)
+    * one groupBy on span hash to find texts with >= 2 occurrences —
+    * partial aggregation combines the corpus-frequent boilerplate
+    * spans map-side, so the hot keys that make this operator hard are
+    * exactly the ones that collapse before the shuffle, (3) a
+    * left-semi join marking duplicated positions (AQE handles the
+    * residual skew of mega-duplicated spans), (4) a per-doc interval
+    * merge — gaps-and-islands over a window PARTITIONed by doc, whose
+    * width is bounded by tokens-per-doc, never corpus size. Every
+    * stage shuffles on doc or content hash and partitions freely at
+    * 100 TB.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), SpanW)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+    val marked = spans.join(dup.select("h"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").as("st"), (col("pos") + lit(SpanW)).as("en"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val regions = marked
+      .withColumn("prev_max",
+        max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+    val perDoc = regions.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_regions"),
+        sum((col("en") - col("st")).cast("long")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans" -> dupSpans,
     "q_dedup_edit" -> dedupEditDistance,
     "q_overlap_matrix" -> overlapMatrix,
     "q_dedup_clusters" -> dedupClusters,
@@ -1498,6 +1564,48 @@ object DedupQueries extends graft.QueryModule {
         |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM truth t
         |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
-        |GROUP BY bucket""".stripMargin
+        |GROUP BY bucket""".stripMargin,
+    // same W, same md5-of-joined-span hashing, same gaps-and-islands
+    // interval merge — spelled with unnest + window SQL
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS p
+        |  FROM toks WHERE len(t) >= 5
+        |), spans AS (
+        |  SELECT doc_id, p, md5(array_to_string(t[p + 1 : p + 5], ' ')) AS h FROM pos
+        |), dup AS (
+        |  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT s.doc_id, s.p AS st, s.p + 5 AS en FROM spans s JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |         max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM marked
+        |), flagged AS (
+        |  SELECT doc_id, st, en,
+        |         CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS ni
+        |  FROM isl
+        |), numbered AS (
+        |  SELECT doc_id, st, en,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged
+        |), regions AS (
+        |  SELECT doc_id, island, min(st) AS st, max(en) AS en FROM numbered GROUP BY 1, 2
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_regions,
+        |         CAST(sum(en - st) AS BIGINT) AS dup_tokens
+        |  FROM regions GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+        |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) /
+        |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_fraction
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
   )
 }
