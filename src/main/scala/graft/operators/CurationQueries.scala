@@ -794,7 +794,39 @@ object CurationQueries extends graft.QueryModule {
           .as("natural_share"))
   }
 
+  /** Hashed-feature linear classifier scoring — the model-based
+    * quality-filter stage (the fastText-style classifier of the
+    * CCNet / GPT-3 / LLaMA data recipes, applied at corpus scale):
+    * every token feature-hashes into one of 64 buckets (first 8 md5
+    * hex chars mod 64 — the hashing trick, so the model is closed
+    * over an unbounded vocabulary), a learned model is a dense
+    * 64-entry weight vector, and a document's score is the sum of its
+    * tokens' bucket weights; keep = score >= 0. No model artifact
+    * ships in this container, so the weight VALUES are a
+    * deterministic stand-in (w[b] = (b*37 mod 21) - 10, zero-mean
+    * over the bucket domain) — the Spark-side shape is the real one:
+    * the weight table folds into the expression tree as literals (at
+    * scale: a broadcast array), scoring is a map-only `aggregate()`
+    * fold over the token array — no shuffle, no explode, whole-stage
+    * codegen — and the decision threshold is an exact integer
+    * comparison. Swapping in real learned weights changes only the 64
+    * literals.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val tokWeight =
+      "((cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 64) * 37) % 21 - 10"
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"aggregate(split(text, ' '), cast(0 as bigint), (acc, t) -> acc + ($tokWeight))")
+        .as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score").cast("double") / col("n_tokens").cast("double")).as("margin"),
+        (col("score") >= 0L).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> qualityClassifier,
     "q_mix_weights" -> mixWeights,
     "q_split" -> leakSafeSplit,
     "q_boilerplate" -> boilerplate,
@@ -854,6 +886,20 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same bucket hash, same stand-in weight arithmetic, per token
+    "q_quality_classifier" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(list_sum(list_transform(string_split(text, ' '), t ->
+        |           (CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT AS BIGINT) % 64)
+        |             * 37 % 21 - 10)) AS BIGINT) AS score
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, score,
+        |       CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS margin,
+        |       score >= 0 AS keep
+        |FROM scored""".stripMargin,
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
         |       RANK() OVER (ORDER BY n_chars) AS rk,

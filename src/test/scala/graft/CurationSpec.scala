@@ -265,6 +265,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("classifier score equals the per-token exploded sum and respects the margin") {
+    // the map-only aggregate() fold must equal the naive explode +
+    // groupBy sum of the same per-token weight — the differential
+    // that pins the fold (init value, bucket arithmetic, sign)
+    val got = CurationQueries.qualityClassifier(spark, sf0001)
+    val naive = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("w", expr(
+        "((cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 64) * 37) % 21 - 10"))
+      .groupBy("doc_id").agg(sum(col("w")).as("score2"))
+    val bad = got.join(naive, Seq("doc_id"))
+      .filter(col("score") =!= col("score2") ||
+        col("keep") =!= (col("score2") >= 0) ||
+        col("margin") =!= col("score2").cast("double") / col("n_tokens").cast("double"))
+    assert(bad.count() == 0)
+    assert(got.count() == Tables.documents(spark, sf0001).count())
+  }
+
   test("max_multiplicity null semantics: null array -> null, null elements skipped") {
     import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
