@@ -219,7 +219,8 @@ object Dev {
               "q_bloom_prune", "q_ks_drift", "q_mad_outlier",
               "q_vocab_growth", "q_overlap_matrix", "q_emb_stats",
               "q_dedup_recall", "q_curated_corpus", "q_emb_recall",
-              "q_media_recall", "q_curated_incremental")
+              "q_media_recall", "q_curated_incremental",
+              "q_dup_spans", "q_quality_classifier")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()

@@ -60,14 +60,23 @@ object GraphQueries extends graft.QueryModule {
       scope.cached(edges.join(deg, Seq("src")))
     }
 
+  /** Distinct node list of the graph — memoized beside the edge list
+    * so the per-execution rank initialization reads a cached
+    * node-domain frame instead of re-running a distinct shuffle over
+    * the full edge list every time.
+    */
+  private[graft] def nodes(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("graph.nodes", spark, dir) { scope =>
+      scope.cached(edgesWithDeg(spark, dir).select(col("src").as("node")).distinct())
+    }
+
   /** Damped PageRank after ITERS synchronous iterations; every node of
     * the symmetric graph has in-degree >= 1, so the rank vector stays
     * total. Output: entity type, original key, integer nano-rank.
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgesWithDeg(spark, dir)
-    var ranks = edges.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(R0))
+    var ranks = nodes(spark, dir).withColumn("r", lit(R0))
     for (_ <- 1 to Iters) {
       val sums = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("w"))
