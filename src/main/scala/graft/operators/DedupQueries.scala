@@ -1172,19 +1172,23 @@ object DedupQueries extends graft.QueryModule {
     * stage shuffles on doc or content hash and partitions freely at
     * 100 TB.
     */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pos, h): every W-token span position with its md5. */
+  private def spanPositions(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val docs = Tables.documents(spark, dir)
-    val spans = docs
+    docs
       .select(col("doc_id"),
         posexplode(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), SpanW)))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
-    val dup = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
-    val marked = spans.join(dup.select("h"), Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos").as("st"), (col("pos") + lit(SpanW)).as("en"))
+  }
+
+  /** Merge marked span positions (doc_id, pos) into maximal per-doc
+    * regions and aggregate to (doc_id, n_dup_regions, dup_tokens) —
+    * gaps-and-islands over a window bounded by tokens-per-doc.
+    */
+  private def mergedRegions(marked: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("st"))
-    val regions = marked
+    marked
+      .select(col("doc_id"), col("pos").as("st"), (col("pos") + lit(SpanW)).as("en"))
       .withColumn("prev_max",
         max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",
@@ -1192,9 +1196,15 @@ object DedupQueries extends graft.QueryModule {
       .withColumn("island", sum(col("ni")).over(byPos))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("st")).as("st"), max(col("en")).as("en"))
-    val perDoc = regions.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_regions"),
         sum((col("en") - col("st")).cast("long")).as("dup_tokens"))
+  }
+
+  /** Left-join per-doc region stats back onto the doc domain with
+    * zero-fill and the coverage fraction.
+    */
+  private def spanReport(docs: DataFrame, perDoc: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1202,10 +1212,47 @@ object DedupQueries extends graft.QueryModule {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_fraction"))
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = spanPositions(docs)
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+    val marked = spans.join(dup.select("h"), Seq("h"), "left_semi")
+    spanReport(docs, mergedRegions(marked))
+  }
+
+  /** Incremental exact-substring span dedup — [[dupSpans]] in the
+    * dedup-at-ingest shape the rest of the dedup matrix has: the
+    * arriving batch (doc_id % 10 = 0, the house split) probes the
+    * STANDING CORPUS' span-hash index plus its own intra-batch span
+    * counts; the corpus is never self-joined and never re-reported. A
+    * batch span position is duplicated text iff its span text already
+    * exists anywhere in the corpus OR occurs at >= 2 positions within
+    * the batch itself. The corpus index is one memoized distinct-hash
+    * frame (at scale: the persisted index a production ingest
+    * maintains); per-batch cost is batch-sized — spans hash-join the
+    * index, the interval merge windows only batch docs.
+    */
+  def dupSpansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusIdx = graft.SharedBuilds.getOrBuild[DataFrame](
+        "dedup.spanIndex", spark, dir) { scope =>
+      scope.cached(
+        spanPositions(docs.filter(col("doc_id") % 10 =!= 0)).select("h").distinct())
+    }
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+    val batchSpans = spanPositions(batchDocs)
+    val intraDup = batchSpans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2).select("h")
+    val dupH = corpusIdx.unionByName(intraDup).distinct()
+    val marked = batchSpans.join(dupH, Seq("h"), "left_semi")
+    spanReport(batchDocs, mergedRegions(marked))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans" -> dupSpans,
+    "q_dup_spans_incremental" -> dupSpansIncremental,
     "q_dedup_edit" -> dedupEditDistance,
     "q_overlap_matrix" -> overlapMatrix,
     "q_dedup_clusters" -> dedupClusters,
@@ -1606,6 +1653,55 @@ object DedupQueries extends graft.QueryModule {
         |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) /
         |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_fraction
-        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    // batch spans vs the corpus index plus intra-batch counts; only
+    // batch docs are reported
+    "q_dup_spans_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS p
+        |  FROM toks WHERE len(t) >= 5
+        |), spans AS (
+        |  SELECT doc_id, p, md5(array_to_string(t[p + 1 : p + 5], ' ')) AS h FROM pos
+        |), corpus_idx AS (
+        |  SELECT DISTINCT h FROM spans WHERE doc_id % 10 <> 0
+        |), batch AS (
+        |  SELECT doc_id, p, h FROM spans WHERE doc_id % 10 = 0
+        |), intra AS (
+        |  SELECT h FROM batch GROUP BY h HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT h FROM corpus_idx UNION SELECT h FROM intra
+        |), marked AS (
+        |  SELECT b.doc_id, b.p AS st, b.p + 5 AS en FROM batch b JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |         max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM marked
+        |), flagged AS (
+        |  SELECT doc_id, st, en,
+        |         CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS ni
+        |  FROM isl
+        |), numbered AS (
+        |  SELECT doc_id, st, en,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged
+        |), regions AS (
+        |  SELECT doc_id, island, min(st) AS st, max(en) AS en FROM numbered GROUP BY 1, 2
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_regions,
+        |         CAST(sum(en - st) AS BIGINT) AS dup_tokens
+        |  FROM regions GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+        |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) /
+        |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_fraction
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin
   )
 }

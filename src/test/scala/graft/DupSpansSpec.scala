@@ -27,7 +27,13 @@ class DupSpansSpec extends SparkSpec {
       // too short for any span
       (6L, "a b c"),
       // unique text, no duplicated span
-      (7L, "u1 u2 u3 u4 u5 u6"))
+      (7L, "u1 u2 u3 u4 u5 u6"),
+      // batch docs (doc_id % 10 = 0) for the incremental variant:
+      // 10 hits the corpus span "a b c d e"; 20 repeats a span only
+      // within itself (intra-batch); 30 is entirely novel
+      (10L, "a b c d e k2 k3 k4 k5 k6"),
+      (20L, "n1 n2 n3 n4 n5 w n1 n2 n3 n4 n5"),
+      (30L, "z1 z2 z3 z4 z5 z6"))
       .toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")))
       .withColumn("lang", lit("xx"))
@@ -46,7 +52,20 @@ class DupSpansSpec extends SparkSpec {
       (4L, 10L, 1L, 7L),
       (5L, 11L, 2L, 10L),
       (6L, 3L, 0L, 0L),
-      (7L, 6L, 0L, 0L)))
+      (7L, 6L, 0L, 0L),
+      (10L, 10L, 1L, 5L),
+      (20L, 11L, 2L, 10L),
+      (30L, 6L, 0L, 0L)))
+  }
+
+  test("incremental variant reports only batch docs, against corpus + intra-batch spans") {
+    val got = DedupQueries.dupSpansIncremental(spark, dir)
+      .select("doc_id", "n_tokens", "n_dup_regions", "dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 10L, 1L, 5L),   // corpus-index hit
+      (20L, 11L, 2L, 10L),  // intra-batch repeat only
+      (30L, 6L, 0L, 0L)))   // novel text
   }
 
   test("dup_fraction is dup_tokens over n_tokens") {
