@@ -120,6 +120,16 @@ object TextAnalysisQueries extends graft.QueryModule {
     * (ceil(len/4) pieces per word, integer arithmetic). Row-level
     * array aggregate — map-only, no shuffle.
     */
+  /** BPE-ish pre-tokenization pattern — the GPT-2 segmentation classes
+    * (letter runs, digit runs, punctuation runs, each with an optional
+    * leading space) WITHOUT the lookahead, so the same pattern is
+    * valid in both Java regex (Spark) and RE2 (DuckDB) and both
+    * engines produce identical match lists. A real tokenizer's vocab
+    * merge happens after this split; the match COUNT is the
+    * budget-estimation signal a pipeline needs.
+    */
+  private val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -127,7 +137,9 @@ object TextAnalysisQueries extends graft.QueryModule {
         col("doc_id"), col("n_chars"),
         size(col("toks")).cast("long").as("ws_tokens"),
         expr("aggregate(toks, 0L, (acc, tok) -> acc + (length(tok) + 3) div 4)")
-          .as("subword_est"))
+          .as("subword_est"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
 
   /** Winnowing fingerprint: md5 rolling hashes of token 4-grams, local
     * minima over a 5-hash sliding window, digest = md5 of the sorted
@@ -637,8 +649,11 @@ object TextAnalysisQueries extends graft.QueryModule {
         |FROM documents d JOIN stats s ON d.doc_id = s.doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, n_chars, count(*) AS ws_tokens,
-        |       CAST(sum((length(tok) + 3) // 4) AS BIGINT) AS subword_est
-        |FROM (SELECT doc_id, n_chars, unnest(string_split(text,' ')) AS tok FROM documents) t
+        |       CAST(sum((length(tok) + 3) // 4) AS BIGINT) AS subword_est,
+        |       CAST(any_value(len(regexp_extract_all(text,
+        |         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
+        |FROM (SELECT doc_id, n_chars, text, unnest(string_split(text,' ')) AS tok
+        |      FROM documents) t
         |GROUP BY doc_id, n_chars""".stripMargin,
     "q_fingerprint" ->
       """WITH toks AS (

@@ -98,4 +98,23 @@ class TextFunctionsSpec extends SparkSpec {
     }.mkString
     assert(sig == expected)
   }
+
+  test("BPE-ish token count segments letter/digit/punct runs with leading spaces") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisQueries
+    val dir = java.nio.file.Files.createTempDirectory("bpe_toks").toString
+    Seq(
+      // don|'|t| stop| 42|x -> 6; the apostrophe splits the letter run
+      (1L, "don't stop 42x"),
+      // hello|,| world|!|!| 2024 -> punct runs collapse: hello|,| world|!!| 2024 -> 5
+      (2L, "hello, world!! 2024"),
+      (3L, "abc"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("xx"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysisQueries.tokenCount(spark, dir)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 6L, 2L -> 5L, 3L -> 1L))
+  }
 }
