@@ -1172,8 +1172,12 @@ object DedupQueries extends graft.QueryModule {
     * stage shuffles on doc or content hash and partitions freely at
     * 100 TB.
     */
-  /** (doc_id, pos, h): every W-token span position with its md5. */
-  private def spanPositions(docs: DataFrame): DataFrame = {
+  /** (doc_id, pos, h): every W-token span position with its md5.
+    * Shared with the streaming ingest path
+    * ([[graft.streaming.StreamingOps.dupSpansStream]]) so the span
+    * scheme cannot diverge between batch and stream.
+    */
+  private[graft] def spanPositions(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
     docs
       .select(col("doc_id"),

@@ -331,6 +331,43 @@ object StreamingOps {
       }
   }
 
+  case class SpanRow(h: String, doc_id: Long, pos: Int)
+  case class SpanHit(doc_id: Long, pos: Int, h: String, is_duplicate: Boolean)
+
+  /** Streaming exact-substring span dedup at ingest — the streaming
+    * counterpart of the batch `dupSpansIncremental`: each arriving doc
+    * explodes into its W-token span positions (the SAME
+    * [[graft.operators.DedupQueries.spanPositions]] scheme as the
+    * batch path — one definition), each span hash probes keyed state
+    * remembering whether that span text has EVER been seen, and every
+    * position emits `is_duplicate` (seen in a prior batch, or at an
+    * earlier position — (doc_id, pos) order — within this one). The
+    * per-doc interval merge stays a downstream batch step over the
+    * emitted positions, exactly as the near-dup streams leave
+    * exact-Jaccard verification downstream: region merging needs a
+    * per-doc sort, which doesn't belong in per-span keyed state.
+    *
+    * State is ONE boolean per distinct span text — the substring-level
+    * analogue of [[dedupExactStream]]'s per-content bit, partitioned
+    * by span hash and bounded by distinct corpus text (W tokens of
+    * state key per ~1 token of novel text at the default stride).
+    */
+  def dupSpansStream(spark: SparkSession, docs: DataFrame): Dataset[SpanHit] = {
+    import spark.implicits._
+    graft.operators.DedupQueries.spanPositions(docs)
+      .as[SpanRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[SpanRow], state: GroupState[Boolean]) =>
+          val seenBefore = state.getOption.getOrElse(false)
+          val sorted = rows.toArray.sortBy(r => (r.doc_id, r.pos))
+          state.update(true)
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            SpanHit(r.doc_id, r.pos, hash, seenBefore || i > 0)
+          }
+      }
+  }
+
   def dedupExactStream(spark: SparkSession, docs: DataFrame): Dataset[DedupedDoc] = {
     import spark.implicits._
     docs

@@ -609,4 +609,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == merged)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp + "_prev")))
   }
+
+  test("streaming span dedup: cross-batch and intra-batch duplicated spans flagged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingOps.dupSpansStream(spark, docs).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("sspans").start()
+    // batch 1: two docs, all spans novel
+    mem.addData((1L, "a b c d e f"), (2L, "x1 x2 x3 x4 x5"))
+    q.processAllAvailable()
+    // batch 2: doc 10 embeds the batch-1 span "a b c d e" at pos 2;
+    // doc 11 repeats its own opening span at pos 6 (intra-batch)
+    mem.addData(
+      (10L, "z z a b c d e q q q"),
+      (11L, "m1 m2 m3 m4 m5 k m1 m2 m3 m4 m5"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sspans").select("doc_id", "pos", "is_duplicate").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(2))).toMap
+    // batch 1 all novel
+    assert(Seq((1L, 0), (1L, 1), (2L, 0)).forall(k => !got(k)))
+    // exactly the two duplicated positions flag
+    assert(got((10L, 2)) && got((11L, 6)))
+    assert(got.count(_._2) == 2)
+    // doc 10 produced all 6 span positions
+    assert((0 to 5).forall(p => got.contains((10L, p))))
+  }
 }
