@@ -247,6 +247,79 @@ object SimilarityQueries extends graft.QueryModule {
         (col("n_hit").cast("double") / col("k").cast("double")).as("recall"))
   }
 
+  /** Per-arm list depth and the RRF smoothing constant (k=60, the
+    * value from the original Cormack/Clarke/Buettcher paper that
+    * virtually every hybrid-search deployment ships unchanged).
+    */
+  private val HYBRID_DEPTH = 10
+  private val RRF_K = 60
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the fusion stage a
+    * RAG / retrieval pipeline runs over its lexical and semantic
+    * arms: each anchor query (vec_id < NQ; doc_id aligns 1:1) gets a
+    * top-HYBRID_DEPTH list from BOTH arms — 3-shingle Jaccard against
+    * the shared shingle build (the lexical arm) and exact quantized
+    * cosine (the semantic arm) — and the fused score is
+    * rrf = 1/(k + r_lex) + 1/(k + r_sem) over list ranks, missing-arm
+    * contribution zero, top-K by (rrf desc, doc). Rank arithmetic is
+    * integer; the two 1/(k+r) divisions and ONE fixed-order addition
+    * are the only doubles, so both engines produce identical scores.
+    *
+    * Scale: the arms here are the same broadcast-anchors x corpus
+    * row-level kernels as [[knnBrute]] / the dedup shingle paths — at
+    * production scale each arm is served by its index (BM25 postings,
+    * IVF lists; both built elsewhere in this module) and the fusion
+    * join is list-sized (queries x 2*DEPTH rows), trivially
+    * partitioned by query. This operator certifies the fusion
+    * arithmetic the indexes feed.
+    */
+  def hybridRank(spark: SparkSession, dir: String): DataFrame = {
+    // semantic arm — exact cosine, anchor set broadcast
+    val vecs = qvecs(spark, dir)
+    val qv = vecs.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val wSem = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
+    val sem = vecs.join(broadcast(qv), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        qcosine(qdot(col("q_qv"), col("qv")), col("q_n2"), col("n2")).as("cosine"))
+      .withColumn("r_sem", row_number().over(wSem))
+      .filter(col("r_sem") <= HYBRID_DEPTH)
+      .select("query_id", "doc_id", "r_sem")
+
+    // lexical arm — 3-shingle Jaccard over the shared shingle build
+    val sh = DedupQueries.sharedShingles(spark, dir)
+      .filter(size(col("sh_arr")) > 0)
+      .select(col("doc_id"), col("sh_arr"))
+    val qsh = sh.filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("query_id"), col("sh_arr").as("q_sh"))
+    val wLex = Window.partitionBy(col("query_id")).orderBy(col("jaccard").desc, col("doc_id"))
+    val lex = sh.join(broadcast(qsh), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("q_sh"), col("sh_arr"))).cast("long").as("c"),
+        size(col("q_sh")).cast("long").as("n_a"),
+        size(col("sh_arr")).cast("long").as("n_b"))
+      .filter(col("c") > 0)
+      .select(col("query_id"), col("doc_id"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
+          .as("jaccard"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= HYBRID_DEPTH)
+      .select("query_id", "doc_id", "r_lex")
+
+    // fusion — lex term + sem term, in that fixed order
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+        coalesce(col("r_sem"), lit(0)).cast("long").as("r_sem"))
+      .withColumn("rrf",
+        when(col("r_lex") > 0, lit(1.0) / (lit(RRF_K) + col("r_lex"))).otherwise(lit(0.0)) +
+          when(col("r_sem") > 0, lit(1.0) / (lit(RRF_K) + col("r_sem"))).otherwise(lit(0.0)))
+      .withColumn("rank_hybrid", row_number().over(wH))
+      .filter(col("rank_hybrid") <= K)
+      .select("query_id", "doc_id", "r_lex", "r_sem", "rrf", "rank_hybrid")
+  }
+
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val vecs = qvecs(spark, dir)
     val queries = vecs.filter(col("vec_id") < NQ)
@@ -387,6 +460,7 @@ object SimilarityQueries extends graft.QueryModule {
     "q_knn_brute" -> knnBrute,
     "q_knn_ivf" -> knnIvf,
     "q_knn_sq" -> knnSq,
+    "q_hybrid_rank" -> hybridRank,
     "q_semdedup" -> semDedup,
     "q_semdedup_incremental" -> semDedupIncremental
   )
@@ -448,6 +522,69 @@ object SimilarityQueries extends graft.QueryModule {
         |       CAST(sum(CAST(qc AS DECIMAL(38,0)) * qc) AS BIGINT) AS sum_q2,
         |       min(qc) AS min_q, max(qc) AS max_q
         |FROM q GROUP BY pos""".stripMargin,
+    // both arms re-derived (shingle CTE mirrors the dedup family's;
+    // q/norms is the shared comps CTE), ranks fused with the same
+    // fixed-order 1/(k+r) arithmetic
+    "q_hybrid_rank" ->
+      s"""WITH $compsCte,
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+        |         generate_subscripts(string_split(text,' '), 1) AS pos
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS s
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE s IS NOT NULL),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |lexp AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < $NQ
+        |  GROUP BY 1, 2
+        |), lexr AS (
+        |  SELECT query_id, p.doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY CAST(c AS DOUBLE) / CAST(za.n + zb.n - c AS DOUBLE) DESC,
+        |                    p.doc_id) AS r_lex
+        |  FROM lexp p
+        |  JOIN sizes za ON za.doc_id = p.query_id
+        |  JOIN sizes zb ON zb.doc_id = p.doc_id
+        |), lex AS (SELECT query_id, doc_id, r_lex FROM lexr WHERE r_lex <= $HYBRID_DEPTH),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.p = b.p AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < $NQ
+        |  GROUP BY 1, 2
+        |), semr AS (
+        |  SELECT query_id, d.doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY CAST(dot AS DOUBLE) /
+        |                    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+        |                    d.doc_id) AS r_sem
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.doc_id
+        |), sem AS (SELECT query_id, doc_id, r_sem FROM semr WHERE r_sem <= $HYBRID_DEPTH),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |         CAST(coalesce(l.r_lex, 0) AS BIGINT) AS r_lex,
+        |         CAST(coalesce(s.r_sem, 0) AS BIGINT) AS r_sem
+        |  FROM lex l FULL JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        |), scoredf AS (
+        |  SELECT query_id, doc_id, r_lex, r_sem,
+        |         (CASE WHEN r_lex > 0 THEN CAST(1 AS DOUBLE) / ($RRF_K + r_lex)
+        |               ELSE CAST(0 AS DOUBLE) END)
+        |         + (CASE WHEN r_sem > 0 THEN CAST(1 AS DOUBLE) / ($RRF_K + r_sem)
+        |                 ELSE CAST(0 AS DOUBLE) END) AS rrf
+        |  FROM fused
+        |)
+        |SELECT query_id, doc_id, r_lex, r_sem, rrf, rank_hybrid FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank_hybrid
+        |  FROM scoredf
+        |) z WHERE rank_hybrid <= $K""".stripMargin,
     "q_knn_brute" -> bruteOracle,
     // recall@k audit: both pipelines run as nested-WITH subqueries of
     // the same oracle text the individual queries are checked against

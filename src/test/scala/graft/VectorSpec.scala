@@ -88,6 +88,52 @@ class VectorSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("hybrid RRF: both-arms doc wins, scores recompute from ranks, order holds") {
+    val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
+    // doc 5 is the planted both-arms winner for anchor 0: a near-copy
+    // of its text AND a near-copy of its vector; 6/7 are single-arm
+    // similars; 8/9 unrelated filler
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "g h i j k l"), (2L, "m n o p q r"),
+      (3L, "s t u v w x"), (4L, "y z aa bb cc dd"),
+      (5L, "a b c d e f zz"),
+      (6L, "a b c d ee ff"),
+      (7L, "unrelated words entirely here now"),
+      (8L, "other filler text goes here too"),
+      (9L, "more filler content right here"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("xx"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == seed % 8) 1.0f else 0.05f * ((seed + i) % 3))
+    val vecs = Seq(
+      (0L, v(0)), (1L, v(1)), (2L, v(2)), (3L, v(3)), (4L, v(4)),
+      (5L, v(0).map(_ * 0.99f)), // sem near-copy of anchor 0
+      (6L, v(5)), (7L, v(0).map(x => (1.0f - x) * 0.5f)), (8L, v(6)), (9L, v(7)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = graft.operators.SimilarityQueries.hybridRank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._6)
+    // doc 5 carries rank 1 in BOTH arms -> rrf = 2/61, unbeatable
+    assert(q0.head._2 == 5L && q0.head._3 == 1L && q0.head._4 == 1L)
+    assert(q0.head._5 == 1.0 / 61 + 1.0 / 61)
+    // every row's score recomputes exactly from its ranks; order holds
+    out.foreach { case (_, _, rl, rs, rrf, _) =>
+      val want = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0)
+      assert(rrf == want)
+    }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._5 >= p(1)._5))
+    }
+  }
+
   test("winnowMinima on empty input returns an empty array, not an error") {
     import graft.functions.TextFunctions
     val out = Seq(Tuple1(Array.empty[String])).toDF("hs")
