@@ -1226,6 +1226,56 @@ object DedupQueries extends graft.QueryModule {
     spanReport(docs, mergedRegions(marked))
   }
 
+  /** Merged duplicated regions per doc, as a sorted array of
+    * (st, en) structs — the region list both the report and the
+    * excision consume.
+    */
+  private def regionArrays(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val spans = spanPositions(docs)
+    val dup = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+    val marked = spans.join(dup.select("h"), Seq("h"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    marked
+      .select(col("doc_id"), col("pos").as("st"), (col("pos") + lit(SpanW)).as("en"))
+      .withColumn("prev_max",
+        max(col("en")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("st"), col("en")))).as("regs"))
+  }
+
+  /** The cleaned corpus — [[dupSpans]]' end product: every doc with
+    * its duplicated regions EXCISED (the token positions inside any
+    * merged region dropped, survivors rejoined in order), the form
+    * the ExactSubstr pipeline actually feeds to training. Region
+    * excision is a row-level higher-order filter over the token
+    * array against the doc's (bounded) region list — map-only after
+    * the one region join; the oracle reassembles via an exploded
+    * position anti-join + ordered string_agg, and the hash compare
+    * certifies byte-identical cleaned text.
+    */
+  def dupSpansClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.join(regionArrays(spark, dir, docs), Seq("doc_id"), "left")
+      .withColumn("regs", coalesce(col("regs"),
+        array().cast("array<struct<st:int,en:int>>")))
+      .select(col("doc_id"),
+        expr("""array_join(
+                  filter(split(text, ' '), (t, i) ->
+                    NOT exists(regs, r -> i >= r.st AND i < r.en)), ' ')""")
+          .as("clean_text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("aggregate(regs, 0L, (acc, r) -> acc + (r.en - r.st))").as("n_removed"))
+      .select(col("doc_id"), col("clean_text"), col("n_tokens"), col("n_removed"),
+        (col("n_tokens") - col("n_removed")).as("n_kept"))
+  }
+
   /** Incremental exact-substring span dedup — [[dupSpans]] in the
     * dedup-at-ingest shape the rest of the dedup matrix has: the
     * arriving batch (doc_id % 10 = 0, the house split) probes the
@@ -1257,6 +1307,7 @@ object DedupQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans" -> dupSpans,
     "q_dup_spans_incremental" -> dupSpansIncremental,
+    "q_dup_spans_clean" -> dupSpansClean,
     "q_dedup_edit" -> dedupEditDistance,
     "q_overlap_matrix" -> overlapMatrix,
     "q_dedup_clusters" -> dedupClusters,
@@ -1658,6 +1709,58 @@ object DedupQueries extends graft.QueryModule {
         |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) /
         |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_fraction
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
+    // same region derivation, then reassembly via an exploded
+    // position anti-join + ordered string_agg
+    "q_dup_spans_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS p
+        |  FROM toks WHERE len(t) >= 5
+        |), spans AS (
+        |  SELECT doc_id, p, md5(array_to_string(t[p + 1 : p + 5], ' ')) AS h FROM pos
+        |), dup AS (
+        |  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT s.doc_id, s.p AS st, s.p + 5 AS en FROM spans s JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, st, en,
+        |         max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM marked
+        |), flagged AS (
+        |  SELECT doc_id, st, en,
+        |         CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS ni
+        |  FROM isl
+        |), numbered AS (
+        |  SELECT doc_id, st, en,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged
+        |), regions AS (
+        |  SELECT doc_id, island, min(st) AS st, max(en) AS en FROM numbered GROUP BY 1, 2
+        |), allpos AS (
+        |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS i FROM toks
+        |), kept AS (
+        |  SELECT a.doc_id, a.tok, a.i
+        |  FROM allpos a
+        |  LEFT JOIN regions r ON r.doc_id = a.doc_id AND a.i >= r.st AND a.i < r.en
+        |  WHERE r.doc_id IS NULL
+        |), clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |), rem AS (
+        |  SELECT doc_id, CAST(sum(en - st) AS BIGINT) AS n_removed
+        |  FROM regions GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(m.n_removed, 0) AS BIGINT) AS n_removed,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(m.n_removed, 0) AS BIGINT)
+        |         AS n_kept
+        |FROM documents d
+        |LEFT JOIN clean c USING (doc_id)
+        |LEFT JOIN rem m USING (doc_id)""".stripMargin,
     // batch spans vs the corpus index plus intra-batch counts; only
     // batch docs are reported
     "q_dup_spans_incremental" ->

@@ -58,6 +58,19 @@ class DupSpansSpec extends SparkSpec {
       (30L, 6L, 0L, 0L)))
   }
 
+  test("clean variant excises exactly the merged regions and rejoins in order") {
+    val got = DedupQueries.dupSpansClean(spark, dir)
+      .select("doc_id", "clean_text", "n_removed", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, t, r, k) => (id, (t, r, k)) }.toMap
+    assert(got(1L) === (("f g h i j", 5L, 5L)))     // region [0,5) gone
+    assert(got(2L) === (("x x y y z", 5L, 5L)))     // region [2,7) gone
+    assert(got(3L) === (("w k l", 7L, 3L)))         // merged [0,7) gone
+    assert(got(5L) === (("z", 10L, 1L)))            // two regions, middle survives
+    assert(got(6L) === (("a b c", 0L, 3L)))         // untouched
+    assert(got(7L) === (("u1 u2 u3 u4 u5 u6", 0L, 6L)))
+  }
+
   test("incremental variant reports only batch docs, against corpus + intra-batch spans") {
     val got = DedupQueries.dupSpansIncremental(spark, dir)
       .select("doc_id", "n_tokens", "n_dup_regions", "dup_tokens")
