@@ -236,4 +236,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dup_spans invariants: bounds, clean/report consistency, growth monotonicity") {
+    import org.apache.spark.sql.functions._
+    def writeDir(rows: Seq[(Long, String)]): String = {
+      val out = java.nio.file.Files.createTempDirectory("spans_prop").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("lang", lit("xx"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    val textGen: Gen[String] =
+      Gen.choose(3, 14).flatMap(k =>
+        Gen.listOfN(k, Gen.choose(0, 7).map(i => s"w$i")).map(_.mkString(" ")))
+    (0 until 3).foreach { trial =>
+      val texts = Gen.listOfN(10, textGen)
+        .apply(Gen.Parameters.default, Seed(9500L + trial)).getOrElse(Nil)
+      val base = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val dir = writeDir(base)
+      val rep = graft.operators.DedupQueries.dupSpans(spark, dir)
+        .select("doc_id", "n_tokens", "n_dup_regions", "dup_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      // bounds: regions and coverage never exceed the doc
+      rep.foreach { case (id, n, r, d) =>
+        assert(d <= n && r <= d, s"trial=$trial doc=$id n=$n r=$r d=$d")
+        assert((r == 0) == (d == 0))
+      }
+      // clean/report consistency: n_removed matches dup_tokens, the
+      // cleaned text has exactly n_kept tokens
+      val clean = graft.operators.DedupQueries.dupSpansClean(spark, dir)
+        .select("doc_id", "clean_text", "n_removed", "n_kept")
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (id, t, r, k) => (id, (t, r, k)) }.toMap
+      val repM = rep.map { case (id, _, _, d) => (id, d) }.toMap
+      clean.foreach { case (id, (txt, removed, kept)) =>
+        assert(removed == repM(id))
+        val nTok = if (txt.isEmpty) 0 else txt.split(" ").length
+        assert(nTok.toLong == kept, s"trial=$trial doc=$id '$txt' kept=$kept")
+      }
+      // monotonicity: appending a copy of an existing doc never
+      // SHRINKS any original doc's duplicated coverage
+      val bigger = base ++ Seq((100L, base(trial % base.size)._2))
+      val after = graft.operators.DedupQueries.dupSpans(spark, writeDir(bigger))
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      repM.foreach { case (id, d) =>
+        assert(after(id) >= d, s"trial=$trial doc=$id ${after(id)} < $d")
+      }
+    }
+  }
 }
