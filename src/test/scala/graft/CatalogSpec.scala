@@ -73,11 +73,14 @@ class CatalogSpec extends SparkSpec {
     // q_ks_drift's grid is source-domain x length-domain — metadata
     // cardinality, never corpus rows — plus the 1-row corpus total;
     // q_emb_recall scores the corpus against the broadcast anchor
-    // sample under the same non-equi self-exclusion as q_knn_brute)
+    // sample under the same non-equi self-exclusion as q_knn_brute;
+    // q_hybrid_rank's two retrieval arms broadcast the <=5-row anchor
+    // set under the same non-equi self-exclusion)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
-      "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall")
+      "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall",
+      "q_hybrid_rank")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
