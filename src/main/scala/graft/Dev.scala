@@ -221,7 +221,7 @@ object Dev {
               "q_dedup_recall", "q_curated_corpus", "q_emb_recall",
               "q_media_recall", "q_curated_incremental",
               "q_dup_spans", "q_quality_classifier", "q_dup_spans_incremental",
-              "q_hybrid_rank", "q_dup_spans_clean")
+              "q_hybrid_rank", "q_dup_spans_clean", "q_target_select")
           names.foreach { name =>
               val t0 = System.nanoTime()
               val n = SparkEntry.queries(name)(spark, out).count()

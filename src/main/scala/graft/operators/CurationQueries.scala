@@ -825,7 +825,60 @@ object CurationQueries extends graft.QueryModule {
         (col("score") >= 0L).as("keep"))
   }
 
+  /** Target-domain data selection — the importance-selection stage of
+    * the DSIR family (Xie et al., arXiv:2302.03169: select pretraining
+    * data that looks like a target domain by comparing hashed n-gram
+    * feature distributions between target and raw pools). Target pool
+    * here is the doc_id % 20 = 0 slice (the same held-out convention
+    * the decontamination stage uses); features are the classifier's
+    * 64-bucket token hash. DSIR's per-token log(p_target/p_raw) is
+    * replaced by its SIGN — vote = +1/0/-1 per token occurrence by
+    * the exact integer cross-multiplication ct*Nr vs cr*Nt — so a
+    * doc's affinity is an exact integer sum both engines reproduce
+    * bit-for-bit (the log-free monotone-vote policy used throughout;
+    * a production run would plug real log-ratio weights into the same
+    * dataflow). Output: every raw-pool doc with its vote total,
+    * per-token affinity, and the selected flag (vote > 0).
+    *
+    * Shape: bucket stats are ONE conditional aggregation over the
+    * exploded token stream (output domain 64 rows, map-side partial
+    * aggregation does the reduction); totals ride a bounded window
+    * over those 64 rows; scoring is a broadcast equi-join on bucket +
+    * one per-doc aggregation. No crossJoin, no driver collect; the
+    * token explode partitions freely at 100 TB.
+    */
+  def targetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 64"))
+      .withColumn("is_target", col("doc_id") % 20 === 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+    val votes = toks.filter(!col("is_target"))
+      .join(broadcast(stats), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // cross-multiply in DECIMAL(38,0): corpus-scale counts
+        // (~10^13 tokens) square to ~10^26 — past long, inside 38
+        // digits; overflow stays loud, never a silent wrap
+        sum(when(col("ct").cast(DecimalType38) * col("nr") >
+              col("cr").cast(DecimalType38) * col("nt"), 1L)
+          .when(col("ct").cast(DecimalType38) * col("nr") <
+              col("cr").cast(DecimalType38) * col("nt"), -1L)
+          .otherwise(0L)).as("vote"))
+    votes.select(col("doc_id"), col("n_tokens"), col("vote"),
+      (col("vote").cast("double") / col("n_tokens").cast("double")).as("affinity"),
+      (col("vote") > 0).as("selected"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_select" -> targetSelect,
     "q_quality_classifier" -> qualityClassifier,
     "q_mix_weights" -> mixWeights,
     "q_split" -> leakSafeSplit,
@@ -886,6 +939,40 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // same 64-bucket hash, same integer cross-multiplication votes
+    // (HUGEINT mirrors the DECIMAL(38,0) width policy)
+    "q_target_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8))::UBIGINT
+        |              AS BIGINT) % 64 AS bucket,
+        |         doc_id % 20 = 0 AS is_target
+        |  FROM documents
+        |), stats AS (
+        |  SELECT bucket,
+        |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY bucket
+        |), tot AS (
+        |  SELECT bucket, ct, cr,
+        |         CAST(sum(ct) OVER () AS BIGINT) AS nt,
+        |         CAST(sum(cr) OVER () AS BIGINT) AS nr
+        |  FROM stats
+        |)
+        |SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN CAST(s.ct AS HUGEINT) * s.nr > CAST(s.cr AS HUGEINT) * s.nt THEN 1
+        |                     WHEN CAST(s.ct AS HUGEINT) * s.nr < CAST(s.cr AS HUGEINT) * s.nt THEN -1
+        |                     ELSE 0 END) AS BIGINT) AS vote,
+        |       CAST(sum(CASE WHEN CAST(s.ct AS HUGEINT) * s.nr > CAST(s.cr AS HUGEINT) * s.nt THEN 1
+        |                     WHEN CAST(s.ct AS HUGEINT) * s.nr < CAST(s.cr AS HUGEINT) * s.nt THEN -1
+        |                     ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS affinity,
+        |       CAST(sum(CASE WHEN CAST(s.ct AS HUGEINT) * s.nr > CAST(s.cr AS HUGEINT) * s.nt THEN 1
+        |                     WHEN CAST(s.ct AS HUGEINT) * s.nr < CAST(s.cr AS HUGEINT) * s.nt THEN -1
+        |                     ELSE 0 END) AS BIGINT) > 0 AS selected
+        |FROM toks t JOIN tot s ON s.bucket = t.bucket
+        |WHERE NOT t.is_target
+        |GROUP BY t.doc_id""".stripMargin,
     // same bucket hash, same stand-in weight arithmetic, per token
     "q_quality_classifier" ->
       """WITH scored AS (

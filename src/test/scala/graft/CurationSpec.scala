@@ -283,6 +283,26 @@ class CurationSpec extends SparkSpec {
     assert(got.count() == Tables.documents(spark, sf0001).count())
   }
 
+  test("target selection votes for target-vocabulary docs, against off-target docs") {
+    val dir = java.nio.file.Files.createTempDirectory("target_sel").toString
+    // ids 20/40 are the target slice (% 20 = 0); raw doc 1 reuses the
+    // target vocabulary, raw doc 2 uses words the target never emits
+    Seq(
+      (20L, "t1 t2 t3 t4"), (40L, "t1 t2 t3 t4"),
+      (1L, "t1 t2 t3 t4"),
+      (2L, "x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("xx"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.targetSelect(spark, dir)
+      .select("doc_id", "vote", "selected")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(1L, 2L)) // target docs never reported
+    assert(got(1L)._1 > 0 && got(1L)._2)
+    assert(got(2L)._1 < 0 && !got(2L)._2)
+  }
+
   test("max_multiplicity null semantics: null array -> null, null elements skipped") {
     import graft.functions.MaxMultiplicity.max_multiplicity
     val df = Seq(
