@@ -64,22 +64,49 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which the Spark
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos via the legacy conf and convert to micros TimestampType with
-    * integer division (floor — matches DuckDB's ns→us truncation; a
-    * double division would lose precision above 2^53 ns).
+  /** Normalize the `events.ts` column to micros TimestampType whatever
+    * physical shape the fixture generator wrote it in. The driver has
+    * produced two generations of `events.parquet`:
     *
-    * NOTE on the conf: `spark.sql.legacy.parquet.nanosAsLong` is set at
+    *  - INT64 TIMESTAMP(NANOS), which the Spark parquet reader rejects
+    *    ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs via
+    *    `spark.sql.legacy.parquet.nanosAsLong`; we then floor-divide
+    *    ns→µs (matches DuckDB's truncation; double division would lose
+    *    precision above 2^53 ns).
+    *  - native `timestamp[us]` with isAdjustedToUTC=false, which Spark
+    *    reads as TIMESTAMP_NTZ; cast to TimestampType keeps the same
+    *    wall-clock under the engine-wide UTC session timezone, so both
+    *    generations land on identical values and downstream event-time
+    *    code (windows, watermarks, asof) sees one type.
+    *
+    * Matching on the read schema (footer-driven, no data scan) makes
+    * the engine robust to the driver regenerating fixtures mid-round —
+    * TablesSpec pins this contract so a third generation fails in one
+    * named test rather than in every events consumer.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — fixture schema drifted; " +
+          "extend Tables.normalizeTs")
+    }
+  }
+
+  /** NOTE on the conf: `spark.sql.legacy.parquet.nanosAsLong` is set at
     * session construction by every entry point (Bench/Verify/Dev/test
     * base). The set below is a documented, idempotent safety net for
     * externally-built sessions; its only effect is how INT64(NANOS)
-    * parquet columns are typed, which no other table in this engine has.
+    * parquet columns are typed (harmless no-op on the native-timestamp
+    * fixture generation), which no other table in this engine has.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spreadIfSmall(spark, dir, "events", read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+    spreadIfSmall(spark, dir, "events", normalizeTs(read(spark, dir, "events")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "embeddings")

@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw parquet schema of `events` (ts is INT64 nanos on disk; see
-    * graft.Tables.events for the batch-side handling).
+  /** Raw parquet schema of `events` — `ts`'s on-disk type varies by
+    * fixture generation (INT64 nanos vs native timestamp[us]/NTZ; see
+    * graft.Tables.normalizeTs), so [[eventStream]] substitutes the type
+    * the batch reader actually sees for this directory.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -92,10 +94,15 @@ object StreamingOps {
     spark.readStream.schema(vecSchema).parquet(streamDir.toString)
   }
 
-  /** Streaming scan of the events table: nanos -> micros TimestampType,
-    * same conversion as the batch reader. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
-    * builder in this engine; see graft.Tables.events).
+  /** Streaming scan of the events table, normalized to micros
+    * TimestampType via the same fixture-generation-aware conversion as
+    * the batch reader (graft.Tables.normalizeTs). The on-disk `ts` type
+    * is taken from a footer-only batch schema read (no data scan) —
+    * FileStreamSource needs the declared schema to match the file, and
+    * hard-coding either generation breaks when the driver regenerates
+    * the fixture. Requires `spark.sql.legacy.parquet.nanosAsLong=true`
+    * for the INT64-nanos generation (set by every session builder in
+    * this engine; idempotent no-op on native timestamps).
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -105,10 +112,11 @@ object StreamingOps {
     // (symlink — no data copy).
     val streamDir = stagingDirs.computeIfAbsent(dir,
       stageSingleFile(_, "events.parquet", "events_stream"))
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val diskTsType = graft.Tables.read(spark, dir, "events").schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = diskTsType) else f))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Tumbling 15-minute counts with a 1-hour watermark: late events
