@@ -24,7 +24,8 @@ object SparkEntry {
     AsOfQueries,
     GraphQueries,
     ExtendedCatalog,
-    graft.multimodal.MultimodalQueries
+    graft.multimodal.MultimodalQueries,
+    graft.streaming.StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -32,16 +32,23 @@ object AsOfJoin {
     * @param rightTime  event-time column on `right`
     * @param payload    right-side columns to attach (prefixed `asof_`)
     * @param tiebreak   right-side column breaking ties among right rows
-    *                   sharing (key, rightTime): the row with the
-    *                   GREATEST tiebreak value wins. Without it the
+    *                   sharing (key, rightTime): backward keeps the
+    *                   GREATEST tiebreak value ("latest wins"), forward
+    *                   the SMALLEST ("first wins"). Without it the
     *                   carried row among such ties is whichever the
     *                   shuffle happened to order last — nondeterministic
     *                   across runs/partitionings. Pass the right side's
     *                   unique id whenever duplicates are possible.
+    * @param forward    false (default): latest right row with
+    *                   `rightTime <= leftTime` (ASOF backward, DuckDB's
+    *                   default). true: EARLIEST right row with
+    *                   `rightTime >= leftTime` (ASOF forward) — the
+    *                   same one-shuffle window pass scanning time
+    *                   descending instead of ascending.
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
-      tiebreak: Option[String] = None): DataFrame = {
+      tiebreak: Option[String] = None, forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     val tieOf: DataFrame => Column = df =>
       tiebreak.map(df.col).getOrElse(lit(null).cast("long"))
@@ -64,13 +71,20 @@ object AsOfJoin {
       .unionByName(r, allowMissingColumns = true)
 
     // Right rows (__side=0) sort before left rows at an equal timestamp
-    // (ASOF <= tie matches); among right rows sharing (key, __t), the
-    // ascending __tie puts the greatest-tiebreak row last, so
+    // (ASOF tie matches in both directions); among right rows sharing
+    // (key, __t), __tie is ordered so the WINNING row sorts last and
     // last(ignoreNulls) carries it — deterministic under any input
     // order. Left rows have a null __tie, irrelevant because their
     // relative order never affects last(__payload, ignoreNulls=true).
+    // Forward flips only the TIME direction (descending scan: the
+    // last-seen right row at a left row is the earliest rightTime >=
+    // leftTime) and the tie rule (smallest tiebreak wins = "first"):
+    // same shuffle, same single sort, no extra pass.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_first)
+      .orderBy(
+        if (forward) col("__t").desc else col("__t").asc,
+        col("__side"),
+        if (forward) col("__tie").desc_nulls_first else col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
@@ -105,8 +119,63 @@ object AsOfQueries extends graft.QueryModule {
       tiebreak = Some("click_id"))
   }
 
+  /** Forward as-of: each purchase matched to the user's FIRST click
+    * at-or-after it (the "next action after conversion" analytics
+    * shape). Same one-shuffle window plan as backward, time-reversed.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
+      tiebreak = Some("click_id"), forward = true)
+  }
+
+  /** Nearest as-of: each purchase matched to the user's click CLOSEST
+    * in time, either side. Composed from one backward + one forward
+    * pass (two window scans over the same shuffle key — no extra
+    * join), picked per row by absolute distance with the deterministic
+    * tie policy the oracle spells out: an exact-timestamp click always
+    * wins (smallest id among exact ties), otherwise the EARLIER click
+    * wins equidistant ties (matches ORDER BY abs, ts, id).
+    */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val back = AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
+      tiebreak = Some("click_id"))
+      .withColumnRenamed("asof_click_id", "b_id").withColumnRenamed("asof_click_ts", "b_ts")
+    val fwd = AsOfJoin(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
+      tiebreak = Some("click_id"), forward = true)
+      .select(col("event_id"), col("asof_click_id").as("f_id"), col("asof_click_ts").as("f_ts"))
+    val dBack = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val dFwd = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+    // exact match (dFwd = 0): forward carries the smallest click_id
+    // among clicks AT the purchase time — the oracle's (abs, ts, id)
+    // order picks exactly that row. Otherwise strictly smaller
+    // distance wins; equidistant -> backward (earlier ts sorts first).
+    val pickFwd = col("b_ts").isNull ||
+      (col("f_ts").isNotNull && (dFwd === 0 || dFwd < dBack))
+    back.join(fwd, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(pickFwd, col("f_id")).otherwise(col("b_id")).as("asof_click_id"),
+        when(pickFwd, col("f_ts")).otherwise(col("b_ts")).as("asof_click_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> asofClicks
+    "q_asof_join" -> asofClicks,
+    "q_asof_forward" -> asofForward,
+    "q_asof_nearest" -> asofNearest
   )
 
   // Deterministic oracle: a LATERAL top-1 with an explicit
@@ -125,6 +194,28 @@ object AsOfQueries extends graft.QueryModule {
         |  FROM events c
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |    AND CAST(c.ts AS TIMESTAMP) <= p.ts
-        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP) >= p.ts
+        |  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) c ON true""".stripMargin,
+    "q_asof_nearest" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |  ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(p.ts)) ASC,
+        |           c.ts ASC, c.event_id ASC LIMIT 1) c ON true""".stripMargin
   )
 }

@@ -106,7 +106,38 @@ object EventQueries extends graft.QueryModule {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Late-data accounting — the negative path of the event-time
+    * operators: how many events would a 1-hour watermark have DROPPED,
+    * per type? Arrival order is the ingest sequence (`event_id` is the
+    * monotone ingest id); the watermark in force when an event arrives
+    * is the max event-time among STRICTLY EARLIER arrivals minus the
+    * 1-hour delay (exclusive prefix — streaming watermarks advance
+    * from already-seen data, and an event never filters itself). An
+    * event is late iff its ts is below that watermark; kept + late =
+    * total, so the batch numbers bound what the streaming twin
+    * (StreamingSpec's late-arrival tests) may emit.
+    *
+    * Scale: the global running max runs through
+    * [[graft.pipeline.PrefixSum.exclusiveRunningMax]]'s reduction tree
+    * — no task scans more than k rows, unlike the naive one-window
+    * `max() over (order by event_id)` that funnels the whole table
+    * through a single WindowExec task (the oracle keeps that spelling:
+    * same values, fixture-scale only).
+    */
+  def lateEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.pipeline.PrefixSum
+      .exclusiveRunningMax(ev, Nil, "event_id", "ts", "hwm")
+      .withColumn("is_late",
+        col("hwm").isNotNull && col("ts") < col("hwm") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("is_late"), 0L).otherwise(1L)).as("n_kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_late_events" -> lateEvents,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
     "q_tumbling_window" -> tumbling,
@@ -116,6 +147,22 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_late_events" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         max(CAST(ts AS TIMESTAMP)) OVER (
+        |           ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events
+        |), f AS (
+        |  SELECT event_type,
+        |         (hwm IS NOT NULL AND ts < hwm - INTERVAL 1 HOUR) AS is_late
+        |  FROM m
+        |)
+        |SELECT event_type, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(sum(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY event_type""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ns(ts) // 1000000000 // 604800 AS w FROM events

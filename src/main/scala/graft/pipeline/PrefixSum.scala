@@ -118,4 +118,59 @@ object PrefixSum {
       res = res.withColumn(outs(j), col(outs(j)) + exclusive(wRow, vals(j)._1))
     res.drop(b(1))
   }
+
+  /** Adds `out`: the EXCLUSIVE running MAX of `valCol` over rows
+    * ordered by `idCol` within `partCols` — null for each partition's
+    * first row (no preceding rows), exactly like the one-window
+    * `max(valCol) over (order by idCol rows between unbounded preceding
+    * and 1 preceding)` form, but through the same L-level reduction
+    * tree as [[exclusiveOffsetsMulti]] so no task ever scans more than
+    * k rows (max is a monoid just like sum; `greatest` skips nulls, so
+    * the empty-prefix identity propagates correctly down the tree).
+    * Powers event-time watermark accounting (q_late_events): the
+    * watermark BEFORE an event is the max event-time already ingested.
+    */
+  def exclusiveRunningMax(df: DataFrame, partCols: Seq[String], idCol: String,
+      valCol: String, out: String, levels: Int = 2, k: Long = 1000L): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val part = partCols.map(col)
+    def b(i: Int) = s"__pmax_b$i"
+
+    val totals = new Array[DataFrame](levels + 1)
+    totals(1) = df
+      .withColumn(b(1), expr(s"$idCol div $k"))
+      .groupBy(part :+ col(b(1)): _*)
+      .agg(max(col(valCol)).as("__pmax_tot"))
+    for (i <- 2 to levels)
+      totals(i) = totals(i - 1)
+        .withColumn(b(i), expr(s"${b(i - 1)} div $k"))
+        .groupBy(part :+ col(b(i)): _*)
+        .agg(max(col("__pmax_tot")).as("__pmax_tot"))
+
+    def exclusiveMax(w: org.apache.spark.sql.expressions.WindowSpec) =
+      max(col("__pmax_tot")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+
+    val wTop = Window.partitionBy(part: _*).orderBy(col(b(levels)))
+    var off = totals(levels)
+      .select(part ++ Seq(col(b(levels)), exclusiveMax(wTop).as(out)): _*)
+
+    for (i <- (levels - 1) to 1 by -1) {
+      val parent = b(i + 1)
+      val lvl = totals(i).withColumn(parent, expr(s"${b(i)} div $k"))
+      val wLvl = Window.partitionBy(part :+ col(parent): _*).orderBy(col(b(i)))
+      off = lvl
+        .withColumn("__pmax_local", exclusiveMax(wLvl))
+        .join(off, partCols :+ parent)
+        .select(part ++ Seq(col(b(i)),
+          greatest(col(out), col("__pmax_local")).as(out)): _*)
+    }
+
+    val withB = df.withColumn(b(1), expr(s"$idCol div $k"))
+    val wRow = Window.partitionBy(part :+ col(b(1)): _*).orderBy(col(idCol))
+    withB.join(off, partCols :+ b(1))
+      .withColumn(out, greatest(col(out),
+        max(col(valCol)).over(wRow.rowsBetween(Window.unboundedPreceding, -1))))
+      .drop(b(1))
+  }
 }

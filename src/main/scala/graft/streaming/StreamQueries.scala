@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checked entries for the streaming at-ingest operators
+  * (SURVEY §2.10): each runs the REAL Structured Streaming pipeline —
+  * file source, keyed state, memory sink — to completion on the
+  * fixture treated as a one-batch stream, and returns the sink table
+  * as a DataFrame for the driver's DuckDB hash compare.
+  *
+  * Until round 6 the streaming dedup matrix was unit-tested only
+  * (streaming has no DuckDB twin); these entries close that gap for
+  * the batch-equivalent ops. Batch equivalence holds because the
+  * streaming definitions share the batch expression trees
+  * (DedupQueries.spanPositions, the md5-content key), and a single
+  * micro-batch exercises the same keyed-state code path later batches
+  * use (StreamingSpec covers multi-batch/cross-batch arrivals where
+  * the SQL oracle can't follow).
+  *
+  * Scale: the streamed ops themselves are keyed-state pipelines
+  * (bounded state per distinct content/span — see StreamingOps); the
+  * memory sink is harness-only plumbing, the production sink is
+  * foreachBatchUpsert/parquet.
+  */
+object StreamQueries extends graft.QueryModule {
+
+  // Unique sink names per run: memory sink tables are session-global,
+  // and Verify may retry a query (a stale table from a failed first
+  // attempt must not shadow the retry's results).
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a streaming Dataset to completion into a memory sink (update
+    * mode — the state ops emit per-row dispositions) and return the
+    * accumulated table.
+    */
+  private def drain(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+    val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming exact dedup, drained: every doc with its content hash
+    * and the first-seen disposition the ingest gate assigned.
+    */
+  def streamDedupExact(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.dedupExactStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+      "q_stream_dedup_exact")
+
+  /** Streaming span dedup, drained: every (doc, span position) with
+    * its duplicated-span flag.
+    */
+  def streamDupSpans(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.dupSpansStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+      "q_stream_dup_spans")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup_exact" -> streamDedupExact,
+    "q_stream_dup_spans" -> streamDupSpans
+  )
+
+  // The oracles restate the streaming semantics in batch SQL: within
+  // one micro-batch the keyed state orders arrivals by (doc_id) /
+  // (doc_id, pos), so "first wins" is a plain ROW_NUMBER.
+  def oracles: Map[String, String] = Map(
+    "q_stream_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, doc_id, source,
+        |       (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+        |         AS first_seen
+        |FROM documents""".stripMargin,
+    "q_stream_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS p
+        |  FROM toks WHERE len(t) >= 5
+        |), spans AS (
+        |  SELECT doc_id, CAST(p AS INT) AS pos,
+        |         md5(array_to_string(t[p + 1 : p + 5], ' ')) AS h
+        |  FROM pos
+        |)
+        |SELECT doc_id, pos, h,
+        |       (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1)
+        |         AS is_duplicate
+        |FROM spans""".stripMargin
+  )
+}

@@ -42,4 +42,42 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"))
     assert(out.select("asof_price").head().isNullAt(0))
   }
+
+  test("forward as-of picks the earliest right row at-or-after each left row") {
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (1L, ts("2024-01-01 14:00:00"), "p3")).toDF("k", "t", "name")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 90.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 13:00:00"), 130.0)).toDF("k", "qt", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("price"), forward = true)
+      .orderBy("t").select("name", "asof_price").collect().toSeq
+    assert(out(0).getDouble(1) == 110.0) // p1 -> 11:00
+    assert(out(1).getDouble(1) == 130.0) // p2 -> 13:00
+    assert(out(2).isNullAt(1))           // p3: nothing after
+  }
+
+  test("forward as-of matches an exact-timestamp tie and breaks right dups by SMALLEST tiebreak") {
+    val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 70.0),
+      (1L, ts("2024-01-01 10:00:00"), 3L, 30.0)).toDF("k", "qt", "qid", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("qid", "price"),
+      tiebreak = Some("qid"), forward = true)
+    val row = out.select("asof_qid", "asof_price").head()
+    assert(row.getLong(0) == 3L && row.getDouble(1) == 30.0)
+  }
+
+  test("backward as-of breaks right dups at one timestamp by GREATEST tiebreak") {
+    val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 3L, 30.0),
+      (1L, ts("2024-01-01 09:00:00"), 7L, 70.0)).toDF("k", "qt", "qid", "price")
+    val out = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("qid", "price"),
+      tiebreak = Some("qid"))
+    val row = out.select("asof_qid", "asof_price").head()
+    assert(row.getLong(0) == 7L && row.getDouble(1) == 70.0)
+  }
 }

@@ -83,6 +83,37 @@ class PrefixSumSpec extends SparkSpec {
       col("o1") =!= col("w1") || col("o2") =!= col("w2")).count() == 0)
   }
 
+  test("exclusiveRunningMax matches the plain window at levels 1, 2, 3") {
+    // values deliberately NON-monotone in id (id*7919 mod 104729 vs
+    // (id%37)) so the running max actually moves around, and with
+    // repeated values so greatest-tie paths execute
+    val want = fixture.withColumn("want",
+      max(col("v")).over(Window.partitionBy(col("part")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    for (levels <- 1 to 3) {
+      val got = PrefixSum.exclusiveRunningMax(fixture, Seq("part"), "id", "v", "got",
+        levels = levels, k = 7)
+      val joined = got.join(want, Seq("part", "id", "v"))
+      assert(joined.count() == 5000, s"levels=$levels lost rows")
+      assert(joined.filter(
+        (col("got").isNull =!= col("want").isNull) ||
+          (col("got").isNotNull && col("got") =!= col("want"))).count() == 0,
+        s"levels=$levels diverged from the plain window")
+    }
+  }
+
+  test("exclusiveRunningMax: each partition's first row gets null (empty prefix)") {
+    val got = PrefixSum.exclusiveRunningMax(fixture, Seq("part"), "id", "v", "got",
+      levels = 2, k = 7)
+    val firsts = got.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("part")).orderBy(col("id"))))
+      .filter(col("rn") === 1)
+    assert(firsts.count() == 3)
+    assert(firsts.filter(col("got").isNotNull).count() == 0)
+    assert(got.filter(col("got").isNull).count() == 3) // ONLY the firsts
+  }
+
   test("the only unbounded window in the plan runs over top-level bucket totals") {
     // plan audit: every WindowExec but one partitions by a bucket
     // column; the remaining one (the top of the tree) sees
