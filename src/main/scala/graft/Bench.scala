@@ -153,5 +153,11 @@ object Bench {
     java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
+    // A failing query must fail the PROCESS, not just a JSON field:
+    // automation gating on the exit code (round 6's BENCH artifact
+    // recorded rc:0 around 11 broken queries) would otherwise pass a
+    // broken build. The artifacts above are written first, so the
+    // failure diagnosis is never lost to the early exit.
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -97,6 +97,38 @@ object Dev {
           graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
         timeIt("fused codegen (CosineSimilarity)",
           graft.functions.CosineSimilarity.cosine_fast(col("a.embedding"), col("b.embedding")))
+      case "saltbench" :: rest =>
+        // Skew-join stress: a deliberately hot key (50% of the probe
+        // side) joined against a non-broadcastable dim, timed three
+        // ways — unsalted (one straggler reducer owns half the
+        // table), salted (32-way (key, salt) spread), and AQE's
+        // skew-join split — at `mult` x the sf0.1 probe row count.
+        // Numbers land in NOTES_r{N}; SaltingSpec pins the plan shape.
+        import graft.pipeline.Salting
+        import org.apache.spark.sql.functions._
+        val mult = rest.headOption.map(_.toInt).getOrElse(30)
+        val n = 600000L * mult
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = spark.range(n).select(
+          when(pmod(col("id"), lit(2L)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"),
+          col("id").as("v"))
+        val build = spark.range(100000L).select(
+          col("id").as("k"), concat(lit("dim"), col("id")).as("name"))
+        def timed(label: String)(thunk: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = thunk
+          println(f"[saltbench] ${(System.nanoTime() - t0) / 1e9}%7.2fs  $label (rows=$rows, mult=$mult)")
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        timed("unsalted shuffle join, AQE off")(probe.join(build, Seq("k")).count())
+        timed("salted join (32 buckets), AQE off")(
+          Salting.saltedJoin(probe, build, "k", buckets = 32, tiebreak = "v").count())
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timed("unsalted join, AQE skew-split on")(probe.join(build, Seq("k")).count())
+        timed("salted join, AQE on")(
+          Salting.saltedJoin(probe, build, "k", buckets = 32, tiebreak = "v").count())
       case "salt" :: Nil =>
         // skew demo: hot key joined via salted (key, salt) equi-join
         import graft.pipeline.Salting

@@ -33,6 +33,23 @@ class SaltingSpec extends SparkSpec {
     assert(twoPhase.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("salted join shuffles on (key, salt), not the key alone — the hot key actually spreads") {
+    // plan pin for the skew story: if a refactor dropped __salt from
+    // the join key, the salted path would silently re-concentrate the
+    // hot key on one reducer while still returning correct rows.
+    val probe = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+    val build = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Salting.saltedJoin(probe, build, "k", buckets = 8, tiebreak = "v")
+      val plan = salted.queryExecution.executedPlan.toString
+      val saltedExchanges = plan.split("\n")
+        .filter(l => l.contains("hashpartitioning") && l.contains("__salt"))
+      assert(saltedExchanges.length >= 2,
+        s"expected both join sides to exchange on (k, __salt); plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("two-phase aggregate equals direct aggregate") {
     val df = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong)))
       .toDF("k", "v")
