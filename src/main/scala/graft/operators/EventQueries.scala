@@ -136,7 +136,36 @@ object EventQueries extends graft.QueryModule {
         sum(when(col("is_late"), 0L).otherwise(1L)).as("n_kept"))
   }
 
+  /** Time-interval RANGE-frame window — the frame class the ROWS-frame
+    * analytics (q_window_analytics) can't express: for every event,
+    * the user's event count and exact value sum over the TRAILING HOUR
+    * of event-time (burst/rate accounting). The frame is defined on
+    * the epoch-micros ORDER VALUE (rangeBetween includes peers), so
+    * the result is deterministic without any tiebreak even when a user
+    * has same-microsecond events.
+    *
+    * Scale: one hash shuffle on user_id; the per-user sort is bounded
+    * by user activity and the frame scan is windowed two-pointer work
+    * inside WindowExec, never a per-row rescan of the partition. A
+    * corpus with unbounded power users would sub-key by (user, day) —
+    * the frame never spans more than an hour, so day boundaries only
+    * need a 1-hour overlap read.
+    */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord"))
+      .rangeBetween(-3600000000L, 0L) // 1 hour in micros, inclusive
+    Tables.events(spark, dir)
+      .withColumn("ord", unix_micros(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      // .over must attach to the aggregate itself (the exactSum helper
+      // wraps the sum in a cast, which can't host a window spec)
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("event_id", "user_id", "ts", "value", "n_1h", "sum_1h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_frame" -> rangeFrame,
     "q_late_events" -> lateEvents,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
@@ -147,6 +176,13 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_late_events" ->
       """WITH m AS (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,

@@ -156,7 +156,37 @@ object ExtendedCatalog extends graft.QueryModule {
           pmod(col("user_id"), lit(65536)).cast("long"),
           pmod(col("event_id"), lit(65536)).cast("long"), 16).as("zkey"))
 
+  /** Table profiling — the ANALYZE/data-quality shape a pipeline runs
+    * before trusting a new drop: per profiled column, row count, null
+    * count, distinct count, and min/max. ONE scan: all per-column
+    * aggregates ride a single aggregation (Spark rewrites the multi
+    * countDistinct via Expand), then the wide row unpivots to long
+    * (col_name, stats) via stack — no per-column re-scan, no driver
+    * loop. min/max are profiled only on integer and string columns so
+    * the VARCHAR rendering is engine-exact (double formatting differs
+    * between Spark and DuckDB).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    wide.selectExpr("n_rows",
+      s"stack(${cols.size}, $stackExpr) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> profile,
     "q_zorder" -> zorderKeyQuery,
     "q_cube" -> cubeAgg,
     "q_pivot" -> pivotAgg,
@@ -177,6 +207,28 @@ object ExtendedCatalog extends graft.QueryModule {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ok_distinct,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS ok_min, CAST(max(l_orderkey) AS VARCHAR) AS ok_max,
+        |         CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sk_nulls,
+        |         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS sk_distinct,
+        |         CAST(min(l_suppkey) AS VARCHAR) AS sk_min, CAST(max(l_suppkey) AS VARCHAR) AS sk_max,
+        |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+        |         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+        |         min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+        |         CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ls_nulls,
+        |         CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ls_distinct,
+        |         min(l_linestatus) AS ls_min, max(l_linestatus) AS ls_max
+        |  FROM lineitem
+        |)
+        |SELECT 'l_orderkey' AS col_name, n_rows, ok_nulls AS n_nulls,
+        |       ok_distinct AS n_distinct, ok_min AS min_val, ok_max AS max_val FROM w
+        |UNION ALL SELECT 'l_suppkey', n_rows, sk_nulls, sk_distinct, sk_min, sk_max FROM w
+        |UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_distinct, rf_min, rf_max FROM w
+        |UNION ALL SELECT 'l_linestatus', n_rows, ls_nulls, ls_distinct, ls_min, ls_max FROM w""".stripMargin,
     "q_zorder" ->
       s"""SELECT event_id, user_id,
         |       CAST($zorderOracleTerms AS BIGINT) AS zkey

@@ -29,13 +29,15 @@ object StreamQueries extends graft.QueryModule {
   // attempt must not shadow the retry's results).
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Run a streaming Dataset to completion into a memory sink (update
-    * mode — the state ops emit per-row dispositions) and return the
-    * accumulated table.
+  /** Run a streaming Dataset to completion into a memory sink and
+    * return the accumulated table. Update mode for the keyed-state ops
+    * (they emit per-row dispositions); complete mode for windowed
+    * aggregations (emit every window's final state).
     */
-  private def drain(spark: SparkSession, df: DataFrame, prefix: String): DataFrame = {
+  private def drain(spark: SparkSession, df: DataFrame, prefix: String,
+      mode: String = "update"): DataFrame = {
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
-    val q = df.writeStream.outputMode("update").format("memory").queryName(name).start()
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
@@ -56,9 +58,23 @@ object StreamQueries extends graft.QueryModule {
       StreamingOps.dupSpansStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
       "q_stream_dup_spans")
 
+  /** Streaming tumbling windows, drained in complete mode: with the
+    * whole fixture in one micro-batch nothing is late, so the final
+    * state equals the batch aggregation bit-for-bit (both sum through
+    * DECIMAL(18,2)) and the query shares the batch tumbling oracle.
+    * The late-data path — where streaming and batch legitimately
+    * diverge — is covered by StreamingSpec's multi-batch drop tests
+    * and bounded by q_late_events' batch accounting.
+    */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.windowedCounts(StreamingOps.eventStream(spark, dir)),
+      "q_stream_tumbling", mode = "complete")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_exact" -> streamDedupExact,
-    "q_stream_dup_spans" -> streamDupSpans
+    "q_stream_dup_spans" -> streamDupSpans,
+    "q_stream_tumbling" -> streamTumbling
   )
 
   // The oracles restate the streaming semantics in batch SQL: within
@@ -70,6 +86,13 @@ object StreamQueries extends graft.QueryModule {
         |       (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
         |         AS first_seen
         |FROM documents""".stripMargin,
+    // same SQL as the batch q_tumbling_window oracle — the whole point
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS win_start,
+        |       time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 15 MINUTE AS win_end,
+        |       event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_stream_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

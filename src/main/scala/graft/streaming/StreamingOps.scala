@@ -121,13 +121,17 @@ object StreamingOps {
 
   /** Tumbling 15-minute counts with a 1-hour watermark: late events
     * beyond the watermark are dropped, finalized windows emit once
-    * (append mode capable).
+    * (append mode capable). The value sum goes through DECIMAL(18,2)
+    * exactly like the batch twin (EventQueries.tumbling) so a drained
+    * complete-mode run is BIT-identical to the batch aggregation —
+    * which is what lets q_stream_tumbling share the batch oracle.
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
