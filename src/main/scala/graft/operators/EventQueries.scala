@@ -156,15 +156,42 @@ object EventQueries extends graft.QueryModule {
       .rangeBetween(-3600000000L, 0L) // 1 hour in micros, inclusive
     Tables.events(spark, dir)
       .withColumn("ord", unix_micros(col("ts")))
-      .withColumn("n_1h", count(lit(1)).over(w))
-      // .over must attach to the aggregate itself (the exactSum helper
-      // wraps the sum in a cast, which can't host a window spec)
-      .withColumn("sum_1h",
-        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
-      .select("event_id", "user_id", "ts", "value", "n_1h", "sum_1h")
+      // one select, both window exprs: chained withColumns left TWO
+      // Window nodes in the plan (the interleaved Project blocked
+      // Catalyst's window collapse); a single projection shares one
+      // Window operator and one sort. .over attaches to the aggregate
+      // itself (the exactSum helper wraps the sum in a cast, which
+      // can't host a window spec).
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double").as("sum_1h"))
+  }
+
+  /** Source-freshness audit — the ops check before trusting any
+    * incremental load: per event type, row count, latest event-time,
+    * and staleness (seconds behind the freshest type). The global max
+    * is a window over the ALREADY-AGGREGATED per-type frame (a handful
+    * of rows), so the single-task empty-frame window costs nothing —
+    * never a second scan of the events table, never a crossJoin.
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+    val wAll = Window.partitionBy()
+    perType
+      .withColumn("staleness_sec",
+        // cast to long AFTER the double division = truncation toward
+        // zero; equals the oracle's BIGINT floor-div since staleness
+        // is non-negative (and far below 2^53 micros, so the double
+        // round-trip is exact)
+        ((max(unix_micros(col("max_ts"))).over(wAll) - unix_micros(col("max_ts")))
+          / lit(1000000L)).cast("long"))
+      .select("event_type", "n", "max_ts", "staleness_sec")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness" -> freshness,
     "q_range_frame" -> rangeFrame,
     "q_late_events" -> lateEvents,
     "q_funnel" -> funnel,
@@ -176,6 +203,14 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_freshness" ->
+      """WITH t AS (
+        |  SELECT event_type, count(*) AS n, max(CAST(ts AS TIMESTAMP)) AS max_ts
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n, max_ts,
+        |       (max(epoch_us(max_ts)) OVER () - epoch_us(max_ts)) // 1000000 AS staleness_sec
+        |FROM t""".stripMargin,
     "q_range_frame" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |       count(*) OVER w AS n_1h,

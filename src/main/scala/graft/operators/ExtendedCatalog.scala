@@ -185,8 +185,38 @@ object ExtendedCatalog extends graft.QueryModule {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Fixed-width histogram of a numeric column — the distribution
+    * companion of [[profile]]: bin = floor(price / 500), one hash
+    * aggregate on the bin key. floor of an IEEE double division is
+    * bit-identical across engines, so the bin assignment (and hence
+    * the hash) is exact.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice") / lit(500.0)).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * lit(500.0)).cast("double"))
+      .select("bin", "bin_lo", "n")
+
+  /** Per-group mode (argmax): each language's most frequent source,
+    * deterministic tie policy (greatest count, then smallest source) —
+    * engines disagree on native mode()'s tie pick, so the rank
+    * spelling IS the contract. Two hash aggregates + a rank window on
+    * the (lang, source) count grid (bounded domain), never on rows.
+    */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_docs").desc, col("source"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("top_source"), col("n_docs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profile,
+    "q_histogram" -> histogram,
+    "q_mode" -> modePerGroup,
     "q_zorder" -> zorderKeyQuery,
     "q_cube" -> cubeAgg,
     "q_pivot" -> pivotAgg,
@@ -207,6 +237,18 @@ object ExtendedCatalog extends graft.QueryModule {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS bin,
+        |       CAST(floor(l_extendedprice / 500.0) AS BIGINT) * 500.0 AS bin_lo,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_mode" ->
+      """SELECT lang, source AS top_source, n_docs FROM (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY count(*) DESC, source) AS rn
+        |  FROM documents GROUP BY lang, source
+        |) t WHERE rn = 1""".stripMargin,
     "q_profile" ->
       """WITH w AS (
         |  SELECT count(*) AS n_rows,
