@@ -71,10 +71,30 @@ object StreamQueries extends graft.QueryModule {
       StreamingOps.windowedCounts(StreamingOps.eventStream(spark, dir)),
       "q_stream_tumbling", mode = "complete")
 
+  /** Streaming sliding windows, drained complete — see
+    * [[streamTumbling]] for why one micro-batch makes this equal the
+    * batch aggregation.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.slidingCounts(StreamingOps.eventStream(spark, dir)),
+      "q_stream_sliding", mode = "complete")
+
+  /** Streaming session windows, drained complete — the stateful
+    * session-merge path end-to-end (per-user gap sessions built by
+    * the streaming session_window operator, not the batch sort).
+    */
+  def streamSession(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.sessionCounts(StreamingOps.eventStream(spark, dir)),
+      "q_stream_session", mode = "complete")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_exact" -> streamDedupExact,
     "q_stream_dup_spans" -> streamDupSpans,
-    "q_stream_tumbling" -> streamTumbling
+    "q_stream_tumbling" -> streamTumbling,
+    "q_stream_sliding" -> streamSliding,
+    "q_stream_session" -> streamSession
   )
 
   // The oracles restate the streaming semantics in batch SQL: within
@@ -86,13 +106,14 @@ object StreamQueries extends graft.QueryModule {
         |       (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
         |         AS first_seen
         |FROM documents""".stripMargin,
-    // same SQL as the batch q_tumbling_window oracle — the whole point
+    // the batch oracles, verbatim — shared by reference so the batch
+    // and streaming contracts can never drift apart
     "q_stream_tumbling" ->
-      """SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS win_start,
-        |       time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 15 MINUTE AS win_end,
-        |       event_type, count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+      graft.operators.EventQueries.oracles("q_tumbling_window"),
+    "q_stream_sliding" ->
+      graft.operators.EventQueries.oracles("q_sliding_window"),
+    "q_stream_session" ->
+      graft.operators.EventQueries.oracles("q_session_window"),
     "q_stream_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -136,24 +136,31 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
 
   /** Sliding windows (30-minute window, 10-minute slide): each event
-    * lands in three overlapping windows.
+    * lands in three overlapping windows. DECIMAL(18,2) sum like the
+    * batch twin so a drained run shares the batch oracle
+    * (q_stream_sliding).
     */
   def slidingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Session windows (30-minute gap) per user under a watermark. */
+  /** Session windows (30-minute gap) per user under a watermark —
+    * same output shape as the batch sessionize (count + exact value
+    * sum) so a drained run shares the batch oracle (q_stream_session).
+    */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
-        col("user_id"), col("n"))
+        col("user_id"), col("n"), col("sum_value"))
 
   /** Streaming exactly-once-effect dedup on the natural key: state for
     * a key is dropped once the watermark passes — the streaming
