@@ -70,6 +70,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getLong(0) == 3L && row.getDouble(1) == 30.0)
   }
 
+  test("nearest as-of tie policy: exact match wins, equidistant prefers the earlier side") {
+    // mirrors AsOfQueries.asofNearest's pick logic against the oracle's
+    // ORDER BY (abs, ts, id): backward at t-10m and forward at t+10m
+    // are equidistant -> earlier (backward) wins; an exact-timestamp
+    // right row always wins outright.
+    import graft.operators.AsOfJoin
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // equidistant case
+      (2L, ts("2024-01-01 10:00:00"), 200L)  // exact-match case
+    ).toDF("k", "t", "pid")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:50:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),
+      (2L, ts("2024-01-01 09:59:00"), 3L),
+      (2L, ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("k", "qt", "qid")
+    val back = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("qid"), tiebreak = Some("qid"))
+    val fwd = AsOfJoin(probes, quotes, "k", "t", "qt", Seq("qid"),
+      tiebreak = Some("qid"), forward = true)
+    val bmap = back.collect().map(r => r.getAs[Long]("pid") -> r.getAs[Long]("asof_qid")).toMap
+    val fmap = fwd.collect().map(r => r.getAs[Long]("pid") -> r.getAs[Long]("asof_qid")).toMap
+    assert(bmap(100L) == 1L && fmap(100L) == 2L) // equidistant inputs: nearest picks backward (1)
+    assert(fmap(200L) == 4L)                     // exact ts: forward carries it (wins outright)
+  }
+
   test("backward as-of breaks right dups at one timestamp by GREATEST tiebreak") {
     val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
     val quotes = Seq(
