@@ -86,9 +86,14 @@ object Bench {
       Some((if (cols.length > 7) cols(7) else 0L, cols.sum))
     } catch { case _: Throwable => None }
     val jiffies0 = cpuJiffies()
-    // SPARK_GRAFT_STEADY_RUNS raises the per-query steady sample count
-    // (min-of-N) for reruns on a noisy box; 2 is the committed default.
-    val steadyRuns = sys.env.getOrElse("SPARK_GRAFT_STEADY_RUNS", "2").toInt.max(1)
+    // SPARK_GRAFT_STEADY_RUNS sets the per-query steady sample count
+    // (min-of-N). Default raised 2 -> 3 in round 7: every round-7
+    // window was contended (five full runs, min composite still +29%
+    // on CPU-dense kernels vs round 6's quiet window) and one extra
+    // sample per query costs ~40 s wall while cutting single-burst
+    // contamination of the committed artifact roughly in half (a
+    // burst must now hit all three samples to survive the min).
+    val steadyRuns = sys.env.getOrElse("SPARK_GRAFT_STEADY_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
