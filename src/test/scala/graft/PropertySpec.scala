@@ -285,4 +285,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("exclusiveRunningMax equals the plain window on random sparse inputs at every depth") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gen: Gen[List[(Long, Long)]] = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 5000L), Gen.choose(-50L, 50L)))
+    (0 until 6).foreach { i =>
+      val rows = gen.apply(Gen.Parameters.default, Seed(77L + i)).getOrElse(Nil)
+        .distinctBy(_._1) // ids unique (the contract)
+      val df = rows.toDF("id", "v")
+      val want = df.withColumn("want",
+        max(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      for (levels <- 1 to 3) {
+        val got = graft.pipeline.PrefixSum
+          .exclusiveRunningMax(df, Nil, "id", "v", "got", levels = levels, k = 5)
+        val j = got.join(want, Seq("id", "v"))
+        assert(j.count() == rows.size, s"trial=$i levels=$levels lost rows")
+        assert(j.filter((col("got").isNull =!= col("want").isNull) ||
+          (col("got").isNotNull && col("got") =!= col("want"))).count() == 0,
+          s"trial=$i levels=$levels diverged")
+      }
+    }
+  }
 }
