@@ -597,6 +597,31 @@ object CurationQueries extends graft.QueryModule {
         expr(s"(offset + n_tok - 1) div $B").as("bin_end"))
   }
 
+  /** Packed-sequence boundary masks — the companion [[pack]] feeds:
+    * for every 256-token training bin, the ordered in-bin start
+    * offsets of the documents it contains (what cross-document
+    * attention-mask construction consumes; a doc entering mid-bin
+    * starts at its clamped local offset, a doc carried over from the
+    * previous bin contributes boundary 0). Bins come from exploding
+    * each doc's [bin_start, bin_end] span — row count is
+    * total_tokens/B + n_docs, linear. Boundaries emit as a
+    * comma-joined string ordered by (offset, doc_id): deterministic,
+    * and scalar-typed so the cross-engine hash compare stays exact
+    * (array cells don't survive the harness's sort).
+    */
+  def packMasks(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256L
+    pack(spark, dir)
+      .select(col("doc_id"), col("offset"),
+        explode(expr("sequence(bin_start, bin_end)")).as("bin"))
+      .withColumn("local_start", greatest(col("offset") - col("bin") * lit(B), lit(0L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("local_start"), col("doc_id")))),
+            x => x.getField("local_start").cast("string")), ",").as("boundaries"))
+  }
+
   /** The END-TO-END curation pipeline — what a user of this library
     * actually ships: every document dispositioned through the full
     * chain (exact dedup → near-dup dedup → benchmark exclusion →
@@ -893,6 +918,7 @@ object CurationQueries extends graft.QueryModule {
     "q_sample_group" -> sampleGroup,
     "q_chunk" -> chunk,
     "q_pack" -> pack,
+    "q_pack_masks" -> packMasks,
     "q_bm25" -> bm25,
     "q_outlier" -> outlier,
     "q_quota" -> quota,
@@ -1171,6 +1197,26 @@ object CurationQueries extends graft.QueryModule {
         |       "offset" // 256 AS bin_start,
         |       ("offset" + n_tok - 1) // 256 AS bin_end
         |FROM o""".stripMargin,
+    "q_pack_masks" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM d
+        |), spans AS (
+        |  SELECT doc_id, "offset",
+        |         unnest(range("offset" // 256, ("offset" + n_tok - 1) // 256 + 1)) AS bin
+        |  FROM o
+        |), local AS (
+        |  SELECT bin, doc_id, greatest("offset" - bin * 256, 0) AS local_start FROM spans
+        |)
+        |SELECT bin, count(*) AS n_docs,
+        |       string_agg(CAST(local_start AS VARCHAR), ','
+        |                  ORDER BY local_start, doc_id) AS boundaries
+        |FROM local GROUP BY bin""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
