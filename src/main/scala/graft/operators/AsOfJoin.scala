@@ -172,10 +172,30 @@ object AsOfQueries extends graft.QueryModule {
         when(pickFwd, col("f_ts")).otherwise(col("b_ts")).as("asof_click_ts"))
   }
 
+  /** Tolerance-bounded backward as-of: the latest click at-or-before
+    * each purchase, but only if it happened within the last 6 hours —
+    * the "stale quotes must not match" semantics every time-series
+    * store's ASOF takes as a `tolerance` parameter. Same single
+    * window pass as [[asofClicks]]; the bound is a row-local null-out
+    * afterward (the carried match IS the latest one, so if it's too
+    * old, no in-tolerance match exists — no second pass needed).
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 6L * 3600L * 1000000L
+    asofClicks(spark, dir)
+      .withColumn("in_tol",
+        col("asof_click_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("asof_click_ts")) <= tolMicros)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("in_tol"), col("asof_click_id")).as("asof_click_id"),
+        when(col("in_tol"), col("asof_click_ts")).as("asof_click_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofClicks,
     "q_asof_forward" -> asofForward,
-    "q_asof_nearest" -> asofNearest
+    "q_asof_nearest" -> asofNearest,
+    "q_asof_tolerance" -> asofTolerance
   )
 
   // Deterministic oracle: a LATERAL top-1 with an explicit
@@ -206,6 +226,18 @@ object AsOfQueries extends graft.QueryModule {
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |    AND CAST(c.ts AS TIMESTAMP) >= p.ts
         |  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) c ON true""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP) <= p.ts
+        |    AND CAST(c.ts AS TIMESTAMP) >= p.ts - INTERVAL 6 HOUR
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin,
     "q_asof_nearest" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
