@@ -89,12 +89,36 @@ object StreamQueries extends graft.QueryModule {
       StreamingOps.sessionCounts(StreamingOps.eventStream(spark, dir)),
       "q_stream_session", mode = "complete")
 
+  /** Stream-static enrichment join — the canonical "arriving facts
+    * pick up reference data" shape: each streaming event joins
+    * (broadcast, stateless) to a BATCH-computed per-type profile and
+    * is flagged when its value exceeds twice the type's historical
+    * mean. The static side is an exact-decimal aggregate of the same
+    * table, so the oracle recomputes it identically; the join itself
+    * is append-capable (no state, no watermark) — at scale the static
+    * side is a broadcast dim refreshed per trigger.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val stats = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("mean_value"))
+    val enriched = StreamingOps.eventStream(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("mean_value"),
+        (col("value") > col("mean_value") * lit(2.0)).as("is_anomaly"))
+    drain(spark, enriched, "q_stream_enrich", mode = "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_exact" -> streamDedupExact,
     "q_stream_dup_spans" -> streamDupSpans,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
-    "q_stream_session" -> streamSession
+    "q_stream_session" -> streamSession,
+    "q_stream_enrich" -> streamEnrich
   )
 
   // The oracles restate the streaming semantics in batch SQL: within
@@ -114,6 +138,15 @@ object StreamQueries extends graft.QueryModule {
       graft.operators.EventQueries.oracles("q_sliding_window"),
     "q_stream_session" ->
       graft.operators.EventQueries.oracles("q_session_window"),
+    "q_stream_enrich" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value, s.mean_value,
+        |       e.value > s.mean_value * 2.0 AS is_anomaly
+        |FROM events e JOIN stats s USING (event_type)""".stripMargin,
     "q_stream_dup_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
