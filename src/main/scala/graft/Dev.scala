@@ -368,6 +368,91 @@ object Dev {
         val out = spark.table("dev_stream")
         println(s"rows: ${out.count()}")
         out.show(10, truncate = false)
+      case "funnelstress" :: rest =>
+        // Power-user skew stress for the funnel (r7 verdict item 2):
+        // ONE user with `powerEvents` events (default 1M) among
+        // `normalUsers` ordinary 3-event users. Runs the shipped
+        // join-shaped chain and the pre-r8 collect_list shape
+        // head-to-head, reporting wall time and the max per-task peak
+        // execution memory — the number that OOMs a real executor when
+        // a bot user's whole history lands in one aggregation buffer.
+        import org.apache.spark.sql.functions._
+        val powerEvents = rest.headOption.flatMap(_.toLongOption).getOrElse(1000000L)
+        val normalUsers = rest.drop(1).headOption.flatMap(_.toLongOption).getOrElse(300000L)
+        val power = spark.range(powerEvents).select(
+          lit(0L).as("user_id"),
+          expr("timestamp_seconds(1700000000 + id % 864000)").as("ts"),
+          expr("element_at(array('view','click','purchase'), cast(id % 3 as int) + 1)")
+            .as("event_type"))
+        val normal = spark.range(1, normalUsers + 1)
+          .select(col("id").as("user_id"),
+            explode(expr("array(0, 1, 2)")).as("k"))
+          .select(col("user_id"),
+            expr("timestamp_seconds(1700000000 + user_id % 86400 + k * 600)").as("ts"),
+            expr("element_at(array('view','click','purchase'), cast(k as int) + 1)")
+              .as("event_type"))
+        val ev = power.unionByName(normal)
+        @volatile var peak = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null && m.peakExecutionMemory > peak) peak = m.peakExecutionMemory
+          }
+        }
+        def arm(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          peak = 0L
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val n = df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // let the async listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"[funnelstress] $label%-12s ${dt}%7.2fs rows=$n peakTaskMem=${peak / 1048576.0}%8.1f MiB")
+        }
+        println(s"[funnelstress] 1 power user x $powerEvents events + $normalUsers x 3")
+        arm("join-chain") { graft.operators.EventQueries.funnelOf(ev) }
+        arm("collect_list") {
+          ev.groupBy(col("user_id"))
+            .agg(collect_list(struct(col("ts"), col("event_type").as("et"))).as("evs"))
+            .withColumn("t1",
+              expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.ts))"))
+            .filter(col("t1").isNotNull)
+            .withColumn("t2",
+              expr("array_min(transform(filter(evs, e -> e.et = 'click' AND e.ts > t1), e -> e.ts))"))
+            .withColumn("t3",
+              expr("array_min(transform(filter(evs, e -> e.et = 'purchase' AND e.ts > t2), e -> e.ts))"))
+            .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        }
+      case "examples" :: dir :: Nil =>
+        // End-to-end library tour, one example per operator family —
+        // the public API a new user calls, not the oracle harness.
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        println("== as-of join: each purchase -> the user's latest click at-or-before it ==")
+        val purchases = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 9.99))
+          .toDF("user_id", "ts", "amount")
+        val clicks = Seq(
+          (1L, java.sql.Timestamp.valueOf("2024-01-01 09:40:00"), 101L),
+          (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 102L))
+          .toDF("user_id", "click_ts", "click_id")
+        graft.operators.AsOfJoin(purchases, clicks, key = "user_id",
+          leftTime = "ts", rightTime = "click_ts", payload = Seq("click_id"),
+          tiebreak = Some("click_id")).show(truncate = false)
+        println("== dedup: exact content groups + MinHash-LSH near-dup pairs (fixture corpus) ==")
+        graft.operators.DedupQueries.dedupExact(spark, dir).show(5, truncate = false)
+        graft.operators.DedupQueries.dedupMinhash(spark, dir).show(5, truncate = false)
+        println("== curation: the composite quality gate with per-stage audit reasons ==")
+        graft.operators.CurationQueries.qualityGate(spark, dir).show(5, truncate = false)
+        println("== similarity: brute-force cosine top-k over the embeddings table ==")
+        graft.operators.SimilarityQueries.knnBrute(spark, dir).show(5, truncate = false)
+        println("== streaming: exact dedup at ingest (file stream -> keyed state -> sink) ==")
+        val deduped = graft.streaming.StreamingOps.dedupExactStream(spark,
+          graft.streaming.StreamingOps.docStream(spark, dir)).toDF()
+        val q = deduped.writeStream.outputMode("update").format("memory")
+          .queryName("examples_dedup").start()
+        q.processAllAvailable(); q.stop()
+        spark.table("examples_dedup").show(5, truncate = false)
+        println("[examples] done — asof, dedup, curation, similarity, streaming")
       case other =>
         System.err.println(s"unknown args: $other")
         sys.exit(2)

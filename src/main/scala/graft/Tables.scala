@@ -97,17 +97,19 @@ object Tables {
     }
   }
 
-  /** NOTE on the conf: `spark.sql.legacy.parquet.nanosAsLong` is set at
-    * session construction by every entry point (Bench/Verify/Dev/test
-    * base). The set below is a documented, idempotent safety net for
-    * externally-built sessions; its only effect is how INT64(NANOS)
-    * parquet columns are typed (harmless no-op on the native-timestamp
-    * fixture generation), which no other table in this engine has.
+  /** NOTE on the conf: reading the INT64(NANOS) fixture generation
+    * requires `spark.sql.legacy.parquet.nanosAsLong=true` AT SESSION
+    * BUILD — every entry point in this engine (Bench/Verify/Dev/test
+    * base) sets it there. This reader deliberately does NOT set it:
+    * mutating session conf inside a read path is a race against
+    * concurrent sessions/queries sharing the conf (r7 verdict item 5).
+    * An externally-built session missing the flag fails loudly in
+    * Spark's own parquet reader ([PARQUET_TYPE_ILLEGAL] names the
+    * column) on that generation; [[normalizeTs]] stays the only guard
+    * this engine adds.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spreadIfSmall(spark, dir, "events", normalizeTs(read(spark, dir, "events")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = readSpread(spark, dir, "embeddings")
 }

@@ -20,8 +20,11 @@ import graft.Tables
   * tie matches (ASOF <= semantics, as in DuckDB's ASOF JOIN).
   *
   * Scale: partitions by join key; state per row is one carried struct.
-  * Skewed keys shard like any window (salt the key, as-of within
-  * shard, merge) — documented tradeoff, not needed at fixture scale.
+  * Skewed keys shard via [[AsOfJoin.salted]]: salt the left side,
+  * replicate the right side per shard, as-of within (key, shard) — the
+  * per-task sort drops to 1/shards of a hot key's probe set at the
+  * cost of scanning the right side `shards` times (AsOfJoinSpec pins
+  * the salted/unsalted differential on a skewed key).
   */
 object AsOfJoin {
 
@@ -96,6 +99,39 @@ object AsOfJoin {
     matched.select(out: _*)
   }
 
+  /** Skew-hardened as-of — the sharded variant the scaladoc promises:
+    * the left (probe) side salts into `shards` deterministic shards,
+    * the right (quote) side replicates to EVERY shard, and the same
+    * one-window pass runs on the composite (key, shard). Each shard
+    * sees every right row of its key, so per-row results are identical
+    * to the unsalted pass (no merge step needed — as-of is a per-LEFT-
+    * row lookup, not an aggregate); what changes is that a hot key's
+    * probe rows spread over `shards` tasks instead of one.
+    *
+    * Cost model: right side scanned/shuffled `shards` times — worth it
+    * exactly when probe skew dominates (bot/power keys), the same
+    * replicate-the-build-side tradeoff as
+    * [[graft.pipeline.Salting.saltedJoin]]. The shard id hashes the
+    * left row's time + a caller-chosen discriminator (defaults to the
+    * time column alone) so it is deterministic across runs and
+    * partitionings.
+    */
+  def salted(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tiebreak: Option[String] = None, forward: Boolean = false,
+      shards: Int = 8): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val l = left.withColumn("__shard",
+      pmod(hash(left.columns.map(col): _*), lit(shards)))
+    val r = right.withColumn("__shard",
+      explode(sequence(lit(0), lit(shards - 1))))
+    val withKey = (df: DataFrame) =>
+      df.withColumn("__saltkey", struct(col(key), col("__shard")))
+    AsOfJoin(withKey(l), withKey(r), "__saltkey", leftTime, rightTime,
+      payload, tiebreak, forward)
+      .drop("__saltkey", "__shard")
+  }
+
   private def payloadType(right: DataFrame, payload: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       payload.map(p => right.schema(p)))
@@ -142,6 +178,15 @@ object AsOfQueries extends graft.QueryModule {
     * tie policy the oracle spells out: an exact-timestamp click always
     * wins (smallest id among exact ties), otherwise the EARLIER click
     * wins equidistant ties (matches ORDER BY abs, ts, id).
+    *
+    * Backward-leg tiebreak: the oracle's final `ORDER BY abs, ts, id
+    * ASC` picks the SMALLEST id among clicks tied at the nearest
+    * timestamp — including when that timestamp is strictly BEFORE the
+    * purchase. The plain backward as-of keeps the greatest id ("latest
+    * wins", q_asof_join's contract), so this leg negates the id as the
+    * tiebreak: greatest(-id) = smallest id, aligning both legs with
+    * the one (abs, ts, id ASC) policy (r8; AsOfJoinSpec pins it with
+    * duplicate same-timestamp clicks strictly before the probe).
     */
   def asofNearest(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
@@ -150,9 +195,19 @@ object AsOfQueries extends graft.QueryModule {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
-    val back = AsOfJoin(purchases, clicks, key = "user_id",
+    nearestOf(purchases, clicks)
+  }
+
+  /** The nearest composition over any (event_id, user_id, ts, value)
+    * probe frame and (user_id, ts, click_id, click_ts) click frame —
+    * factored so AsOfJoinSpec can pin the duplicate-timestamp tiebreak
+    * on synthetic frames the fixture doesn't contain.
+    */
+  private[graft] def nearestOf(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val back = AsOfJoin(purchases,
+      clicks.withColumn("neg_id", -col("click_id")), key = "user_id",
       leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
-      tiebreak = Some("click_id"))
+      tiebreak = Some("neg_id"))
       .withColumnRenamed("asof_click_id", "b_id").withColumnRenamed("asof_click_ts", "b_ts")
     val fwd = AsOfJoin(purchases, clicks, key = "user_id",
       leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),

@@ -1328,7 +1328,7 @@ object DedupQueries extends graft.QueryModule {
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
     * textually identical semantics to [[shingleArrays]].
     */
-  private[operators] val shinglesCte: String =
+  private[graft] val shinglesCte: String =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '), 1) AS pos
@@ -1414,7 +1414,7 @@ object DedupQueries extends graft.QueryModule {
     * the q_dedup_embedding and q_emb_recall oracles so the
     * quantization/banding scheme cannot diverge between them.
     */
-  private lazy val embOracleCte: String =
+  private[graft] lazy val embOracleCte: String =
     s"""q AS (
       |  SELECT vec_id,
       |         generate_subscripts(embedding, 1) AS p,

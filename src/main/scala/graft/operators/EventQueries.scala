@@ -62,28 +62,46 @@ object EventQueries extends graft.QueryModule {
   /** Ordered-sequence funnel: per user, the strict view → click →
     * purchase conversion chain — t1 = first view, t2 = first click
     * AFTER t1, t3 = first purchase AFTER t2 (the product-analytics
-    * query class where order matters, not just membership). One
-    * groupBy collects each user's events; the conditional-min chain is
-    * three nested row-level array expressions (filter → transform →
-    * array_min) — no sort, no further shuffle. Per-user array size is
-    * bounded by user activity; a corpus with unbounded power users
-    * would swap this for the equivalent three-join min chain the
-    * oracle spells out (same values, join-shaped).
+    * query class where order matters, not just membership).
+    *
+    * Shape: the join-shaped conditional-min chain — three per-type
+    * filtered aggregates (each a hash aggregate with map-side partial
+    * min, state = ONE timestamp per user) stitched by equi-joins on
+    * user_id. Until round 7 this collected each user's whole event
+    * history into one array in one task (`collect_list`), the one
+    * unguarded skew hazard in the catalog: a bot/power user at corpus
+    * scale lands their millions of events in a single aggregation
+    * buffer (r7 verdict item 2; `Dev funnelstress` measures the two
+    * shapes head-to-head on a planted 1M-event user). Here no task
+    * ever holds more than a running min per (user, stage), whatever
+    * the per-user event count — the same values, join-shaped, and
+    * every event_type filter pushes into the parquet scan.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(collect_list(struct(col("ts"), col("event_type").as("et"))).as("evs"))
-      .withColumn("t1",
-        expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.ts))"))
-      .filter(col("t1").isNotNull)
-      .withColumn("t2",
-        expr("array_min(transform(filter(evs, e -> e.et = 'click' AND e.ts > t1), e -> e.ts))"))
-      .withColumn("t3",
-        expr("array_min(transform(filter(evs, e -> e.et = 'purchase' AND e.ts > t2), e -> e.ts))"))
+    funnelOf(Tables.events(spark, dir))
+
+  /** The funnel chain over any (user_id, ts, event_type) frame —
+    * factored so the skew stress harness drives the exact production
+    * plan on synthetic power-user data.
+    */
+  private[graft] def funnelOf(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
       .select(col("user_id"), col("t1"), col("t2"), col("t3"),
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2).otherwise(1)
           .cast("int").as("stage"))
+  }
 
   /** Cohort retention matrix: users bucketed by first-activity week,
     * distinct active users per (cohort, weeks-since-cohort) cell — the

@@ -112,7 +112,84 @@ object StreamQueries extends graft.QueryModule {
     drain(spark, enriched, "q_stream_enrich", mode = "append")
   }
 
+  /** Append-mode tumbling windows under a real 1-hour watermark across
+    * TWO micro-batches — the mode production runs (r7 verdict item 3):
+    * the fixture split at the ingest-id midpoint arrives as two file-
+    * source batches, so cross-batch state merge, watermark advancement
+    * and append-mode window finalization all run the real path, and
+    * the sink holds exactly the windows the FINAL watermark closed —
+    * unclosed tail windows never emit (the append-vs-complete
+    * difference). The oracle states that emission cut: windows whose
+    * end is at or below the ms-floored global max event-time minus 1
+    * hour (Spark tracks watermarks in ms). No drop clause: measured on
+    * this engine (StreamingSpec's two synthetic two-batch tests), a
+    * late row is dropped only when its window's state was ALREADY
+    * evicted by a watermark committed in an earlier fully-drained
+    * trigger — with both files discovered up-front, batch 2 merges
+    * into still-live state — and the fixture arrives ingest-ordered,
+    * so no row is late at the midpoint split under either reading.
+    * The drop path is pinned by the planted-straggler spec test where
+    * file B arrives only after batch 1's windows were evicted.
+    */
+  def streamAppend(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(spark, dir)),
+      "q_stream_append", mode = "append")
+
+  /** The streaming ingest gate, drained: every doc dispositioned with
+    * exact-dup state + the batch-checked quality score and the first
+    * failing stage as audit reason (no benchmark Bloom here — the
+    * decontamination probe composes the same row-local expression and
+    * is exercised by StreamingSpec; the oracle covers the stateful
+    * exact-dup x quality precedence).
+    */
+  def streamGate(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.ingestGateStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+      "q_stream_gate")
+
+  /** Streaming MinHash-LSH near-dup candidates, drained: each (doc,
+    * band) with the first-anchor doc of its band key — the propose
+    * half of the batch propose/verify split, now oracle-checked (the
+    * oracle mirrors the banding with the SAME shared sig/band CTEs as
+    * the batch near-dup oracles, so the schemes cannot drift).
+    */
+  def streamNear(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.dedupNearStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+      "q_stream_near")
+
+  /** Streaming semantic (embedding) near-dup candidates, drained —
+    * hyperplane sign-bit bands probing first-anchor state; oracle
+    * shares the batch q_dedup_embedding quantization/banding CTE.
+    */
+  def streamEmb(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.dedupEmbeddingStream(spark, StreamingOps.vecStream(spark, dir)).toDF(),
+      "q_stream_emb")
+
+  /** Per-source token budget at ingest, drained: first-fit greedy in
+    * doc_id order, one counter per source. The oracle replays the
+    * fold as a per-source recursive CTE (25 docs per source at oracle
+    * scale — the recursion is the SPEC restated, the engine runs the
+    * keyed-state fold).
+    */
+  def streamBudget(spark: SparkSession, dir: String): DataFrame =
+    drain(spark,
+      StreamingOps.sourceTokenBudget(spark, StreamingOps.docStream(spark, dir),
+        TokenBudget).toDF(),
+      "q_stream_budget")
+
+  /** Budget for [[streamBudget]] — ~half a source's fixture token mass,
+    * so every source exhibits keeps, skips AND post-skip refits. */
+  private val TokenBudget = 700L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_append" -> streamAppend,
+    "q_stream_gate" -> streamGate,
+    "q_stream_near" -> streamNear,
+    "q_stream_emb" -> streamEmb,
+    "q_stream_budget" -> streamBudget,
     "q_stream_dedup_exact" -> streamDedupExact,
     "q_stream_dup_spans" -> streamDupSpans,
     "q_stream_tumbling" -> streamTumbling,
@@ -123,8 +200,91 @@ object StreamQueries extends graft.QueryModule {
 
   // The oracles restate the streaming semantics in batch SQL: within
   // one micro-batch the keyed state orders arrivals by (doc_id) /
-  // (doc_id, pos), so "first wins" is a plain ROW_NUMBER.
+  // (doc_id, pos), so "first wins" is a plain ROW_NUMBER; the banded
+  // near-dup oracles share the batch sig/band CTEs BY REFERENCE
+  // (DedupQueries.shinglesCte / sigSqlItems / embOracleCte) so the
+  // schemes cannot drift; the two-batch append oracle replays the
+  // watermark protocol (ms-floored max minus delay, per batch).
   def oracles: Map[String, String] = Map(
+    "q_stream_append" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |wmf AS (SELECT epoch_us(max(ts))//1000 - 3600000 AS w_ms FROM ev),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start,
+        |         time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS win_end,
+        |         event_type, count(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2, 3
+        |)
+        |SELECT win_start, win_end, event_type, n, sum_value
+        |FROM agg, wmf WHERE epoch_us(win_end)//1000 <= wmf.w_ms""".stripMargin,
+    "q_stream_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_dis
+        |  FROM toks GROUP BY doc_id
+        |), q AS (
+        |  SELECT md5(d.text) AS content_hash, d.doc_id, d.source,
+        |         (least(CAST(s.n_tok AS DOUBLE) / 50.0, 1.0) *
+        |          (0.5 + 0.5 * (CAST(s.n_dis AS DOUBLE) / CAST(s.n_tok AS DOUBLE))))
+        |           >= 0.5 AS quality_ok
+        |  FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+        |), g AS (
+        |  SELECT content_hash, doc_id, source, quality_ok, FALSE AS contaminated,
+        |         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+        |           AS first_seen
+        |  FROM q
+        |)
+        |SELECT content_hash, doc_id, source, quality_ok, contaminated, first_seen,
+        |       (CASE WHEN NOT first_seen THEN 'exact_dup'
+        |             WHEN NOT quality_ok THEN 'low_quality' END) IS NULL AS keep,
+        |       CASE WHEN NOT first_seen THEN 'exact_dup'
+        |            WHEN NOT quality_ok THEN 'low_quality' END AS reason
+        |FROM g""".stripMargin,
+    "q_stream_near" ->
+      s"""WITH ${graft.operators.DedupQueries.shinglesCte},
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${graft.operators.DedupQueries.sigSqlItems}
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
+        |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
+        |), nn AS (SELECT doc_id, band_id, band_key FROM bands WHERE band_key IS NOT NULL)
+        |SELECT doc_id, CAST(band_id AS INT) AS band_id,
+        |       CAST(min(doc_id) OVER (PARTITION BY band_id, band_key) AS BIGINT)
+        |         AS anchor_doc,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY band_id, band_key)
+        |         AS is_candidate
+        |FROM nn""".stripMargin,
+    "q_stream_emb" ->
+      s"""WITH ${graft.operators.DedupQueries.embOracleCte}
+        |SELECT vec_id, CAST(band_id AS INT) AS band_id,
+        |       CAST(min(vec_id) OVER (PARTITION BY band_id, band_key) AS BIGINT)
+        |         AS anchor_vec,
+        |       vec_id <> min(vec_id) OVER (PARTITION BY band_id, band_key)
+        |         AS is_candidate
+        |FROM keys""".stripMargin,
+    "q_stream_budget" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), walk(source, rn, doc_id, n_tok, kept, used_after) AS (
+        |  SELECT source, rn, doc_id, n_tok, n_tok <= $TokenBudget,
+        |         CASE WHEN n_tok <= $TokenBudget THEN n_tok ELSE CAST(0 AS BIGINT) END
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tok,
+        |         w.used_after + d.n_tok <= $TokenBudget,
+        |         CASE WHEN w.used_after + d.n_tok <= $TokenBudget
+        |              THEN w.used_after + d.n_tok ELSE w.used_after END
+        |  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+        |)
+        |SELECT source, doc_id, n_tok, kept, used_after FROM walk""".stripMargin,
     "q_stream_dedup_exact" ->
       """SELECT md5(text) AS content_hash, doc_id, source,
         |       (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)

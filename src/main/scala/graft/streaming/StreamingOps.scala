@@ -101,11 +101,12 @@ object StreamingOps {
     * FileStreamSource needs the declared schema to match the file, and
     * hard-coding either generation breaks when the driver regenerates
     * the fixture. Requires `spark.sql.legacy.parquet.nanosAsLong=true`
-    * for the INT64-nanos generation (set by every session builder in
-    * this engine; idempotent no-op on native timestamps).
+    * AT SESSION BUILD for the INT64-nanos generation (every session
+    * builder in this engine sets it; a session without it fails loudly
+    * in Spark's parquet reader — no conf mutation here, a read path
+    * must not race concurrent sessions sharing the conf).
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource streams DIRECTORIES of arriving files (its
     // production contract). The fixture keeps several tables in one
     // dir, so stage a directory containing just the events file
@@ -117,6 +118,65 @@ object StreamingOps {
       if (f.name == "ts") f.copy(dataType = diskTsType) else f))
     graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir.toString))
+  }
+
+  private val splitDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The midpoint ingest id splitting the events fixture into two
+    * halves: first half = event_id < mid. One scalar min/max aggregate
+    * (driver-side by construction — harness setup, not a data path).
+    */
+  private[graft] def eventsMidId(spark: SparkSession, dir: String): Long = {
+    val row = graft.Tables.read(spark, dir, "events")
+      .agg(max(col("event_id"))).head()
+    (row.getLong(0) + 1L) / 2L
+  }
+
+  /** The events table staged as TWO parquet files split at the ingest-
+    * id midpoint — the multi-micro-batch form of [[eventStream]]: with
+    * `maxFilesPerTrigger=1` the file source takes the first-half file
+    * as micro-batch 1 and the second as micro-batch 2 (explicit mtimes
+    * pin the order; FileStreamSource processes oldest-first), so
+    * watermark advancement, late-row dropping and append-mode window
+    * finalization run the REAL cross-batch path instead of the
+    * everything-in-one-batch degenerate case. `ts` is written already
+    * normalized (micros TimestampType) so the declared schema is fixed
+    * regardless of fixture generation. Staged once per JVM per dir.
+    */
+  def eventStreamTwoBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val staged = splitDirs.computeIfAbsent(dir, _ => {
+      val mid = eventsMidId(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("events_split")
+      out.toFile.deleteOnExit()
+      val t0 = System.currentTimeMillis() - 120000L
+      def writeHalf(cond: org.apache.spark.sql.Column, name: String, mtime: Long): Unit = {
+        val tmp = out.resolve(name + "_tmp")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+        require(src != null, s"no part file written under $tmp")
+        val dest = out.resolve(name)
+        java.nio.file.Files.move(src, dest)
+        dest.toFile.setLastModified(mtime)
+        dest.toFile.deleteOnExit()
+        // drop the now-partless staging dir (marker files included)
+        val rest = java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+        while (rest.hasNext) java.nio.file.Files.deleteIfExists(rest.next())
+      }
+      writeHalf(col("event_id") < mid, "events_a.parquet", t0)
+      writeHalf(col("event_id") >= mid, "events_b.parquet", t0 + 60000L)
+      out
+    })
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
   }
 
   /** Tumbling 15-minute counts with a 1-hour watermark: late events

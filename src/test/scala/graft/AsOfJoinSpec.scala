@@ -95,6 +95,65 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fmap(200L) == 4L)                     // exact ts: forward carries it (wins outright)
   }
 
+  test("nearest as-of picks the SMALLEST id among duplicate same-timestamp clicks strictly before the probe") {
+    // r8 ADVICE: the oracle's ORDER BY (abs, ts, id ASC) picks the
+    // smallest id among clicks tied at the nearest timestamp; the plain
+    // backward pass would keep the greatest ("latest wins"). The
+    // nearest composition's backward leg must therefore flip its
+    // tiebreak. Three dup clicks strictly before, plus an equidistant
+    // pair, plus dup clicks strictly after (forward leg contract).
+    val purchases = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00"), 1.0), // dups strictly before
+      (200L, 2L, ts("2024-01-01 10:00:00"), 1.0), // equidistant, dups on the before side
+      (300L, 3L, ts("2024-01-01 10:00:00"), 1.0)  // dups strictly after
+    ).toDF("event_id", "user_id", "ts", "value")
+    def clickRow(u: Long, t: java.sql.Timestamp, id: Long) = (u, t, id, t)
+    val clicks = Seq(
+      clickRow(1L, ts("2024-01-01 09:30:00"), 17L),
+      clickRow(1L, ts("2024-01-01 09:30:00"), 5L),
+      clickRow(1L, ts("2024-01-01 09:30:00"), 9L),
+      clickRow(2L, ts("2024-01-01 09:50:00"), 8L),
+      clickRow(2L, ts("2024-01-01 09:50:00"), 4L),
+      clickRow(2L, ts("2024-01-01 10:10:00"), 2L),
+      clickRow(3L, ts("2024-01-01 10:20:00"), 31L),
+      clickRow(3L, ts("2024-01-01 10:20:00"), 13L)
+    ).toDF("user_id", "ts", "click_id", "click_ts")
+    val out = graft.operators.AsOfQueries.nearestOf(purchases, clicks)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("asof_click_id")).toMap
+    assert(out(100L) == 5L)  // smallest id among the 09:30 dups (was 17 pre-fix)
+    assert(out(200L) == 4L)  // equidistant -> earlier side, smallest id among its dups
+    assert(out(300L) == 13L) // forward leg keeps its smallest-wins rule
+  }
+
+  test("salted as-of equals the unsalted pass on a skewed key") {
+    // one hot key carrying 2000 probes + both keys' quote streams with
+    // duplicate timestamps (tiebreak exercises determinism); every
+    // shard sees all quotes of its key, so results must be identical
+    // row-for-row with probes spread over `shards` tasks.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val probes = ((0 until 2000).map(i => (1L, new java.sql.Timestamp(base + i * 1000L), i.toLong)) ++
+      (0 until 50).map(i => (2L, new java.sql.Timestamp(base + i * 7000L), (10000 + i).toLong)))
+      .toDF("k", "t", "pid")
+    val quotes = ((0 until 40).map(i => (1L, new java.sql.Timestamp(base + i * 60000L), i.toLong, i * 1.0)) ++
+      (0 until 40).map(i => (1L, new java.sql.Timestamp(base + i * 60000L), (100 + i).toLong, i * 2.0)) ++
+      (0 until 10).map(i => (2L, new java.sql.Timestamp(base + i * 90000L), (200 + i).toLong, i * 3.0)))
+      .toDF("k", "qt", "qid", "price")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "asof_qid", "asof_price").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1).toSeq
+    val plain = canon(AsOfJoin(probes, quotes, "k", "t", "qt",
+      Seq("qid", "price"), tiebreak = Some("qid")))
+    val sharded = canon(AsOfJoin.salted(probes, quotes, "k", "t", "qt",
+      Seq("qid", "price"), tiebreak = Some("qid"), shards = 7))
+    assert(sharded == plain)
+    // forward direction too — the time-reversed scan shares the shard plumbing
+    val plainF = canon(AsOfJoin(probes, quotes, "k", "t", "qt",
+      Seq("qid", "price"), tiebreak = Some("qid"), forward = true))
+    val shardedF = canon(AsOfJoin.salted(probes, quotes, "k", "t", "qt",
+      Seq("qid", "price"), tiebreak = Some("qid"), forward = true, shards = 3))
+    assert(shardedF == plainF)
+  }
+
   test("backward as-of breaks right dups at one timestamp by GREATEST tiebreak") {
     val probes = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
     val quotes = Seq(

@@ -581,6 +581,87 @@ class StreamingSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 2L)
   }
 
+  test("two-batch file-source append windows match the final-watermark emission cut") {
+    // the real cross-batch append path on the fixture: batch 1 = first
+    // half by ingest id, batch 2 = second half; the sink must hold
+    // exactly the windows the FINAL watermark (ms-floored global max
+    // minus 1h) closed, each exactly once, with cross-batch state
+    // merged — and withhold the open tail windows (the same cut the
+    // q_stream_append DuckDB oracle states in SQL; no drop clause —
+    // see the planted-straggler test below for when drops happen).
+    val got = graft.streaming.StreamQueries.streamAppend(spark, sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value"))
+    val wmf = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L - 3600000L
+    val aggAll = ev
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+    val want = aggAll.filter(unix_millis(col("win_end")) <= wmf)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the emission cut is real: open tail windows exist and were withheld
+    assert(aggAll.count() > want.count())
+    assert(got.count() == want.count())
+  }
+
+  test("two-batch file source drops a straggler only after its window was evicted by a committed watermark") {
+    // Measured semantics this test pins (and the q_stream_append
+    // oracle's no-drop clause relies on): a late row merges into
+    // still-live window state whatever the current watermark; it is
+    // dropped exactly when its window's state was already EVICTED by a
+    // watermark committed in an earlier fully-drained trigger. File B
+    // therefore arrives only AFTER batch 1 (and its no-data follow-up,
+    // which evicts [00:00, 00:30) windows under watermark 02:00) fully
+    // drained.
+    import spark.implicits._
+    def evDf(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("m", "event_type", "value")
+        .withColumn("ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+        .select("ts", "event_type", "value")
+    val batchA = evDf(Seq((0L, "click", 1.0), (5L, "click", 1.0), (180L, "click", 1.0)))
+    val batchB = evDf(Seq((10L, "click", 1.0), (190L, "click", 1.0), (360L, "click", 1.0)))
+    val staged = java.nio.file.Files.createTempDirectory("two_batch_syn")
+    staged.toFile.deleteOnExit()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = staged.resolve(name + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) src = p }
+      val dest = staged.resolve(name)
+      java.nio.file.Files.move(src, dest)
+      dest.toFile.setLastModified(mtime)
+      dest.toFile.deleteOnExit()
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    stage(batchA, "a.parquet", t0)
+    val stream = spark.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = StreamingOps.windowedCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("two_batch_drop").start()
+    q.processAllAvailable() // batch A + no-data batch: wm -> 02:00 evicts [00:00,00:15)
+    stage(batchB, "b.parquet", t0 + 60000L)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("two_batch_drop")
+    // [00:00, 00:15): emitted once with batch-1's two rows — the
+    // batch-2 straggler at 00:10 found its window evicted and was
+    // DROPPED (n=3 would mean merged, a second row re-emission)
+    val w0 = got.filter(col("win_start") === tsAt(0))
+    assert(w0.count() == 1 && w0.head().getAs[Long]("n") == 2L)
+    // [03:00, 03:15) was still LIVE (end 03:15 > wm 02:00) when
+    // batch-2's 03:10 row arrived: cross-batch state merge, emitted
+    // once with n=2 under the final watermark (05:00)
+    val w180 = got.filter(col("win_start") === tsAt(180))
+    assert(w180.count() == 1 && w180.head().getAs[Long]("n") == 2L)
+    // the 06:00 sentinel's window stays open past the final watermark
+    assert(got.filter(col("win_start") === tsAt(360)).count() == 0)
+    assert(got.count() == 2) // exactly [00:00) and [03:00), once each
+  }
+
   test("foreachBatchUpsert recovers merged state from the _prev aside after a mid-swap crash") {
     val base = java.nio.file.Files.createTempDirectory("upsert_crash").toString
     val tmp = base + "/t"
