@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Dev {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
-      .master("local[8]")
+      .master(s"local[$cpus]")
       .appName("graft-dev")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,6 +54,64 @@ object Dev {
         times.sortBy(-_._3).foreach { case (n, c, t) =>
           println(f"$t%8.2fs steady $c%8.2fs cold  $n") }
         println(f"total: steady ${times.map(_._3).sum}%.1fs cold ${times.map(_._2).sum}%.1fs")
+      case "coldaudit" :: dir :: Nil =>
+        // Verdict item 6: attribute the cold-vs-steady gap. Runs every
+        // query (bench order) ONCE cold, measuring wall time plus the
+        // Janino activity it triggered (CodegenMetrics histogram:
+        // count = generated classes compiled; total ms estimated as
+        // count x end-of-run reservoir mean — Codahale exposes no
+        // exact sum). A second full pass gives the steady floor.
+        // SharedBuilds' [shared-build] stderr lines interleave with
+        // the per-query output, attributing each lazy materialization
+        // to the query whose first action paid for it.
+        import org.apache.spark.metrics.source.CodegenMetrics
+        val hist = CodegenMetrics.METRIC_COMPILATION_TIME
+        // Bench-equivalent warmup so session bootstrap + kernel C2
+        // compilation is not charged to the alphabetically-first query
+        try {
+          import org.apache.spark.sql.functions._
+          import graft.functions.{TextFunctions, VectorFunctions}
+          Tables.supplier(spark, dir).groupBy("s_nationkey").count().count()
+          Tables.documents(spark, dir).limit(64)
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              TextFunctions.minhashOrder(
+                TextFunctions.md5All(array_distinct(
+                  TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))), 0).as("m"),
+              md5(array_join(TextFunctions.md5All(TextFunctions.tokens(col("text"))), "")).as("d"))
+            .collect()
+          val qv = Tables.embeddings(spark, dir).limit(64)
+            .select(VectorFunctions.quantized(col("embedding")).as("qv"))
+          qv.alias("a").crossJoin(qv.alias("b"))
+            .select(VectorFunctions.qdot(col("a.qv"), col("b.qv")).as("d"))
+            .agg(sum(col("d"))).collect()
+        } catch { case _: Throwable => () }
+        val names = SparkEntry.queries.keys.toList.sorted
+        val coldRows = names.map { name =>
+          val classes0 = hist.getCount
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // emitted DURING the pass (stderr, like [shared-build]) so
+          // the build lines interleave under the query that paid them
+          System.err.println(f"[cold] $name%-28s $wall%6.2fs classes=${hist.getCount - classes0}")
+          (name, wall, hist.getCount - classes0)
+        }
+        val steady = names.map { name =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+        val meanMs = hist.getSnapshot.getMean
+        println(f"%n[coldaudit] ${names.size} queries, codegen mean compile ${meanMs}%.1f ms/class")
+        println(f"[coldaudit] ${"query"}%-28s ${"cold"}%8s ${"steady"}%8s ${"delta"}%8s classes  est.compile")
+        coldRows.sortBy { case (n, w, _) => steady(n) - w }.foreach { case (n, w, k) =>
+          println(f"[coldaudit] $n%-28s $w%7.2fs ${steady(n)}%7.2fs ${w - steady(n)}%7.2fs  $k%6d  ${k * meanMs / 1000}%6.2fs")
+        }
+        val totCold = coldRows.map(_._2).sum
+        val totSteady = steady.values.sum
+        val totClasses = coldRows.map(_._3).sum
+        println(f"[coldaudit] TOTAL cold $totCold%.1fs steady $totSteady%.1fs delta ${totCold - totSteady}%.1fs; " +
+          f"$totClasses classes compiled ~ ${totClasses * meanMs / 1000}%.1fs janino")
       case "buildprof" :: dir :: Nil =>
         // Stage-by-stage timing of the shared minhash/shingle build
         // that the alphabetically-first dedup consumer pays in the

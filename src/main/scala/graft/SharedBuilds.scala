@@ -100,6 +100,7 @@ object SharedBuilds {
     val existing = memo.get(key)
     if (existing != null) return existing.value.asInstanceOf[T]
     val scope = new CacheScope
+    val t0 = System.nanoTime()
     val entry =
       try Entry(build(scope), scope.frames.toSeq)
       catch { case e: Throwable =>
@@ -108,6 +109,11 @@ object SharedBuilds {
         scope.frames.foreach(_.unpersist())
         throw e
       }
+    // one stderr line per actual build: cold-cost attribution (which
+    // query paid for which shared materialization) is invisible in
+    // per-query wall times alone
+    System.err.println(
+      f"[shared-build] $kind%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs dir=$dir")
     val prev = memo.putIfAbsent(key, entry)
     if (prev != null) {
       // Lost a cold-key race. When both builds are plan-deterministic
