@@ -946,6 +946,31 @@ object DedupQueries extends graft.QueryModule {
     docs.join(dupes, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware survivor selection: per near-dup cluster, keep the
+    * BEST document instead of the smallest-id one — here "best" =
+    * longest text (n_chars), the usual keep-the-canonical-copy policy
+    * when near-dups are truncations/excerpts of a fuller original;
+    * ties break to the smallest doc_id so the pick is deterministic.
+    * Complements [[dedupKeep]] (min-id policy): a curation pipeline
+    * chooses its survivor rule, the engine must support both.
+    *
+    * Scale: argmax-per-group as ONE hash aggregate — max over a
+    * (n_chars, -doc_id) struct gives lexicographic best-then-smallest-
+    * id with map-side combine, no per-cluster sort window and no
+    * buffered member list.
+    */
+  def dedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    dedupClusters(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.neg_id")).as("kept_doc_id"),
+        col("best.n_chars").as("kept_chars"))
+  }
+
   /** Cluster-size profile: how big the near-dup groups are — the
     * audit view that tells a pipeline how much the corpus shrinks and
     * whether one mega-cluster (boilerplate) dominates.
@@ -1312,6 +1337,7 @@ object DedupQueries extends graft.QueryModule {
     "q_overlap_matrix" -> overlapMatrix,
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_keep" -> dedupKeep,
+    "q_dedup_best" -> dedupBest,
     "q_cluster_stats" -> clusterStats,
     "q_dedup_incremental" -> dedupIncremental,
     "q_minhash_by_lang" -> minhashByLang,
@@ -1450,6 +1476,18 @@ object DedupQueries extends graft.QueryModule {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM labels l
         |  WHERE l.doc_id = d.doc_id AND l.cluster_id <> d.doc_id)""".stripMargin,
+    "q_dedup_best" ->
+      s"""$ccLabelsCte,
+        |ranked AS (
+        |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY l.cluster_id
+        |                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        |)
+        |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+        |       doc_id AS kept_doc_id, n_chars AS kept_chars
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "q_cluster_stats" ->
       s"""$ccLabelsCte
         |SELECT cluster_id, count(*) AS n_docs,

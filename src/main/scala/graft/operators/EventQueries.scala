@@ -208,7 +208,43 @@ object EventQueries extends graft.QueryModule {
       .select("event_type", "n", "max_ts", "staleness_sec")
   }
 
+  /** Event-rate anomaly detection: each (type, hour)'s count against
+    * its own trailing-24-hour mean — the ops-side spike/alert view of
+    * an event pipeline (bot bursts, incident storms, scraper loops).
+    * The trailing window is a RANGE frame over integer epoch-hours
+    * ([-24h, -1h] — hours with zero events are simply absent, so the
+    * mean is over OBSERVED trailing hours, n_prev of them), and the
+    * spike flag is an exact integer cross-multiplication
+    * (cnt * n_prev > 3 * sum_prev, i.e. count > 3x trailing mean)
+    * gated on >= 6 observed trailing hours — no float division
+    * anywhere near the decision.
+    *
+    * Scale: one (type, hour) hash aggregate — domain-bounded output —
+    * then a per-type RANGE window over that tiny aggregated frame.
+    * The raw corpus is touched exactly once.
+    */
+  def spikes(spark: SparkSession, dir: String): DataFrame =
+    spikesOf(Tables.events(spark, dir))
+
+  /** [[spikes]] on an arbitrary (ts, event_type) frame — the shape the
+    * planted-burst spec drives directly.
+    */
+  private[graft] def spikesOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("sum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        col("n_prev") >= 6 && col("n") * col("n_prev") > col("sum_prev") * 3)
+      .select("event_type", "hr", "n", "n_prev", "sum_prev", "is_spike")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spike" -> spikes,
     "q_freshness" -> freshness,
     "q_range_frame" -> rangeFrame,
     "q_late_events" -> lateEvents,
@@ -221,6 +257,25 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_spike" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), wins AS (
+        |  SELECT event_type, hr, n,
+        |         count(*) OVER w AS n_prev,
+        |         coalesce(sum(n) OVER w, 0) AS sum_prev
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+        |       CAST(n_prev AS BIGINT) AS n_prev,
+        |       CAST(sum_prev AS BIGINT) AS sum_prev,
+        |       (n_prev >= 6 AND n * n_prev > sum_prev * 3) AS is_spike
+        |FROM wins""".stripMargin,
     "q_freshness" ->
       """WITH t AS (
         |  SELECT event_type, count(*) AS n, max(CAST(ts AS TIMESTAMP)) AS max_ts

@@ -446,7 +446,41 @@ object TextAnalysisQueries extends graft.QueryModule {
         (col("est") - col("c_tok")).as("err"))
   }
 
+  /** Unigram-surprisal scoring — the perplexity-bucket quality filter
+    * of the CCNet/GPT-3 curation recipes (partition a corpus by how
+    * "surprising" a language model finds each document), in a log-free
+    * cross-engine-exact form: a token's surprisal is the BIT LENGTH of
+    * floor(total_corpus_tokens / corpus_count(tok)) — i.e.
+    * floor(log2(1/p)) + 1 of its inverse unigram probability — so
+    * boilerplate tokens score low, rare tokens high, and every value
+    * is an exact integer (float log-prob sums are summation-order-
+    * dependent across engines; bit lengths are not). Per doc: token
+    * count, total surprisal bits, and the mean in exact milli-bits
+    * (integer division) — the score a perplexity-bucket gate
+    * thresholds on.
+    *
+    * Scale: corpus token counts are one (tok) aggregate over the
+    * shared term-frequency build; scoring is one equi-join on tok
+    * (AQE broadcasts the vocabulary side when small) plus one per-doc
+    * hash aggregate. No windows, no driver state.
+    */
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreq(spark, dir)
+    val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    tf.join(cnt, Seq("tok"))
+      .crossJoin(broadcast(total))
+      // bin() of a positive long has length floor(log2(x)) + 1 —
+      // integer-exact bit length, the log-free surprisal unit
+      .withColumn("bits", length(bin(expr("total DIV cnt"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_millibits", expr("(sum_bits * 1000) DIV n_toks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_surprisal" -> surprisal,
     "q_heavy_hitters" -> heavyHitters,
     "q_collocations" -> collocations,
     "q_ngram_novelty" -> ngramNovelty,
@@ -463,6 +497,24 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), cnt AS (
+        |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+        |), bits AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |         length(format('{:b}', total // cnt)) AS bits
+        |  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+        |       CAST((sum(tf * bits) * 1000) // sum(tf) AS BIGINT) AS mean_millibits
+        |FROM bits GROUP BY doc_id""".stripMargin,
     "q_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents

@@ -231,6 +231,26 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join (view→click attribution): inner join
+    * of two STREAMING frames on user plus an event-time range —
+    * clicks within [view_ts, view_ts + 30 min). Callers supply the
+    * shaped inputs: views(user_id, view_id, view_ts) and
+    * clicks(c_user, click_id, click_ts), each already watermarked —
+    * the watermark + range condition together are what lets Spark
+    * bound BOTH join-state buffers (a buffered view is evicted once
+    * the click watermark passes view_ts + 30 min, and symmetrically),
+    * so state never grows with stream length, only with the interval
+    * width. One definition shared by the oracle-checked
+    * StreamQueries.streamJoin and StreamingSpec's cross-batch /
+    * state-expiry tests.
+    */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
   /** Streaming count-min sketch over document tokens: the running
     * (r, b) cell counts of the SAME 4x64 sketch the batch estimator
     * reads (one key definition: TextFunctions.cmsKeys). The point in

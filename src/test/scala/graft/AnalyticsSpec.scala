@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytics additions: event-rate spike detection
+  * (EventQueries.spikes), unigram-surprisal scoring
+  * (TextAnalysisQueries.surprisal) and quality-aware dedup survivor
+  * selection (DedupQueries.dedupBest). Each is pinned by a planted
+  * case or an independent recomputation — the DuckDB oracles cover
+  * the cross-engine hash, these cover the semantics.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val T0 = 1704067200L // 2024-01-01 00:00:00 UTC, hour-aligned
+
+  test("spikes flags a planted 10x burst after 24 quiet hours and respects the 6-hour warm-up gate") {
+    import spark.implicits._
+    // type "x": 1 event per hour for hours 0..23, then 10 in hour 24.
+    // type "y": 1, then 9 in hour 1 — a huge ratio, but only 1 trailing
+    // observed hour (< 6): the warm-up gate must hold it back.
+    val rows =
+      (0 until 24).map(h => (T0 + h * 3600L, "x")) ++
+        Seq.fill(10)((T0 + 24 * 3600L, "x")) ++
+        Seq((T0, "y")) ++ Seq.fill(9)((T0 + 3600L, "y"))
+    val ev = rows.toDF("sec", "event_type")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val got = graft.operators.EventQueries.spikesOf(ev)
+    val xs = got.filter(col("event_type") === "x" && col("is_spike")).collect()
+    assert(xs.length == 1)
+    val s = xs.head
+    assert(s.getAs[Long]("hr") == T0 / 3600L + 24 &&
+      s.getAs[Long]("n") == 10L &&
+      s.getAs[Long]("n_prev") == 24L &&
+      s.getAs[Long]("sum_prev") == 24L)
+    // 10 * 24 > 3 * 24 fired; y's 9x burst must NOT (n_prev = 1 < 6)
+    assert(got.filter(col("event_type") === "y" && col("is_spike")).count() == 0)
+  }
+
+  test("spikes trailing frame is [-24h, -1h]: an event 25 hours back has aged out") {
+    import spark.implicits._
+    // quiet hour at h=0, then nothing until h=25..30 (6 observed
+    // hours at 1/hour), burst at h=31: the h=0 event is OUTSIDE the
+    // trailing 24 — n_prev must count only hours 25..30
+    val rows = Seq((0, 1)) ++ (25 to 30).map(h => (h, 1)) ++ Seq((31, 7))
+    val ev = rows.flatMap { case (h, n) => Seq.fill(n)(T0 + h * 3600L) }
+      .toDF("sec").withColumn("ts", expr("timestamp_seconds(sec)"))
+      .withColumn("event_type", lit("z"))
+    val got = graft.operators.EventQueries.spikesOf(ev)
+      .filter(col("hr") === T0 / 3600L + 31).head()
+    assert(got.getAs[Long]("n_prev") == 6L && got.getAs[Long]("sum_prev") == 6L)
+    assert(got.getAs[Boolean]("is_spike")) // 7 * 6 > 3 * 6
+  }
+
+  test("surprisal bit-lengths are exact: token counts reconcile and rarer tokens score strictly higher") {
+    val got = graft.operators.TextAnalysisQueries.surprisal(spark, sf0001)
+    // per-doc token mass reconciles with an independent direct count
+    val totGot = got.agg(sum("n_toks")).head().getLong(0)
+    val totWant = Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totGot == totWant)
+    // every token carries >= 1 bit, and the mean is the exact integer
+    // milli-bit floor of sum_bits / n_toks
+    val bad = got.filter(col("sum_bits") < col("n_toks") ||
+      col("mean_millibits") =!= expr("(sum_bits * 1000) DIV n_toks")).count()
+    assert(bad == 0)
+    // ordering sanity on the model itself: a corpus-unique token's
+    // surprisal (bits of total/1) strictly exceeds a stopword's
+    val tf = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt")).head().getLong(0)
+    val maxCnt = tf.agg(max("cnt")).head().getLong(0)
+    assert(java.lang.Long.toBinaryString(total / 1L).length >
+      java.lang.Long.toBinaryString(total / maxCnt).length)
+  }
+
+  test("dedupBest keeps the longest doc per cluster, ties to the smallest id") {
+    val clusters = graft.operators.DedupQueries.dedupClusters(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    val got = graft.operators.DedupQueries.dedupBest(spark, sf0001)
+    // independent recomputation via a sort window instead of the
+    // struct-max aggregate
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val want = clusters.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_docs"),
+        col("doc_id").as("kept_doc_id"), col("n_chars").as("kept_chars"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the survivor really is a member of its own cluster
+    val orphan = got.join(clusters,
+      got("kept_doc_id") === clusters("doc_id") &&
+        got("cluster_id") === clusters("cluster_id"), "left_anti")
+    assert(orphan.count() == 0)
+  }
+}

@@ -75,12 +75,14 @@ class CatalogSpec extends SparkSpec {
     // q_emb_recall scores the corpus against the broadcast anchor
     // sample under the same non-equi self-exclusion as q_knn_brute;
     // q_hybrid_rank's two retrieval arms broadcast the <=5-row anchor
-    // set under the same non-equi self-exclusion)
+    // set under the same non-equi self-exclusion; q_surprisal rides
+    // the same single-row broadcast stats crossJoin as q_bm25 — the
+    // corpus-total-tokens scalar)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
       "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall",
-      "q_hybrid_rank")
+      "q_hybrid_rank", "q_surprisal")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -581,6 +581,70 @@ class StreamingSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 2L)
   }
 
+  /** (views handle, clicks handle, joined stream) for the
+    * stream-stream interval join: tuples are (minute, user, id).
+    */
+  private def memJoinStreams(): (
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+      org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Long)]
+    val cMem = MemoryStream[(Long, Long, Long)]
+    val views = vMem.toDF().toDF("m", "u", "id")
+      .withColumn("view_ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+      .select(col("u").as("user_id"), col("id").as("view_id"), col("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = cMem.toDF().toDF("m", "u", "id")
+      .withColumn("click_ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+      .select(col("u").as("c_user"), col("id").as("click_id"), col("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    (vMem, cMem, StreamingOps.intervalJoinStream(views, clicks))
+  }
+
+  test("stream-stream interval join matches a click against a view buffered in an earlier micro-batch") {
+    val (vMem, cMem, joined) = memJoinStreams()
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_cross").start()
+    // batch 1: the view arrives ALONE — nothing to join yet
+    vMem.addData((0L, 1L, 100L))
+    q.processAllAvailable()
+    assert(spark.table("ssjoin_cross").count() == 0)
+    // batch 2: a click 10 minutes later — must find the BUFFERED view
+    cMem.addData((10L, 1L, 500L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_cross")
+    assert(got.count() == 1)
+    val row = got.head()
+    assert(row.getAs[Long]("view_id") == 100L &&
+      row.getAs[Long]("click_id") == 500L &&
+      row.getAs[java.sql.Timestamp]("click_ts") == tsAt(10))
+  }
+
+  test("stream-stream interval join evicts view state once the watermark passes the join range") {
+    val (vMem, cMem, joined) = memJoinStreams()
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_evict").start()
+    // batch 1: one view for user 1 at 00:00, plus far-future sentinels
+    // on BOTH sides pushing both watermarks to ~07:20 — beyond
+    // view_ts + 30 min + 1 h delay, so V1's buffered state is evicted
+    vMem.addData((0L, 1L, 100L), (500L, 8L, 101L))
+    cMem.addData((500L, 9L, 501L))
+    q.processAllAvailable()
+    // batch 2: a click INSIDE V1's 30-minute range but far behind the
+    // committed watermark — the state is gone, no late match emits
+    cMem.addData((20L, 1L, 502L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ssjoin_evict").count() == 0)
+    // control: the SAME click one batch earlier would have matched —
+    // pinned by the cross-batch test above; this asserts the eviction
+    // is the watermark's doing, not a join-condition accident
+  }
+
   test("two-batch file-source append windows match the final-watermark emission cut") {
     // the real cross-batch append path on the fixture: batch 1 = first
     // half by ingest id, batch 2 = second half; the sink must hold
