@@ -29,34 +29,59 @@ object StreamQueries extends graft.QueryModule {
   // attempt must not shadow the retry's results).
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Every drain runs on a CLONED session (shared SparkContext, own
+    * SQLConf) with shuffle partitions cut to 8: each stateful
+    * streaming operator allocates, commits and fsyncs ONE state store
+    * per shuffle partition per micro-batch (a stream-stream join
+    * allocates four), so at 32 partitions the drain cost is store
+    * machinery, not data — measured 5.5 s → 2.7 s on the
+    * stream-stream join at sf0.1 (compute-heavy drains additionally
+    * need the pre-state repartition in StreamingOps: the single-file
+    * source would serialize their map work on one task whatever the
+    * partition count). The clone scopes the setting to the
+    * drained query: the caller's session conf is never touched (the
+    * round-7 no-conf-mutation-in-read-paths rule), and batch queries
+    * keep the session's 32 (where AQE does the coalescing). A
+    * production streaming job sizes shuffle.partitions to its state
+    * volume at start the same way — partitions are a checkpoint
+    * contract, fixed for the query's life.
+    */
+  private def drainSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** Run a streaming Dataset to completion into a memory sink and
     * return the accumulated table. Update mode for the keyed-state ops
     * (they emit per-row dispositions); complete mode for windowed
     * aggregations (emit every window's final state).
     */
-  private def drain(spark: SparkSession, df: DataFrame, prefix: String,
+  private def drain(df: DataFrame, prefix: String,
       mode: String = "update"): DataFrame = {
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    df.sparkSession.table(name)
   }
 
   /** Streaming exact dedup, drained: every doc with its content hash
     * and the first-seen disposition the ingest gate assigned.
     */
-  def streamDedupExact(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.dedupExactStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+  def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.dedupExactStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_dedup_exact")
+  }
 
   /** Streaming span dedup, drained: every (doc, span position) with
     * its duplicated-span flag.
     */
-  def streamDupSpans(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.dupSpansStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+  def streamDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_dup_spans")
+  }
 
   /** Streaming tumbling windows, drained in complete mode: with the
     * whole fixture in one micro-batch nothing is late, so the final
@@ -66,28 +91,31 @@ object StreamQueries extends graft.QueryModule {
     * diverge — is covered by StreamingSpec's multi-batch drop tests
     * and bounded by q_late_events' batch accounting.
     */
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.windowedCounts(StreamingOps.eventStream(spark, dir)),
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.windowedCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_tumbling", mode = "complete")
+  }
 
   /** Streaming sliding windows, drained complete — see
     * [[streamTumbling]] for why one micro-batch makes this equal the
     * batch aggregation.
     */
-  def streamSliding(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.slidingCounts(StreamingOps.eventStream(spark, dir)),
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.slidingCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_sliding", mode = "complete")
+  }
 
   /** Streaming session windows, drained complete — the stateful
     * session-merge path end-to-end (per-user gap sessions built by
     * the streaming session_window operator, not the batch sort).
     */
-  def streamSession(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.sessionCounts(StreamingOps.eventStream(spark, dir)),
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.sessionCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_session", mode = "complete")
+  }
 
   /** Stream-static enrichment join — the canonical "arriving facts
     * pick up reference data" shape: each streaming event joins
@@ -109,7 +137,7 @@ object StreamQueries extends graft.QueryModule {
       .join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"), col("mean_value"),
         (col("value") > col("mean_value") * lit(2.0)).as("is_anomaly"))
-    drain(spark, enriched, "q_stream_enrich", mode = "append")
+    drain(enriched, "q_stream_enrich", mode = "append")
   }
 
   /** STREAM-STREAM interval join — the attribution shape (each view
@@ -132,16 +160,17 @@ object StreamQueries extends graft.QueryModule {
     */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val views = StreamingOps.eventStream(spark, dir)
+    val s = drainSession(spark)
+    val views = StreamingOps.eventStream(s, dir)
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    val clicks = StreamingOps.eventStream(spark, dir)
+    val clicks = StreamingOps.eventStream(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    drain(spark, StreamingOps.intervalJoinStream(views, clicks),
+    drain(StreamingOps.intervalJoinStream(views, clicks),
       "q_stream_join", mode = "append")
   }
 
@@ -164,10 +193,11 @@ object StreamQueries extends graft.QueryModule {
     * The drop path is pinned by the planted-straggler spec test where
     * file B arrives only after batch 1's windows were evicted.
     */
-  def streamAppend(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(spark, dir)),
+  def streamAppend(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(s, dir)),
       "q_stream_append", mode = "append")
+  }
 
   /** The streaming ingest gate, drained: every doc dispositioned with
     * exact-dup state + the batch-checked quality score and the first
@@ -176,10 +206,11 @@ object StreamQueries extends graft.QueryModule {
     * is exercised by StreamingSpec; the oracle covers the stateful
     * exact-dup x quality precedence).
     */
-  def streamGate(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.ingestGateStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+  def streamGate(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.ingestGateStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_gate")
+  }
 
   /** Streaming MinHash-LSH near-dup candidates, drained: each (doc,
     * band) with the first-anchor doc of its band key — the propose
@@ -187,19 +218,21 @@ object StreamQueries extends graft.QueryModule {
     * oracle mirrors the banding with the SAME shared sig/band CTEs as
     * the batch near-dup oracles, so the schemes cannot drift).
     */
-  def streamNear(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.dedupNearStream(spark, StreamingOps.docStream(spark, dir)).toDF(),
+  def streamNear(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.dedupNearStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_near")
+  }
 
   /** Streaming semantic (embedding) near-dup candidates, drained —
     * hyperplane sign-bit bands probing first-anchor state; oracle
     * shares the batch q_dedup_embedding quantization/banding CTE.
     */
-  def streamEmb(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.dedupEmbeddingStream(spark, StreamingOps.vecStream(spark, dir)).toDF(),
+  def streamEmb(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.dedupEmbeddingStream(s, StreamingOps.vecStream(s, dir)).toDF(),
       "q_stream_emb")
+  }
 
   /** Per-source token budget at ingest, drained: first-fit greedy in
     * doc_id order, one counter per source. The oracle replays the
@@ -207,11 +240,12 @@ object StreamQueries extends graft.QueryModule {
     * scale — the recursion is the SPEC restated, the engine runs the
     * keyed-state fold).
     */
-  def streamBudget(spark: SparkSession, dir: String): DataFrame =
-    drain(spark,
-      StreamingOps.sourceTokenBudget(spark, StreamingOps.docStream(spark, dir),
+  def streamBudget(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.sourceTokenBudget(s, StreamingOps.docStream(s, dir),
         TokenBudget).toDF(),
       "q_stream_budget")
+  }
 
   /** Budget for [[streamBudget]] — ~half a source's fixture token mass,
     * so every source exhibits keeps, skips AND post-skip refits. */

@@ -453,7 +453,14 @@ object StreamingOps {
     */
   def dupSpansStream(spark: SparkSession, docs: DataFrame): Dataset[SpanHit] = {
     import spark.implicits._
-    graft.operators.DedupQueries.spanPositions(docs)
+    // The file source delivers a micro-batch in as few partitions as
+    // it has files (one, for the staged fixture) — an explicit
+    // repartition spreads the span explode + hashing across the
+    // session's shuffle partitions BEFORE the heavy map work, instead
+    // of serializing it on the source task (measured 3.1 s -> sub-1 s
+    // at sf0.1). The keyed state shuffle downstream re-keys by span
+    // hash regardless, so this adds one narrow-row exchange only.
+    graft.operators.DedupQueries.spanPositions(docs.repartition(col("doc_id")))
       .as[SpanRow]
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -515,7 +522,10 @@ object StreamingOps {
     import spark.implicits._
     import graft.functions.TextFunctions
     import graft.operators.DedupQueries
-    val sh = docs.select(
+    // spread the shingle + 9-order MinHash computation across the
+    // session's shuffle partitions — the single-file source would
+    // otherwise run it all on one task (see dupSpansStream)
+    val sh = docs.repartition(col("doc_id")).select(
       col("doc_id"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
         .as("sh_arr"))
