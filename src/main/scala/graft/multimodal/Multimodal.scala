@@ -453,7 +453,7 @@ object MultimodalQueries extends graft.QueryModule {
     * every media oracle, so the gram/banding scheme has exactly one
     * SQL rendering.
     */
-  private lazy val mediaBandsCte: String =
+  private[graft] lazy val mediaBandsCte: String =
     s"""hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
       |), g0 AS (

@@ -174,6 +174,56 @@ object StreamQueries extends graft.QueryModule {
       "q_stream_join", mode = "append")
   }
 
+  /** Stream-stream click ATTRIBUTION join, drained: each purchase
+    * joined to the same user's clicks in the PRECEDING hour — the
+    * time-reversed companion of [[streamJoin]] (there: clicks after a
+    * view; here: clicks before a purchase), sharing the same
+    * watermark + range state-bounding contract. One-batch drain
+    * equals the batch interval join.
+    */
+  def streamAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.clickAttribution(StreamingOps.eventStream(s, dir)),
+      "q_stream_attrib", mode = "append")
+  }
+
+  /** Per-user running totals via flatMapGroupsWithState, drained: one
+    * batch emits each user's final (n_events, total_value). The state
+    * accumulates exact integer cents (see StreamingOps), so the
+    * emitted doubles hash-match the batch DECIMAL(18,2) aggregate.
+    */
+  def streamTotals(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.userRunningTotals(s, StreamingOps.eventStream(s, dir)).toDF(),
+      "q_stream_totals")
+  }
+
+  /** Streaming count-min sketch cells, drained complete: the running
+    * 4x64 cell counts — state bounded at 256 rows FOREVER whatever
+    * the corpus size. Shares TextFunctions.cmsKeys with the batch
+    * estimator; the oracle re-derives the salt/bucket scheme in SQL.
+    */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.cmsCellsStream(StreamingOps.docStream(s, dir)),
+      "q_stream_cms", mode = "complete")
+  }
+
+  /** Streaming MEDIA near-dup candidates, drained: arriving binary
+    * payloads byte-grammed and MinHash-banded with the batch fuzzy
+    * index's scheme, probing the shared first-anchor band state —
+    * completes the oracle-checked modality matrix (text, embeddings,
+    * media) for streaming dedup-at-ingest. The oracle shares the
+    * batch media gram/band CTE by reference.
+    */
+  def streamMedia(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    val media = StreamingOps.docStream(s, dir).select(
+      org.apache.spark.sql.functions.col("doc_id").as("media_id"),
+      org.apache.spark.sql.functions.col("text").cast("binary").as("payload"))
+    drain(StreamingOps.dedupMediaStream(s, media).toDF(), "q_stream_media")
+  }
+
   /** Append-mode tumbling windows under a real 1-hour watermark across
     * TWO micro-batches — the mode production runs (r7 verdict item 3):
     * the fixture split at the ingest-id midpoint arrives as two file-
@@ -254,6 +304,10 @@ object StreamQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_append" -> streamAppend,
     "q_stream_join" -> streamJoin,
+    "q_stream_attrib" -> streamAttrib,
+    "q_stream_totals" -> streamTotals,
+    "q_stream_cms" -> streamCms,
+    "q_stream_media" -> streamMedia,
     "q_stream_gate" -> streamGate,
     "q_stream_near" -> streamNear,
     "q_stream_emb" -> streamEmb,
@@ -282,6 +336,38 @@ object StreamQueries extends graft.QueryModule {
         | AND c.user_id = v.user_id
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
+    "q_stream_attrib" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR""".stripMargin,
+    "q_stream_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+        |         / 100.0 AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_stream_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents
+        |), keyed AS (
+        |  SELECT r,
+        |         CAST(('0x' || substr(md5('cm' || r || ':' || tok), 1, 8))::UBIGINT % 64 AS BIGINT) AS b
+        |  FROM toks, (SELECT unnest([0,1,2,3]) AS r) rows
+        |)
+        |SELECT CAST(r AS INT) AS r, b, CAST(count(*) AS BIGINT) AS cell
+        |FROM keyed GROUP BY r, b""".stripMargin,
+    "q_stream_media" ->
+      s"""WITH ${graft.multimodal.MultimodalQueries.mediaBandsCte},
+        |nn AS (SELECT doc_id, band_id, band_key FROM bands WHERE band_key IS NOT NULL)
+        |SELECT doc_id, CAST(band_id AS INT) AS band_id,
+        |       CAST(min(doc_id) OVER (PARTITION BY band_id, band_key) AS BIGINT)
+        |         AS anchor_doc,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY band_id, band_key)
+        |         AS is_candidate
+        |FROM nn""".stripMargin,
     "q_stream_append" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |wmf AS (SELECT epoch_us(max(ts))//1000 - 3600000 AS w_ms FROM ev),

@@ -293,8 +293,9 @@ object StreamingOps {
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
   }
 
-  case class UserEvent(user_id: Long, value: Double)
+  case class UserEvent(user_id: Long, cents: Long)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+  case class UserState(n_events: Long, cents: Long)
 
   case class DocTokens(source: String, doc_id: Long, n_tok: Long)
   case class BudgetedDoc(source: String, doc_id: Long, n_tok: Long,
@@ -573,7 +574,9 @@ object StreamingOps {
   def dedupMediaStream(spark: SparkSession, media: DataFrame): Dataset[NearDupHit] = {
     import graft.operators.DedupQueries
     import graft.multimodal.Multimodal
-    val g = media.select(
+    // spread gram extraction + signing off the single-file source task
+    // (see dupSpansStream)
+    val g = media.repartition(col("media_id")).select(
       col("media_id").as("doc_id"),
       array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
@@ -628,23 +631,28 @@ object StreamingOps {
 
   /** Custom keyed state: running per-user totals via
     * flatMapGroupsWithState — the escape hatch for semantics the
-    * built-in aggregations can't express.
+    * built-in aggregations can't express. The running sum accumulates
+    * in exact integer CENTS (value quantized through DECIMAL(18,2),
+    * the engine-wide money convention): long addition is
+    * order-independent, so the emitted double — one division at emit
+    * time — is bit-identical whatever the arrival interleaving, which
+    * is what lets the drained stream share a hash gate with a batch
+    * SQL aggregate (a naive running double sum is summation-order-
+    * dependent and unhashable).
     */
   def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
     import spark.implicits._
     events
-      .select(col("user_id"), col("value"))
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
-          var n = prev.n_events
-          var total = prev.total_value
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserTotal(userId, n, total)
-          state.update(next)
-          Iterator(next)
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0L))
+          rows.foreach { e => st = UserState(st.n_events + 1, st.cents + e.cents) }
+          state.update(st)
+          Iterator(UserTotal(userId, st.n_events, st.cents / 100.0))
       }
   }
 
