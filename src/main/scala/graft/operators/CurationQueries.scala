@@ -902,7 +902,44 @@ object CurationQueries extends graft.QueryModule {
       (col("vote") > 0).as("selected"))
   }
 
+  /** Per-source corpus health card — the report a curation pipeline
+    * publishes per crawl/source before mixing decisions: document and
+    * token mass, quality-gate pass count, near-dup membership count,
+    * language spread, and the derived fractions. Every counted flag
+    * is integer-exact (the SHARED quality expression thresholded at
+    * 0.5, near-dup membership from the shared cluster labels); the
+    * two fractions are single double divisions of those integers.
+    *
+    * Scale: one pass over documents into a source-keyed hash
+    * aggregate (source cardinality output), a broadcast-sized anti
+    * membership join against the memoized cluster labels, and one
+    * countDistinct Expand over a two-column slim projection — all
+    * bounded by source x lang domains, never corpus rows.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        (TextAnalysisQueries.qualityExpr(col("toks")) >= 0.5).as("quality_ok"))
+    val dupes = DedupQueries.dedupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    docs.join(dupes, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_near_dup"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_frac",
+        col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+      .withColumn("quality_frac",
+        col("n_quality_ok").cast("double") / col("n_docs").cast("double"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_stats" -> domainStats,
     "q_target_select" -> targetSelect,
     "q_quality_classifier" -> qualityClassifier,
     "q_mix_weights" -> mixWeights,
@@ -965,6 +1002,35 @@ object CurationQueries extends graft.QueryModule {
       |FROM documents d JOIN stats t ON t.lang = d.lang""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // shares the recursive-CTE cluster labels (near-dup membership)
+    // and restates the gate's quality formula on (n_tok, n_dis)
+    "q_domain_stats" ->
+      s"""${DedupQueries.ccLabelsCte},
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_dis
+        |  FROM toks GROUP BY doc_id
+        |), q AS (
+        |  SELECT d.doc_id, d.source, d.lang, s.n_tok,
+        |         (least(CAST(s.n_tok AS DOUBLE) / 50.0, 1.0) *
+        |          (0.5 + 0.5 * (CAST(s.n_dis AS DOUBLE) / CAST(s.n_tok AS DOUBLE))))
+        |           >= 0.5 AS quality_ok,
+        |         EXISTS (SELECT 1 FROM labels l
+        |                 WHERE l.doc_id = d.doc_id AND l.cluster_id <> d.doc_id)
+        |           AS is_dup
+        |  FROM documents d JOIN stats s USING (doc_id)
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS dup_frac,
+        |       CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS quality_frac
+        |FROM q GROUP BY source""".stripMargin,
     // same 64-bucket hash, same integer cross-multiplication votes
     // (HUGEINT mirrors the DECIMAL(38,0) width policy)
     "q_target_select" ->

@@ -75,6 +75,23 @@ class AnalyticsSpec extends SparkSpec {
       java.lang.Long.toBinaryString(total / maxCnt).length)
   }
 
+  test("domainStats counts reconcile with the corpus, the quality gate and the cluster labels") {
+    val got = graft.operators.CurationQueries.domainStats(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    // partition of the corpus: per-source doc counts sum to the corpus
+    assert(got.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    // flags are subsets and fractions are the exact integer ratios
+    val bad = got.filter(col("n_quality_ok") > col("n_docs") ||
+      col("n_near_dup") > col("n_docs") || col("n_langs") < 1 ||
+      col("dup_frac") =!= col("n_near_dup").cast("double") / col("n_docs").cast("double") ||
+      col("quality_frac") =!= col("n_quality_ok").cast("double") / col("n_docs").cast("double"))
+    assert(bad.count() == 0)
+    // near-dup mass reconciles with the shared cluster labels
+    val wantDups = graft.operators.DedupQueries.dedupClusters(spark, sf0001)
+      .filter(col("cluster_id") =!= col("doc_id")).count()
+    assert(got.agg(sum("n_near_dup")).head().getLong(0) == wantDups)
+  }
+
   test("dedupBest keeps the longest doc per cluster, ties to the smallest id") {
     val clusters = graft.operators.DedupQueries.dedupClusters(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
