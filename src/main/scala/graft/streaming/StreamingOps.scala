@@ -456,12 +456,16 @@ object StreamingOps {
     import spark.implicits._
     // The file source delivers a micro-batch in as few partitions as
     // it has files (one, for the staged fixture) — an explicit
-    // repartition spreads the span explode + hashing across the
-    // session's shuffle partitions BEFORE the heavy map work, instead
-    // of serializing it on the source task (measured 3.1 s -> sub-1 s
-    // at sf0.1). The keyed state shuffle downstream re-keys by span
-    // hash regardless, so this adds one narrow-row exchange only.
-    graft.operators.DedupQueries.spanPositions(docs.repartition(col("doc_id")))
+    // repartition spreads the span explode + hashing BEFORE the heavy
+    // map work, instead of serializing it on the source task
+    // (measured 3.1 s -> sub-1 s at sf0.1). The count is pinned to
+    // defaultParallelism (cluster width), NOT shuffle.partitions: the
+    // oracle harness drains on an 8-partition session to keep
+    // state-store machinery cheap, and this exchange must stay as
+    // wide as the compute, not as narrow as the state. The keyed
+    // state shuffle downstream re-keys by span hash regardless.
+    graft.operators.DedupQueries.spanPositions(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
       .as[SpanRow]
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -526,7 +530,9 @@ object StreamingOps {
     // spread the shingle + 9-order MinHash computation across the
     // session's shuffle partitions — the single-file source would
     // otherwise run it all on one task (see dupSpansStream)
-    val sh = docs.repartition(col("doc_id")).select(
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
       col("doc_id"),
       array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
         .as("sh_arr"))
@@ -576,7 +582,9 @@ object StreamingOps {
     import graft.multimodal.Multimodal
     // spread gram extraction + signing off the single-file source task
     // (see dupSpansStream)
-    val g = media.repartition(col("media_id")).select(
+    val g = media
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("media_id"))
+      .select(
       col("media_id").as("doc_id"),
       array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
