@@ -971,6 +971,36 @@ object DedupQueries extends graft.QueryModule {
         col("best.n_chars").as("kept_chars"))
   }
 
+  /** Contrastive training triplets — the (anchor, positive, negative)
+    * sampling an embedding-model trainer consumes: positives are the
+    * verified near-dup pairs ([[dedupMinhash]], Jaccard >= 0.5 exact),
+    * negatives are drawn per anchor from a DETERMINISTIC 64-doc pool
+    * (smallest md5('neg:' || doc_id) — the house cross-engine RNG,
+    * never rand()) excluding both pair members, picking the pool doc
+    * with the smallest md5(anchor ':' candidate) so resampling is
+    * stable across runs and engines.
+    *
+    * Scale: the pool is a 64-row TakeOrdered broadcast; the candidate
+    * frame is |pairs| x 64 under a non-equi broadcast join (the same
+    * bounded-broadcast shape as the ANN anchor queries), reduced by
+    * one struct-min hash aggregate. Corpus rows are never self-joined.
+    */
+  def triplets(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir)
+    val pool = Tables.documents(spark, dir)
+      .select(col("doc_id").as("cand"),
+        md5(concat(lit("neg:"), col("doc_id").cast("string"))).as("ch"))
+      .orderBy(col("ch"), col("cand")).limit(64)
+    pairs.join(broadcast(pool),
+        col("cand") =!= col("doc_a") && col("cand") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg(min(struct(
+        md5(concat_ws(":", col("doc_a"), col("cand"))).as("nh"),
+        col("cand"))).as("neg"))
+      .select(col("doc_a").as("anchor_doc"), col("doc_b").as("pos_doc"),
+        col("jaccard"), col("neg.cand").as("neg_doc"))
+  }
+
   /** Cluster-size profile: how big the near-dup groups are — the
     * audit view that tells a pipeline how much the corpus shrinks and
     * whether one mega-cluster (boilerplate) dominates.
@@ -1338,6 +1368,7 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_clusters" -> dedupClusters,
     "q_dedup_keep" -> dedupKeep,
     "q_dedup_best" -> dedupBest,
+    "q_triplets" -> triplets,
     "q_cluster_stats" -> clusterStats,
     "q_dedup_incremental" -> dedupIncremental,
     "q_minhash_by_lang" -> minhashByLang,
@@ -1476,6 +1507,23 @@ object DedupQueries extends graft.QueryModule {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM labels l
         |  WHERE l.doc_id = d.doc_id AND l.cluster_id <> d.doc_id)""".stripMargin,
+    "q_triplets" ->
+      s"""WITH pairs AS (
+        |$minhashOracle
+        |), pool AS (
+        |  SELECT doc_id AS cand, md5('neg:' || CAST(doc_id AS VARCHAR)) AS ch
+        |  FROM documents ORDER BY ch, cand LIMIT 64
+        |), nc AS (
+        |  SELECT p.doc_a, p.doc_b, p.jaccard, l.cand,
+        |         md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(l.cand AS VARCHAR)) AS nh
+        |  FROM pairs p JOIN pool l ON l.cand <> p.doc_a AND l.cand <> p.doc_b
+        |), r AS (
+        |  SELECT doc_a, doc_b, jaccard, cand,
+        |         row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY nh, cand) AS rn
+        |  FROM nc
+        |)
+        |SELECT doc_a AS anchor_doc, doc_b AS pos_doc, jaccard, cand AS neg_doc
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_dedup_best" ->
       s"""$ccLabelsCte,
         |ranked AS (

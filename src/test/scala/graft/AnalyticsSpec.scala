@@ -92,6 +92,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.agg(sum("n_near_dup")).head().getLong(0) == wantDups)
   }
 
+  test("triplets: one per positive pair, negative from the pool and never a pair member") {
+    val pairs = graft.operators.DedupQueries.dedupMinhash(spark, sf0001)
+    val got = graft.operators.DedupQueries.triplets(spark, sf0001)
+    // exactly one triplet per verified near-dup pair
+    assert(got.count() == pairs.count())
+    assert(got.select("anchor_doc", "pos_doc").distinct().count() == got.count())
+    // the negative is neither pair member
+    assert(got.filter(col("neg_doc") === col("anchor_doc") ||
+      col("neg_doc") === col("pos_doc")).count() == 0)
+    // and comes from the deterministic 64-doc md5 pool
+    val pool = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        md5(concat(lit("neg:"), col("doc_id").cast("string"))).as("ch"))
+      .orderBy("ch", "doc_id").limit(64).select("doc_id")
+    assert(got.join(pool, got("neg_doc") === pool("doc_id"), "left_anti").count() == 0)
+  }
+
   test("dedupBest keeps the longest doc per cluster, ties to the smallest id") {
     val clusters = graft.operators.DedupQueries.dedupClusters(spark, sf0001)
     val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
