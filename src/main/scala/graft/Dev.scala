@@ -511,7 +511,17 @@ object Dev {
           .queryName("examples_dedup").start()
         q.processAllAvailable(); q.stop()
         spark.table("examples_dedup").show(5, truncate = false)
-        println("[examples] done — asof, dedup, curation, similarity, streaming")
+        println("== stream-stream join: views matched to clicks within 30 min, both sides streaming ==")
+        graft.streaming.StreamQueries.queries("q_stream_join")(spark, dir)
+          .show(5, truncate = false)
+        println("== analytics: event-rate spikes vs trailing-24h mean; unigram-surprisal quality ==")
+        graft.operators.EventQueries.spikes(spark, dir)
+          .filter(col("is_spike")).show(5, truncate = false)
+        graft.operators.TextAnalysisQueries.surprisal(spark, dir).show(5, truncate = false)
+        println("== training prep: contrastive (anchor, positive, negative) triplets ==")
+        graft.operators.DedupQueries.triplets(spark, dir).show(5, truncate = false)
+        println("[examples] done — asof, dedup, curation, similarity, streaming, " +
+          "stream-join, analytics, triplets")
       case other =>
         System.err.println(s"unknown args: $other")
         sys.exit(2)
