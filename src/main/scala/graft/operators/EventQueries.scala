@@ -243,7 +243,74 @@ object EventQueries extends graft.QueryModule {
       .select("event_type", "hr", "n", "n_prev", "sum_prev", "is_spike")
   }
 
+  /** Gap-filled hourly series — sparse-to-dense resampling: the
+    * (type, hour) counts joined onto the FULL hour grid between the
+    * corpus' min and max hour, absent hours zero-filled and flagged.
+    * Monitoring, forecasting and join-with-externals all want the
+    * dense form; the grid is (types x hour-span)-sized — a metadata
+    * domain bounded by calendar time, never corpus rows.
+    *
+    * Scale: one (type, hour) hash aggregate over the corpus, then a
+    * broadcast 1-row span crossJoin + sequence explode to build the
+    * grid, and a left join grid->counts (both sides domain-bounded).
+    */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    grid.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  /** Peak interval concurrency — the sweep-line occupancy audit: each
+    * event occupies [ts, ts + 30 min); per (type, UTC day) the peak
+    * number of simultaneously open intervals, computed as a +1/-1
+    * edge sweep with a running integer sum. Edges order by (second,
+    * delta) so at an exact boundary the -1 closes BEFORE the +1 opens
+    * (half-open intervals); ties among identical edges commute, so
+    * the prefix-sum multiset — and its max — is engine-independent.
+    * Spans are attributed to their START day (documented convention:
+    * intra-day occupancy, no midnight carry).
+    *
+    * Scale: the sweep partitions by (type, day) — thousands of
+    * independent partitions — and each day's edge list is bounded by
+    * that day's event count; nothing globally ordered.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyOf(Tables.events(spark, dir))
+
+  /** [[concurrency]] on an arbitrary (ts, event_type) frame — the
+    * shape the planted-overlap spec drives directly.
+    */
+  private[graft] def concurrencyOf(events: DataFrame): DataFrame = {
+    val edges = events
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr("unix_timestamp(ts)").as("t0"))
+      .select(col("event_type"), col("day"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1).as("delta")),
+          struct((col("t0") + 1800L).as("t"), lit(-1).as("delta")))).as("e"))
+      .select(col("event_type"), col("day"), col("e.t"), col("e.delta"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    edges
+      .withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("open")).as("peak"),
+        expr("count(1) DIV 2").as("n_events"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> gapfill,
+    "q_concurrency" -> concurrency,
     "q_spike" -> spikes,
     "q_freshness" -> freshness,
     "q_range_frame" -> rangeFrame,
@@ -257,6 +324,41 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+        |types AS (SELECT DISTINCT event_type FROM hourly),
+        |grid AS (
+        |  SELECT t.event_type, CAST(g.g AS BIGINT) AS hr
+        |  FROM types t, span s,
+        |       LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS g) g
+        |)
+        |SELECT g.event_type, g.hr, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+        |       h.n IS NULL AS is_gap
+        |FROM grid g LEFT JOIN hourly h
+        |  ON h.event_type = g.event_type AND h.hr = g.hr""".stripMargin,
+    "q_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t0
+        |  FROM events
+        |), edges AS (
+        |  SELECT event_type, day, t0 AS t, 1 AS delta FROM ev
+        |  UNION ALL SELECT event_type, day, t0 + 1800, -1 FROM ev
+        |), sweep AS (
+        |  SELECT event_type, day,
+        |         sum(delta) OVER (PARTITION BY event_type, day ORDER BY t, delta
+        |                          ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM edges
+        |)
+        |SELECT event_type, day, CAST(max(open) AS BIGINT) AS peak,
+        |       CAST(count(*) // 2 AS BIGINT) AS n_events
+        |FROM sweep GROUP BY event_type, day""".stripMargin,
     "q_spike" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -51,6 +51,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Boolean]("is_spike")) // 7 * 6 > 3 * 6
   }
 
+  test("gapfill produces the complete dense grid and preserves observed counts") {
+    val got = graft.operators.EventQueries.gapfill(spark, sf0001)
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("want_n"))
+    val span = hourly.agg((max("hr") - min("hr") + 1).as("hours")).head().getLong(0)
+    val nTypes = hourly.select("event_type").distinct().count()
+    // dense: every (type, hour-in-span) present exactly once
+    assert(got.count() == span * nTypes)
+    assert(got.select("event_type", "hr").distinct().count() == got.count())
+    // observed hours keep their counts; gaps are exactly the zero rows
+    val joined = got.join(hourly, Seq("event_type", "hr"), "left")
+    assert(joined.filter(col("want_n").isNotNull &&
+      (col("n") =!= col("want_n") || col("is_gap"))).count() == 0)
+    assert(joined.filter(col("want_n").isNull &&
+      (col("n") =!= 0L || !col("is_gap"))).count() == 0)
+  }
+
+  test("concurrency sweep: planted overlaps peak correctly and a touching boundary does not overlap") {
+    import spark.implicits._
+    // type "a": three intervals all open at minute 10 -> peak 3;
+    // type "b": second event starts EXACTLY at the first's end
+    // (half-open [t, t+30min)) -> peak stays 1
+    val rows = Seq(
+      ("a", 0L), ("a", 5L), ("a", 10L),
+      ("b", 0L), ("b", 30L))
+    val ev = rows.toDF("event_type", "m")
+      .withColumn("ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+    val got = graft.operators.EventQueries.concurrencyOf(ev)
+    val a = got.filter(col("event_type") === "a").head()
+    assert(a.getAs[Long]("peak") == 3L && a.getAs[Long]("n_events") == 3L)
+    val b = got.filter(col("event_type") === "b").head()
+    assert(b.getAs[Long]("peak") == 1L && b.getAs[Long]("n_events") == 2L)
+  }
+
   test("surprisal bit-lengths are exact: token counts reconcile and rarer tokens score strictly higher") {
     val got = graft.operators.TextAnalysisQueries.surprisal(spark, sf0001)
     // per-doc token mass reconciles with an independent direct count
