@@ -104,11 +104,60 @@ object RelationalQueries extends graft.QueryModule {
       |) c
       |ORDER BY segment, supplier_rank""".stripMargin
 
+  /** Market-basket co-purchase mining: part pairs appearing in the
+    * same order, with supports and an integer-exact lift direction —
+    * the classic association-rule building block (recommendations,
+    * bundling, substitution analysis). The lift comparison
+    * n_both * n_orders vs n_a * n_b is a long cross-multiplication,
+    * so both engines agree exactly; reported support counts are plain
+    * integers.
+    *
+    * Scale: the self-join keys on l_orderkey, so pair generation is
+    * per-order and bounded by order width squared (TPC-H orders hold
+    * <= 7 parts) — never parts x parts; the support >= 2 filter bounds
+    * the output; per-part supports join back on the pair frame (AQE
+    * broadcasts the vocabulary-sized support table when small).
+    */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("a")
+      .join(li.select(col("ok"), col("pk").as("pk_b")).as("b"), Seq("ok"))
+      .filter(col("pk") < col("pk_b"))
+      .groupBy(col("pk").as("part_a"), col("pk_b").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n_orders_part"))
+    val stats = li.agg(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(sup.select(col("pk").as("part_a"), col("n_orders_part").as("n_a")), Seq("part_a"))
+      .join(sup.select(col("pk").as("part_b"), col("n_orders_part").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(stats))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        (col("n_both") * col("n_orders") > col("n_a") * col("n_b")).as("lift_up"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_segmentation" -> segmentation
+    "q_segmentation" -> segmentation,
+    "q_copurchase" -> copurchase
   )
 
   def oracles: Map[String, String] = Map(
-    "q_segmentation" -> segmentationOracle
+    "q_segmentation" -> segmentationOracle,
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY pk),
+        |stats AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+        |SELECT p.part_a, p.part_b, p.n_both, sa.n AS n_a, sb.n AS n_b, s.n_orders,
+        |       p.n_both * s.n_orders > sa.n * sb.n AS lift_up
+        |FROM pairs p
+        |JOIN sup sa ON sa.pk = p.part_a
+        |JOIN sup sb ON sb.pk = p.part_b
+        |CROSS JOIN stats s""".stripMargin
   )
 }
