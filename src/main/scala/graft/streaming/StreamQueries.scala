@@ -174,6 +174,23 @@ object StreamQueries extends graft.QueryModule {
       "q_stream_join", mode = "append")
   }
 
+  /** Watermark-bounded streaming dedup, drained:
+    * dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    * PRODUCTION-shape dedup whose state is evicted once the watermark
+    * passes (unlike the keep-forever keyed-state ops, whose state is
+    * bounded by distinct content instead). The emitted KEY SET is
+    * deterministic — exactly the distinct keys — so the oracle
+    * projects to it; which physical row survives is an arrival-order
+    * artifact and stays out of the contract (StreamingSpec pins the
+    * cross-batch drop/keep semantics).
+    */
+  def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark)
+    drain(StreamingOps.dedupWithinWatermark(StreamingOps.eventStream(s, dir))
+      .select("user_id", "event_type"),
+      "q_stream_dedup_wm", mode = "append")
+  }
+
   /** Stream-stream click ATTRIBUTION join, drained: each purchase
     * joined to the same user's clicks in the PRECEDING hour — the
     * time-reversed companion of [[streamJoin]] (there: clicks after a
@@ -304,6 +321,7 @@ object StreamQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_append" -> streamAppend,
     "q_stream_join" -> streamJoin,
+    "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_attrib" -> streamAttrib,
     "q_stream_totals" -> streamTotals,
     "q_stream_cms" -> streamCms,
@@ -336,6 +354,8 @@ object StreamQueries extends graft.QueryModule {
         | AND c.user_id = v.user_id
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
+    "q_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     "q_stream_attrib" ->
       """SELECT p.event_id AS purchase_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |       c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
