@@ -286,7 +286,22 @@ object EventQueries extends graft.QueryModule {
     concurrencyOf(Tables.events(spark, dir))
 
   /** [[concurrency]] on an arbitrary (ts, event_type) frame — the
-    * shape the planted-overlap spec drives directly.
+    * shape the planted-overlap and differential specs drive directly.
+    *
+    * TWO-PHASE sweep, not one day-wide window: a single window per
+    * (type, day) funnels a hot day's whole edge list through one
+    * task's sort (the same class of hazard as the pre-r8 funnel
+    * buffer). Instead phase 1 runs the running sum WITHIN each
+    * (type, day, hour) — tasks bounded by an hour's edges; drop to
+    * minute buckets if an hour can still be hot — keeping each
+    * hour's local running max and net change; phase 2 adds the
+    * cumulative net of the day's PRECEDING hours (a window over the
+    * <= 24-row hourly aggregate — metadata-sized) as an offset.
+    * Exact, because hour boundaries respect the global (t, delta)
+    * order (hour = t DIV 3600 is monotone in t), so every edge's
+    * global running value is its hour offset + its local running
+    * value, and the day peak is the max of offset + local max.
+    * ConcurrencySpec pins this equal to the naive one-window sweep.
     */
   private[graft] def concurrencyOf(events: DataFrame): DataFrame = {
     val edges = events
@@ -297,15 +312,25 @@ object EventQueries extends graft.QueryModule {
         explode(array(
           struct(col("t0").as("t"), lit(1).as("delta")),
           struct((col("t0") + 1800L).as("t"), lit(-1).as("delta")))).as("e"))
-      .select(col("event_type"), col("day"), col("e.t"), col("e.delta"))
-    val w = Window.partitionBy(col("event_type"), col("day"))
+      .select(col("event_type"), col("day"), col("e.t"), col("e.delta"),
+        expr("e.t DIV 3600").as("hour"))
+    val hourW = Window.partitionBy(col("event_type"), col("day"), col("hour"))
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    edges
-      .withColumn("open", sum(col("delta")).over(w))
+    val hourly = edges
+      .withColumn("run", sum(col("delta")).over(hourW))
+      .groupBy(col("event_type"), col("day"), col("hour"))
+      .agg(max(col("run")).as("local_max"),
+        sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+    val dayW = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("offset", coalesce(sum(col("net")).over(dayW), lit(0L)))
       .groupBy(col("event_type"), col("day"))
-      .agg(max(col("open")).as("peak"),
-        expr("count(1) DIV 2").as("n_events"))
+      .agg(max(col("offset") + col("local_max")).as("peak"),
+        sum(col("n_starts")).as("n_events"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

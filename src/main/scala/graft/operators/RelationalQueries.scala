@@ -118,9 +118,22 @@ object RelationalQueries extends graft.QueryModule {
     * the output; per-part supports join back on the pair frame (AQE
     * broadcasts the vocabulary-sized support table when small).
     */
+  /** Baskets wider than this are excluded from pair mining — the
+    * standard bot-cart guard: an unbounded basket pairs quadratically
+    * INSIDE one join key (one task), so a single 100k-item cart would
+    * emit 10^10 rows from one partition. TPC-H orders hold <= 7 parts,
+    * so on the fixture the cap is a no-op (the oracle applies the
+    * same clause); in production it is the knob that keeps the
+    * operator's per-key work bounded by policy, not by luck.
+    */
+  private val MaxBasket = 200L
+
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li0 = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val widths = li0.groupBy(col("ok")).agg(count(lit(1)).as("w"))
+      .filter(col("w") <= MaxBasket).select("ok")
+    val li = li0.join(widths, Seq("ok"))
     val pairs = li.as("a")
       .join(li.select(col("ok"), col("pk").as("pk_b")).as("b"), Seq("ok"))
       .filter(col("pk") < col("pk_b"))
@@ -146,7 +159,11 @@ object RelationalQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "q_segmentation" -> segmentationOracle,
     "q_copurchase" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |li AS (
+        |  SELECT ok, pk FROM li0
+        |  WHERE ok IN (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= 200)
+        |),
         |pairs AS (
         |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_both
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk

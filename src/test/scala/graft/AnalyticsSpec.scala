@@ -86,6 +86,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(b.getAs[Long]("peak") == 1L && b.getAs[Long]("n_events") == 2L)
   }
 
+  test("two-phase concurrency sweep equals the naive one-window sweep on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf0001)
+    val got = graft.operators.EventQueries.concurrencyOf(ev)
+    // the naive day-wide window form the two-phase decomposition replaces
+    val edges = ev
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr("unix_timestamp(ts)").as("t0"))
+      .select(col("event_type"), col("day"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1).as("delta")),
+          struct((col("t0") + 1800L).as("t"), lit(-1).as("delta")))).as("e"))
+      .select(col("event_type"), col("day"), col("e.t"), col("e.delta"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = edges.withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("open")).as("peak"), expr("count(1) DIV 2").as("n_events"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("surprisal bit-lengths are exact: token counts reconcile and rarer tokens score strictly higher") {
     val got = graft.operators.TextAnalysisQueries.surprisal(spark, sf0001)
     // per-doc token mass reconciles with an independent direct count
