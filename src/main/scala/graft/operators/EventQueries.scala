@@ -333,7 +333,35 @@ object EventQueries extends graft.QueryModule {
         sum(col("n_starts")).as("n_events"))
   }
 
+  /** User-journey transition mining: consecutive event-type pairs per
+    * user in event-time order — the Markov-chain view of behavioral
+    * flow (onboarding funnels, loop detection, next-action models all
+    * start here). Ordering ties break by event_id so both engines walk
+    * identical sequences; output is the transition count matrix over
+    * the (type x type) domain plus each source state's outgoing total,
+    * with the majority-transition flag as an integer comparison
+    * (2 * n > out_total).
+    *
+    * Scale: one per-user lead() window (users are bounded, per-user
+    * history is the partition — the same per-user window shape as
+    * sessionization) into a domain-bounded (from, to) aggregate.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("out_total"))
+    pairs.join(outTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("out_total"),
+        (col("n") * 2 > col("out_total")).as("is_majority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> transitions,
     "q_gapfill" -> gapfill,
     "q_concurrency" -> concurrency,
     "q_spike" -> spikes,
@@ -349,6 +377,24 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |           AS next_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |), outs AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS out_total
+        |  FROM pairs GROUP BY from_type
+        |)
+        |SELECT p.from_type, p.to_type, p.n, o.out_total,
+        |       p.n * 2 > o.out_total AS is_majority
+        |FROM pairs p JOIN outs o ON o.from_type = p.from_type""".stripMargin,
     "q_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type,
