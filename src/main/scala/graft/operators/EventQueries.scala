@@ -360,7 +360,54 @@ object EventQueries extends graft.QueryModule {
         (col("n") * 2 > col("out_total")).as("is_majority"))
   }
 
+  /** Calendar seasonality profile: event counts on the (type,
+    * day-of-week, hour-of-day) grid — the shape behind load curves,
+    * send-time optimization and anomaly baselines. Grid arithmetic is
+    * pure integer epoch math (epoch day 0 = Thursday, so dow =
+    * (epoch_day + 4) % 7 with Sunday = 0 — spelled identically in the
+    * oracle; no locale-dependent date functions anywhere near the
+    * hash). The per-type share is a single double division, and the
+    * peak flag (this cell is its type's busiest) is an integer
+    * comparison via a max window over the 168-cell domain.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_timestamp(ts) DIV 86400 + 4) % 7").as("dow"),
+        expr("(unix_timestamp(ts) % 86400) DIV 3600").as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("type_total", sum(col("n")).over(w))
+      .withColumn("type_max", max(col("n")).over(w))
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        (col("n").cast("double") / col("type_total").cast("double")).as("share"),
+        (col("n") === col("type_max")).as("is_peak"))
+  }
+
+  /** Week-over-week deltas: per (type, epoch-week) counts with the
+    * previous observed week's count, the integer delta, and a
+    * direction flag — the standard trend report. lag() runs over the
+    * aggregated (type, week) frame (domain-bounded), never raw rows;
+    * absent weeks are simply not observed (see [[gapfill]] for the
+    * dense form).
+    */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 604800").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        coalesce(col("n") > col("prev_n"), lit(false)).as("is_up"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> seasonality,
+    "q_wow" -> weekOverWeek,
     "q_transitions" -> transitions,
     "q_gapfill" -> gapfill,
     "q_concurrency" -> concurrency,
@@ -377,6 +424,33 @@ object EventQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) + 4) % 7
+        |              AS BIGINT) AS dow,
+        |         CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400) // 3600
+        |              AS BIGINT) AS hod,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, dow, hod, n,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |         AS share,
+        |       n = max(n) OVER (PARTITION BY event_type) AS is_peak
+        |FROM cells""".stripMargin,
+    "q_wow" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS week,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, week, n,
+        |       lag(n) OVER w AS prev_n,
+        |       n - lag(n) OVER w AS delta,
+        |       COALESCE(n > lag(n) OVER w, FALSE) AS is_up
+        |FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)""".stripMargin,
     "q_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -51,6 +51,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Boolean]("is_spike")) // 7 * 6 > 3 * 6
   }
 
+  test("seasonality cells partition the corpus and flag each type's busiest cell") {
+    val got = graft.operators.EventQueries.seasonality(spark, sf0001)
+    assert(got.agg(sum("n")).head().getLong(0) == Tables.events(spark, sf0001).count())
+    // dow/hod stay on the calendar grid
+    assert(got.filter(col("dow") < 0 || col("dow") > 6 ||
+      col("hod") < 0 || col("hod") > 23).count() == 0)
+    // every type has at least one peak cell, and peaks carry the type max
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+    val bad = got.withColumn("mx", max("n").over(w))
+      .filter((col("is_peak") && col("n") =!= col("mx")) ||
+        (!col("is_peak") && col("n") === col("mx")))
+    assert(bad.count() == 0)
+  }
+
+  test("week-over-week deltas are the exact lag differences") {
+    val got = graft.operators.EventQueries.weekOverWeek(spark, sf0001)
+    assert(got.filter(col("prev_n").isNotNull &&
+      (col("delta") =!= col("n") - col("prev_n") ||
+        col("is_up") =!= (col("n") > col("prev_n")))).count() == 0)
+    // exactly one first (prev-less) week per type
+    assert(got.filter(col("prev_n").isNull).count() ==
+      got.select("event_type").distinct().count())
+  }
+
   test("gapfill produces the complete dense grid and preserves observed counts") {
     val got = graft.operators.EventQueries.gapfill(spark, sf0001)
     val hourly = Tables.events(spark, sf0001)
