@@ -784,6 +784,49 @@ class StreamingSpec extends SparkSpec {
     assert((0 to 5).forall(p => got.contains((10L, p))))
   }
 
+  test("stream-stream join buffer survives a query restart from checkpoint") {
+    // the join-state half of the fault-tolerance contract: a view
+    // buffered (unmatched) when the query is killed must still match
+    // a click arriving AFTER the restart — i.e. the symmetric-hash
+    // join buffers live in the state store, not in process memory.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Long)]
+    val cMem = MemoryStream[(Long, Long, Long)]
+    val views = vMem.toDF().toDF("m", "u", "id")
+      .withColumn("view_ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+      .select(col("u").as("user_id"), col("id").as("view_id"), col("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = cMem.toDF().toDF("m", "u", "id")
+      .withColumn("click_ts", expr(s"timestamp_seconds($T0 + m * 60)"))
+      .select(col("u").as("c_user"), col("id").as("click_id"), col("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val ckpt = java.nio.file.Files.createTempDirectory("ssjoin_ckpt")
+    ckpt.toFile.deleteOnExit()
+    val outDir = java.nio.file.Files.createTempDirectory("ssjoin_out")
+    outDir.toFile.deleteOnExit()
+    def start() = StreamingOps.intervalJoinStream(views, clicks)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir.toString)
+      }
+      .start()
+    val q1 = start()
+    vMem.addData((0L, 1L, 100L)) // the view arrives alone, gets buffered
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    cMem.addData((10L, 1L, 500L)) // click arrives only after the restart
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir.toString)
+    assert(got.count() == 1)
+    val row = got.head()
+    assert(row.getAs[Long]("view_id") == 100L && row.getAs[Long]("click_id") == 500L)
+  }
+
   test("streaming exact dedup state survives a query restart from checkpoint") {
     // the fault-tolerance contract a 100 TB ingest relies on: kill the
     // query between micro-batches, restart from the SAME checkpoint,
