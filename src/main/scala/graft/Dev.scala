@@ -482,6 +482,56 @@ object Dev {
               expr("array_min(transform(filter(evs, e -> e.et = 'purchase' AND e.ts > t2), e -> e.ts))"))
             .select(col("user_id"), col("t1"), col("t2"), col("t3"))
         }
+      case "sweepstress" :: rest =>
+        // ONE hot (type, day) with N events — the skew case the
+        // two-phase hour-bucketed sweep exists for: the naive day-wide
+        // window funnels all 2N edges through one task's sort, the
+        // two-phase form bounds tasks at hour granularity. Both
+        // compute identical results (AnalyticsSpec differential).
+        import org.apache.spark.sql.functions._
+        val n = rest.headOption.flatMap(_.toLongOption).getOrElse(2000000L)
+        val ev = spark.range(n).select(
+          lit("hot").as("event_type"),
+          expr("timestamp_seconds(1704067200 + (id * 2654435761) % 86400)").as("ts"))
+        @volatile var peak = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null && m.peakExecutionMemory > peak) peak = m.peakExecutionMemory
+          }
+        }
+        def armS(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          peak = 0L
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val rows = df.collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000)
+          spark.sparkContext.removeSparkListener(listener)
+          val p = rows.head
+          println(f"[sweepstress] $label%-10s ${dt}%7.2fs peak=${p.getAs[Long]("peak")} " +
+            f"peakTaskMem=${peak / 1048576.0}%8.1f MiB")
+        }
+        println(s"[sweepstress] one hot (type, day), $n events")
+        armS("two-phase") { graft.operators.EventQueries.concurrencyOf(ev) }
+        armS("one-window") {
+          import org.apache.spark.sql.expressions.Window
+          val edges = ev
+            .select(col("event_type"),
+              expr("unix_timestamp(ts) DIV 86400").as("day"),
+              expr("unix_timestamp(ts)").as("t0"))
+            .select(col("event_type"), col("day"),
+              explode(array(
+                struct(col("t0").as("t"), lit(1).as("delta")),
+                struct((col("t0") + 1800L).as("t"), lit(-1).as("delta")))).as("e"))
+            .select(col("event_type"), col("day"), col("e.t"), col("e.delta"))
+          val w = Window.partitionBy(col("event_type"), col("day"))
+            .orderBy(col("t"), col("delta"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          edges.withColumn("open", sum(col("delta")).over(w))
+            .groupBy(col("event_type"), col("day"))
+            .agg(max(col("open")).as("peak"), expr("count(1) DIV 2").as("n_events"))
+        }
       case "examples" :: dir :: Nil =>
         // End-to-end library tour, one example per operator family —
         // the public API a new user calls, not the oracle harness.
