@@ -35,6 +35,22 @@ object ExtendedCatalog extends graft.QueryModule {
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)))
 
+  // ===== UNPIVOT: wide metric columns -> long (metric, value) =====
+  /** The melt inverse of [[pivotAgg]]: each lineitem row's three
+    * numeric measures become three (metric, value) rows via a
+    * row-local `stack` — pure map work (a Generate/explode in the
+    * plan, no shuffle), the long form feature pipelines and generic
+    * metric sinks consume. Values unify to double; the oracle spells
+    * the same reshape as a three-way UNION ALL.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3,
+          'quantity', CAST(l_quantity AS DOUBLE),
+          'extendedprice', CAST(l_extendedprice AS DOUBLE),
+          'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)"""))
+
   // ===== NULL semantics: nullif / coalesce / null-safe equality =====
   def nullHandling(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -248,6 +264,7 @@ object ExtendedCatalog extends graft.QueryModule {
     "q_zorder" -> zorderKeyQuery,
     "q_cube" -> cubeAgg,
     "q_pivot" -> pivotAgg,
+    "q_unpivot" -> unpivotMetrics,
     "q_null_handling" -> nullHandling,
     "q_date_funcs" -> dateFuncs,
     "q_median" -> medianAgg,
@@ -347,6 +364,15 @@ object ExtendedCatalog extends graft.QueryModule {
         |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
         |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount',
+        |       CAST(l_discount AS DOUBLE) FROM lineitem""".stripMargin,
     "q_null_handling" ->
       """SELECT l_orderkey, l_linenumber,
         |       nullif(l_returnflag, 'N') AS rf_or_null,
