@@ -111,10 +111,11 @@ object AsOfJoin {
     * Cost model: right side scanned/shuffled `shards` times — worth it
     * exactly when probe skew dominates (bot/power keys), the same
     * replicate-the-build-side tradeoff as
-    * [[graft.pipeline.Salting.saltedJoin]]. The shard id hashes the
-    * left row's time + a caller-chosen discriminator (defaults to the
-    * time column alone) so it is deterministic across runs and
-    * partitionings.
+    * [[graft.pipeline.Salting.saltedJoin]]. The shard id hashes ALL of
+    * the left row's columns (`hash(left.columns: _*)`) — deterministic
+    * across runs and partitionings, and it spreads even probes that
+    * share a timestamp (a time-only hash would leave same-instant
+    * bursts, the common bot shape, on one shard).
     */
   def salted(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
@@ -246,11 +247,30 @@ object AsOfQueries extends graft.QueryModule {
         when(col("in_tol"), col("asof_click_ts")).as("asof_click_ts"))
   }
 
+  /** The salted (skew-sharded) variant of [[asofClicks]] — results are
+    * identical to the unsalted pass by construction (each shard sees
+    * every click of its key), so it shares q_asof_join's oracle; its
+    * presence in the harness pins that equivalence at fixture scale on
+    * every round, not just in AsOfJoinSpec's synthetic hot key.
+    */
+  def asofSalted(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsOfJoin.salted(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts", payload = Seq("click_id", "click_ts"),
+      tiebreak = Some("click_id"), shards = 4)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofClicks,
     "q_asof_forward" -> asofForward,
     "q_asof_nearest" -> asofNearest,
-    "q_asof_tolerance" -> asofTolerance
+    "q_asof_tolerance" -> asofTolerance,
+    "q_asof_salted" -> asofSalted
   )
 
   // Deterministic oracle: a LATERAL top-1 with an explicit
@@ -258,18 +278,23 @@ object AsOfQueries extends graft.QueryModule {
   // id among exact-timestamp ties" rule the Spark side's window
   // tiebreak applies. DuckDB's native ASOF JOIN picks arbitrarily among
   // duplicate (key, ts) right rows, which could flake the hash compare.
+  private val asofClicksOracle =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+      |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND CAST(c.ts AS TIMESTAMP) <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_asof_join" ->
-      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
-        |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
-        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
-        |      FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN LATERAL (
-        |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
-        |  FROM events c
-        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
-        |    AND CAST(c.ts AS TIMESTAMP) <= p.ts
-        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON true""".stripMargin,
+    // q_asof_salted shares q_asof_join's oracle: the salted plan is
+    // row-for-row identical by construction (see AsOfJoin.salted).
+    "q_asof_salted" -> asofClicksOracle,
+    "q_asof_join" -> asofClicksOracle,
     "q_asof_forward" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
         |       c.click_id AS asof_click_id, c.click_ts AS asof_click_ts

@@ -925,6 +925,11 @@ object CurationQueries extends graft.QueryModule {
     val dupes = DedupQueries.dedupClusters(spark, dir)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
+      // distinct = EXISTS semantics, mirroring the oracle: the label
+      // frame is one-row-per-doc today, but a duplicate label row
+      // would otherwise inflate n_docs AND n_near_dup while the
+      // oracle's EXISTS stays robust (r8 ADVICE). doc_id-keyed, cheap.
+      .distinct()
     docs.join(dupes, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -22,6 +22,17 @@ object EventQueries extends graft.QueryModule {
   private def exactSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Floor-division epoch bucketing. Spark's `DIV` truncates toward
+    * zero while the DuckDB oracles bucket with floor(epoch/d) — the two
+    * diverge on negative (pre-1970) epochs, so a plain `DIV` is a
+    * latent cross-engine mismatch masked by post-2020 fixtures (r8
+    * ADVICE). Exact integer floor-div: subtract the non-negative
+    * `pmod` remainder, then the division is exact — no doubles near
+    * the bucket id.
+    */
+  private def fdivSql(x: String, d: Long): String =
+    s"(($x) - pmod(($x), ${d}L)) DIV ${d}L"
+
   // ===== tumbling window (15 min), epoch-aligned in both engines =====
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -117,7 +128,7 @@ object EventQueries extends graft.QueryModule {
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("w"))
+      .select(col("user_id"), expr(fdivSql("CAST(ts AS LONG)", 604800)).as("w"))
     val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cohort_w"))
     ev.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("offset_w"))
@@ -231,7 +242,7 @@ object EventQueries extends graft.QueryModule {
     */
   private[graft] def spikesOf(events: DataFrame): DataFrame = {
     val hourly = events
-      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+      .groupBy(col("event_type"), expr(fdivSql("unix_timestamp(ts)", 3600)).as("hr"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rangeBetween(-24, -1)
@@ -254,11 +265,34 @@ object EventQueries extends graft.QueryModule {
     * broadcast 1-row span crossJoin + sequence explode to build the
     * grid, and a left join grid->counts (both sides domain-bounded).
     */
-  def gapfill(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 3600").as("hr"))
+  /** Hard ceiling on the dense-grid span: `explode(sequence(h0, h1))`
+    * is otherwise unbounded in CALENDAR time, not corpus size — one
+    * 50-year outlier timestamp would make every type explode ~438k
+    * rows (r8 verdict stretch item). Ten years of hourly cells
+    * (87,600/type) is comfortably past any monitoring horizon while
+    * keeping a poisoned corpus loud: beyond it the job FAILS with the
+    * span in the message instead of silently materializing a grid
+    * nobody asked for. Widen deliberately if a use case needs it.
+    */
+  private[graft] val MaxGapfillSpanHours = 10L * 365L * 24L
+
+  def gapfill(spark: SparkSession, dir: String): DataFrame =
+    gapfillOf(Tables.events(spark, dir))
+
+  private[graft] def gapfillOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), expr(fdivSql("unix_timestamp(ts)", 3600)).as("hr"))
       .agg(count(lit(1)).as("n"))
     val span = hourly.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      // span guard: raise_error rides the 1-row span frame — zero
+      // cost on the grid path, and the check runs before any explode
+      .withColumn("h1", when(
+        col("h1") - col("h0") > MaxGapfillSpanHours,
+        raise_error(concat(
+          lit(s"gapfill span exceeds $MaxGapfillSpanHours hours: "),
+          (col("h1") - col("h0")).cast("string"),
+          lit(" (outlier timestamps? clean first or widen MaxGapfillSpanHours)")))
+          .cast("long")).otherwise(col("h1")))
     val grid = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
@@ -306,14 +340,14 @@ object EventQueries extends graft.QueryModule {
   private[graft] def concurrencyOf(events: DataFrame): DataFrame = {
     val edges = events
       .select(col("event_type"),
-        expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr(fdivSql("unix_timestamp(ts)", 86400)).as("day"),
         expr("unix_timestamp(ts)").as("t0"))
       .select(col("event_type"), col("day"),
         explode(array(
           struct(col("t0").as("t"), lit(1).as("delta")),
           struct((col("t0") + 1800L).as("t"), lit(-1).as("delta")))).as("e"))
       .select(col("event_type"), col("day"), col("e.t"), col("e.delta"),
-        expr("e.t DIV 3600").as("hour"))
+        expr(fdivSql("e.t", 3600)).as("hour"))
     val hourW = Window.partitionBy(col("event_type"), col("day"), col("hour"))
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -373,8 +407,8 @@ object EventQueries extends graft.QueryModule {
   def seasonality(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("(unix_timestamp(ts) DIV 86400 + 4) % 7").as("dow"),
-        expr("(unix_timestamp(ts) % 86400) DIV 3600").as("hod"))
+        expr(s"(${fdivSql("unix_timestamp(ts)", 86400)} + 4) % 7").as("dow"),
+        expr(fdivSql("unix_timestamp(ts) % 86400", 3600)).as("hod"))
       .groupBy(col("event_type"), col("dow"), col("hod"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type"))
@@ -395,7 +429,7 @@ object EventQueries extends graft.QueryModule {
     */
   def weekOverWeek(spark: SparkSession, dir: String): DataFrame = {
     val weekly = Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 604800").as("week"))
+      .groupBy(col("event_type"), expr(fdivSql("unix_timestamp(ts)", 604800)).as("week"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
     weekly

@@ -181,10 +181,11 @@ object StreamingOps {
 
   /** Tumbling 15-minute counts with a 1-hour watermark: late events
     * beyond the watermark are dropped, finalized windows emit once
-    * (append mode capable). The value sum goes through DECIMAL(18,2)
-    * exactly like the batch twin (EventQueries.tumbling) so a drained
-    * complete-mode run is BIT-identical to the batch aggregation —
-    * which is what lets q_stream_tumbling share the batch oracle.
+    * (append mode — q_stream_tumbling and q_stream_append both drain
+    * it that way, their oracle adding the watermark emission cut to
+    * the batch aggregate). The value sum goes through DECIMAL(18,2)
+    * exactly like the batch twin (EventQueries.tumbling) so emitted
+    * windows are BIT-identical to the batch aggregation's rows.
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -51,6 +51,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getAs[Boolean]("is_spike")) // 7 * 6 > 3 * 6
   }
 
+  test("gapfill span guard: a 50-year outlier timestamp fails loudly; in-bound spans fill densely") {
+    import spark.implicits._
+    // in-bound: 3 types over a 48-hour span → dense 49-cell grids
+    val ok = Seq(("a", 0L), ("a", 48L), ("b", 10L), ("c", 0L), ("c", 1L))
+      .map { case (t, h) => (t, T0 + h * 3600L) }
+      .toDF("event_type", "sec").withColumn("ts", expr("timestamp_seconds(sec)"))
+    val dense = graft.operators.EventQueries.gapfillOf(ok)
+    assert(dense.filter(col("event_type") === "a").count() == 49)
+    assert(dense.filter(col("event_type") === "a" && col("is_gap")).count() == 47)
+    // poisoned: one timestamp 50 years out — the grid would be ~438k
+    // cells PER TYPE; the guard must fail the job, not materialize it
+    val poisoned = ok.union(Seq(("a", T0 + 50L * 365 * 86400L))
+      .toDF("event_type", "sec").withColumn("ts", expr("timestamp_seconds(sec)")))
+    val e = intercept[Exception] {
+      graft.operators.EventQueries.gapfillOf(poisoned).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("gapfill span exceeds")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("seasonality cells partition the corpus and flag each type's busiest cell") {
     val got = graft.operators.EventQueries.seasonality(spark, sf0001)
     assert(got.agg(sum("n")).head().getLong(0) == Tables.events(spark, sf0001).count())
@@ -155,6 +177,12 @@ class AnalyticsSpec extends SparkSpec {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum("cnt")).head().getLong(0)
     val maxCnt = tf.agg(max("cnt")).head().getLong(0)
+    // the strict-ordering check is only meaningful when some token
+    // repeats: maxCnt >= 2 GUARANTEES a bit-length drop (floor(x/2)
+    // has exactly bitLen(x)-1 bits), so with this precondition the
+    // assertion tests the model, not the fixture shape (r8 ADVICE).
+    assume(maxCnt >= 2,
+      s"fixture has no repeated token; ordering check vacuous (maxCnt=$maxCnt)")
     assert(java.lang.Long.toBinaryString(total / 1L).length >
       java.lang.Long.toBinaryString(total / maxCnt).length)
   }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards (r8 verdict item 1).
+  *
+  * The catalog's scale story rests on plan properties — no cartesian
+  * products, predicates pushed into the parquet scans, dimension
+  * joins broadcast, scans pruned to the referenced columns — that
+  * until now only held because each round's audit READ the plans.
+  * Nothing failed if a refactor silently broke one. These tests turn
+  * the audit into assertions over `explain(formatted)` text for the
+  * most expensive / flagship queries: deliberately un-pushing a
+  * filter, dropping a broadcast hint, or introducing a cross join in
+  * a guarded query now fails the suite instead of waiting for a
+  * human to re-read 150 plans.
+  *
+  * Scope: BATCH queries only. The q_stream_* entries drain a real
+  * streaming query and return the memory-sink result, so their
+  * interesting plan lives inside the StreamExecution, not in the
+  * returned frame; their state-shape properties are pinned in
+  * StreamingSpec instead.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Formatted physical plan of a catalog query at sf0.001. Explain
+    * does not execute the query (eager shared builds under some
+    * queries do run once — sf0.001-cheap, memoized per JVM).
+    */
+  private val planCache = scala.collection.mutable.Map[String, String]()
+  private def planOf(name: String): String = planCache.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, sf0001).queryExecution
+      .explainString(FormattedMode))
+
+  /** The guarded set: the flagship relational queries plus the top
+    * steady-state cost centers of each analytics family (bench-ranked
+    * in round 8). Adding a query here is cheap; removing one should
+    * raise eyebrows in review.
+    */
+  private val guarded = Seq(
+    "q_star_join", "q_segmentation", "q_sql_revenue", "q_group_agg",
+    "q_rank_window", "q_filter_range", "q_incremental", "q_topk",
+    "q_copurchase", "q_funnel", "q_retention", "q_concurrency",
+    "q_transitions", "q_spike", "q_gapfill",
+    "q_asof_join", "q_asof_salted", "q_range_join", "q_skew_join",
+    "q_dedup_minhash", "q_dedup_containment", "q_dedup_ngram",
+    "q_knn_brute", "q_knn_ivf", "q_tfidf", "q_bm25", "q_curated_corpus")
+
+  /** Queries whose plan legitimately contains a
+    * BroadcastNestedLoopJoin: every one is a crossJoin against a
+    * BROADCAST CONSTANT-SIZE frame (a 1-row span/stats aggregate or a
+    * fixed-budget anchor/query pool), never data x data. Growing this
+    * list needs the same justification.
+    */
+  private val bnljAllowed = Set(
+    "q_gapfill",    // 1-row (h0,h1) span aggregate x type list
+    "q_knn_brute",  // fixed 8-query probe pool x corpus — the contract
+    "q_knn_ivf",    // same probe pool x centroid table (k-bounded)
+    "q_curated_corpus", // corpus-constant stats row(s)
+    "q_copurchase", // 1-row n_orders total x pair frame (lift term)
+    "q_tfidf",      // 1-row n_docs total x postings (idf term)
+    "q_bm25")       // 1-row (n_docs, sum_dl) x postings (bm25 norm)
+
+  test("guarded plans: no CartesianProduct, BNLJ only at allowlisted broadcast-constant sites") {
+    val bad = guarded.flatMap { q =>
+      val p = planOf(q)
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$q: CartesianProduct") else Nil
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(q))
+        Seq(s"$q: BroadcastNestedLoopJoin outside allowlist") else Nil
+      cart ++ bnlj
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("flagship scans push real predicates into parquet (not just IsNotNull)") {
+    // q_filter_range: the timestamp range must reach the orders scan
+    val fr = planOf("q_filter_range")
+    assert(fr.contains("GreaterThan(o_orderdate"),
+      "q_filter_range: orderdate range predicate not pushed to the orders scan")
+    // q_isin: the membership list must reach the scan as In(...)
+    val isin = planOf("q_isin")
+    assert(isin.contains("In(") || isin.contains("EqualTo("),
+      "q_isin: membership predicate not pushed")
+    // the funnel's per-type filters must reach the events scans
+    val fu = planOf("q_funnel")
+    assert(fu.contains("EqualTo(event_type,view)"),
+      "q_funnel: event_type filter not pushed to the events scan")
+  }
+
+  test("star-join dimensions broadcast (no shuffle join on a dim table)") {
+    // 4 joins in the star: lineitem-orders-customer-nation-region.
+    // At sf0.001 estimates make ALL of them broadcast; a planning
+    // regression (lost stats, a barrier Project, a disabled pushdown)
+    // would surface as SortMergeJoin / ShuffledHashJoin here.
+    val star = planOf("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(star).size >= 4,
+      "q_star_join: expected >= 4 broadcast hash joins")
+    assert(!star.contains("SortMergeJoin"),
+      "q_star_join: dim join regressed to a shuffle join at sf0.001")
+    val seg = planOf("q_segmentation")
+    assert("BroadcastHashJoin".r.findAllIn(seg).size >= 2,
+      "q_segmentation: expected broadcast dim joins")
+  }
+
+  test("column pruning reaches the scans (ReadSchema is the projection, not the table)") {
+    // q_star_join touches 3 of lineitem's 16 columns; the scan must
+    // read exactly those (a scan reading l_comment for a revenue
+    // aggregate is the regression this guards against).
+    val star = planOf("q_star_join")
+    val lineitemScans = star.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("lineitem.parquet"))
+    assert(lineitemScans.nonEmpty, "q_star_join: no lineitem scan found")
+    val fields = lineitemScans.flatMap(
+      _.linesIterator.find(_.startsWith("ReadSchema:"))).map(_.count(_ == ':') - 1)
+    assert(fields.forall(_ <= 4),
+      s"q_star_join: lineitem scan reads ${fields.max} columns for a 3-column query")
+    // q_group_agg likewise aggregates a handful of lineitem columns
+    val agg = planOf("q_group_agg")
+    val aggScans = agg.split("\\(\\d+\\) Scan parquet")
+      .filter(_.contains("lineitem.parquet"))
+      .flatMap(_.linesIterator.find(_.startsWith("ReadSchema:")))
+    assert(aggScans.nonEmpty && aggScans.forall(_.count(_ == ':') - 1 <= 8),
+      "q_group_agg: lineitem scan not pruned")
+  }
+
+  test("whole-stage codegen covers the guarded aggregates") {
+    // the hot relational path must stay inside WholeStageCodegen — a
+    // non-codegen Expression slipping into q_group_agg's aggregate
+    // chain would leave a bare HashAggregate outside any codegen
+    // span. Under AQE the codegen stages only exist in the FINAL
+    // plan, so execute first (sf0.001 — milliseconds) and inspect
+    // the executed plan's string form (`*(n)` = codegen stage in
+    // simpleString; the Exec node name appears in verbose forms).
+    Seq("q_group_agg", "q_star_join").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("WholeStageCodegen") || s.contains("*("),
+        s"$q: no WholeStageCodegen span in the executed plan")
+    }
+  }
+}

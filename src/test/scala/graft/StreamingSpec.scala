@@ -178,6 +178,53 @@ class StreamingSpec extends SparkSpec {
     assert(sink.count() == keys)
   }
 
+  test("foreachBatchUpsert: a batch replayed after a crash between target write and checkpoint commit converges") {
+    // The exactly-once differential (r8 verdict item 6): foreachBatch
+    // gives at-least-once delivery — if the process dies AFTER the
+    // batch's target write but BEFORE the checkpoint commit marker is
+    // written, the restarted query re-delivers the same batch. The
+    // sink contract that makes this effectively-once is the LWW MERGE
+    // by PK; a sink that appended (or merged non-idempotently) would
+    // duplicate rows here. Simulated faithfully: run a two-batch
+    // stream to completion, delete the LAST commit marker from the
+    // checkpoint (the crash window), restart — Spark re-executes the
+    // final batch from its recorded offsets against a target that
+    // already merged it.
+    val base = java.nio.file.Files.createTempDirectory("upsert_replay").toString
+    val tmp = base + "/t"
+    val ckpt = base + "/ckpt"
+    def run(): Unit = {
+      val stream = StreamingOps.eventStreamTwoBatch(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val q = StreamingOps.foreachBatchUpsert(stream, Seq("user_id", "event_type"), tmp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    val committed = spark.read.parquet(tmp).count()
+    val commits = new java.io.File(ckpt + "/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.length >= 2, "expected a two-batch run")
+    val last = commits.maxBy(_.getName.toLong)
+    assert(last.delete())
+    // the local ChecksumFileSystem keeps a .N.crc sidecar; a stale one
+    // makes the restarted query's atomic commit-rename collide (Spark
+    // reports it as a concurrent-query conflict) — a real crash would
+    // have lost both files together
+    new java.io.File(last.getParentFile, "." + last.getName + ".crc").delete()
+    run() // re-delivers the final batch
+    val sink = spark.read.parquet(tmp)
+    assert(sink.count() == committed,
+      s"replayed batch changed the sink: ${sink.count()} vs $committed")
+    val keys = graft.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(sink.count() == keys)
+    assert(sink.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0, "replay duplicated PKs")
+  }
+
   test("foreachBatchJdbcUpsert merges a stream into a JDBC target idempotently") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString
     System.setProperty("derby.system.home", dbDir)
