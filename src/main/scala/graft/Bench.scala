@@ -94,7 +94,14 @@ object Bench {
     // contamination of the committed artifact roughly in half (a
     // burst must now hit all three samples to survive the min).
     val steadyRuns = sys.env.getOrElse("SPARK_GRAFT_STEADY_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to a named subset —
+    // used by the sf1 scaling certification to iterate on the
+    // expensive families without paying the full 157-query sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -154,7 +161,11 @@ object Bench {
     // last-run-wins (round 6 lost the round-5 baseline to exactly that
     // — a dev run overwrote it before the gate compared), so every run
     // also lands in an append-only log that overwrites can't destroy.
-    val hist = java.nio.file.Paths.get("bench_history.jsonl")
+    // SPARK_GRAFT_HIST redirects the append-only log: off-sf runs
+    // (sf1 scaling certification) and subset runs must not land in the
+    // committed sf0.1 history the regression gate min-composites over.
+    val hist = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_HIST",
+      if (only.isDefined) "target/bench_subset.jsonl" else "bench_history.jsonl"))
     java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
