@@ -40,6 +40,13 @@ object SharedBuilds {
     def cached(df: DataFrame): DataFrame = { val c = df.cache(); frames += c; c }
   }
 
+  /** A scope whose frames are NOT memoized or lifecycle-managed —
+    * for spec-only builds that must bypass the (session, dir) memo
+    * (e.g. a forced banding tier over a dir whose production index is
+    * also live). Caller owns the frames; tiny test fixtures only.
+    */
+  def unmanagedScope: CacheScope = new CacheScope
+
   private final case class Key(kind: String, session: SparkSession, dir: String)
   private final case class Entry(value: AnyRef, frames: Seq[DataFrame])
 

@@ -650,11 +650,47 @@ object DedupQueries extends graft.QueryModule {
   private val EMB_DIM = 64 // fixture embedding dimension (TESTDATA.md)
   // constant audit budget for q_emb_recall (see embRecall doc)
   private val EMB_ANCHORS = 64
-  private lazy val embPlanes: Array[Array[Long]] =
-    Array.tabulate(EMB_BANDS * EMB_BITS, EMB_DIM) { (k, p) =>
+  /** Largest representative count served by the tier-0 (6 band × 3
+    * bit) scheme — the tier the DuckDB oracle replays from literal
+    * hyperplanes. 3-bit bands mean 8 buckets per band, so candidate
+    * pairs grow as N²/8·L: fine to a few thousand vectors (the
+    * correctness-gate scales), quadratic death beyond it — the sf1
+    * scaling run measured 146 s at 20k vectors, ~100× the sf0.1 time.
+    */
+  private[graft] val EMB_TIER0_MAX = 4096L
+  private def embPlaneRow(k: Int): Array[Long] =
+    Array.tabulate(EMB_DIM) { p =>
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$k:$p".getBytes("UTF-8"))
       if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+  private lazy val embPlanes: Array[Array[Long]] =
+    Array.tabulate(EMB_BANDS * EMB_BITS)(embPlaneRow)
+
+  /** Corpus-size-adaptive banding: (bands, bitsPerBand) for a corpus
+    * of `nReps` distinct vectors. Tier 0 below [[EMB_TIER0_MAX]] is
+    * the oracle-pinned scheme; above it the bit depth grows with
+    * log₂(N) so the expected bucket size — and with it the candidate
+    * pair count per band, Σ_buckets (n_b choose 2) ≈ N²/2^bits —
+    * stays BOUNDED (~32 vectors/bucket) instead of growing linearly
+    * with N. That converts the propose stage from N² to ~N·32·L: the
+    * only scheme under which a pairwise LSH join survives a 100×
+    * scale-up. The cost is paid where sign-LSH theory says it must
+    * be: per-band true-pair collision is p^bits (p = 1 − θ/π), so
+    * deeper bands push the recall cliff toward higher cosine — 16
+    * bands at 10 bits keep ≥98% recall at cosine 0.9 and ~80% at 0.8,
+    * the regime near-duplicate detection actually targets, while the
+    * 0.40 verify cut still reports any proposed lower-cosine pair.
+    * q_emb_recall measures the realized per-decile recall of whatever
+    * tier the corpus size selects, so the tradeoff is gated data, not
+    * a design comment.
+    */
+  private[graft] def embTier(nReps: Long): (Int, Int) =
+    if (nReps <= EMB_TIER0_MAX) (EMB_BANDS, EMB_BITS)
+    else {
+      val bits = math.min(16,
+        math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nReps / 32) - 1)))
+      (16, bits)
     }
 
   /** (vec_id, qv) -> (vec_id, band_id, band_key): the EMB_BANDS LSH
@@ -665,12 +701,13 @@ object DedupQueries extends graft.QueryModule {
     * ([[graft.streaming.StreamingOps.dedupEmbeddingStream]]), so a
     * bits/bands retune can't silently diverge between them.
     */
-  private[graft] def embBandKeys(vecs: DataFrame): DataFrame = {
-    val bandCols = (0 until EMB_BANDS).map { b =>
-      val key = (0 until EMB_BITS).map { j =>
-        val k = b * EMB_BITS + j
+  private[graft] def embBandKeys(vecs: DataFrame,
+      bands: Int = EMB_BANDS, bits: Int = EMB_BITS): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bits).map { j =>
+        val k = b * bits + j
         when(aggregate(
-            zip_with(col("qv"), typedLit(embPlanes(k).toSeq), (x, h) => x * h),
+            zip_with(col("qv"), typedLit(embPlaneRow(k).toSeq), (x, h) => x * h),
             lit(0L), (acc, x) => acc + x) >= 0, lit(1 << j))
           .otherwise(lit(0))
       }.reduce(_ + _)
@@ -692,7 +729,18 @@ object DedupQueries extends graft.QueryModule {
     * int64 so every dot/norm is an exact integer sum; one IEEE
     * division per pair at the end (see class doc).
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingWith(spark, dir, forceTier = None)
+
+  /** [[dedupEmbedding]] with the banding tier overridable — spec-only
+    * entry (ScaleSpec forces the adaptive tier on a small planted
+    * corpus to differentially pin its recall/verify contract without
+    * needing a >4096-vector fixture). Forced-tier builds bypass the
+    * shared-build memo: the memo key is (session, dir) and a forced
+    * tier must never poison the production entry's cached index.
+    */
+  private[graft] def dedupEmbeddingWith(spark: SparkSession, dir: String,
+      forceTier: Option[(Int, Int)]): DataFrame = {
     import graft.functions.VectorFunctions._
     // Exact-duplicate collapse first, as in dedupNgram: identical
     // embedding arrays form an equivalence class, the LSH + verify
@@ -705,9 +753,11 @@ object DedupQueries extends graft.QueryModule {
     // All three index frames are memoized per (session, dir): groups
     // (class expansion), vecs (band build + both verify-join sides),
     // and keys (both sides of the candidate self-join — uncached the
-    // 18 hyperplane-dot band expressions run twice).
-    val (groups, vecs, keys) = graft.SharedBuilds.getOrBuild[
-        (DataFrame, DataFrame, DataFrame)]("dedup.embLsh", spark, dir) { scope =>
+    // hyperplane-dot band expressions run twice). The banding tier is
+    // selected INSIDE the build from the representative count
+    // ([[embTier]]) — one count() per (session, dir), amortized with
+    // the index itself.
+    def buildIndex(scope: graft.SharedBuilds.CacheScope): (DataFrame, DataFrame, DataFrame) = {
       val groups = scope.cached(Tables.embeddings(spark, dir)
         .groupBy(col("embedding"))
         .agg(sort_array(collect_list(col("vec_id"))).as("members"),
@@ -715,8 +765,14 @@ object DedupQueries extends graft.QueryModule {
       val vecs = scope.cached(groups
         .select(col("rep").as("vec_id"), quantized(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))
-      val keys = scope.cached(embBandKeys(vecs))
+      val (bands, bits) = forceTier.getOrElse(embTier(groups.count()))
+      val keys = scope.cached(embBandKeys(vecs, bands, bits))
       (groups, vecs, keys)
+    }
+    val (groups, vecs, keys) = forceTier match {
+      case Some(_) => buildIndex(graft.SharedBuilds.unmanagedScope)
+      case None => graft.SharedBuilds.getOrBuild[
+          (DataFrame, DataFrame, DataFrame)]("dedup.embLsh", spark, dir)(buildIndex)
     }
 
     val cand = keys.alias("x").join(keys.alias("y"),
@@ -780,7 +836,13 @@ object DedupQueries extends graft.QueryModule {
       val vecs = scope.cached(Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantized(col("embedding")).as("qv"))
         .withColumn("n2", qnorm2(col("qv"))))
-      val keys = scope.cached(embBandKeys(vecs))
+      // audit the tier the corpus size actually selects ([[embTier]]):
+      // at gate scales this is tier 0 (what the static oracle replays);
+      // at certification scales it measures the adaptive scheme's
+      // realized per-decile recall — the number the tier tradeoff is
+      // accountable to
+      val (bands, bits) = embTier(vecs.count())
+      val keys = scope.cached(embBandKeys(vecs, bands, bits))
       (vecs, keys)
     }
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming expression of the engine's incremental
   * semantics (SURVEY §2.10): the reference's batch pipeline re-runs
   * with a recency watermark + idempotent sink; the streaming-native
@@ -62,9 +64,29 @@ object StreamingOps {
     val target = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
     val staged = java.nio.file.Files.createTempDirectory(prefix)
     staged.toFile.deleteOnExit()
-    val link = staged.resolve(fileName)
-    java.nio.file.Files.createSymbolicLink(link, target)
-    link.toFile.deleteOnExit()
+    // The fixture table may be a single parquet FILE (driver fixtures)
+    // or a DIRECTORY of part files (Spark-written, e.g. ScaleGen's sf1
+    // tree). FileStreamSource lists files directly under its path and
+    // does not descend into nested table directories, so a directory
+    // target is FLATTENED: every data file inside is symlinked into
+    // the staging dir individually. Without this the sf1 scaling run
+    // silently streamed ZERO rows — an empty drain looks identical to
+    // a fast one in the bench line.
+    def linkInto(name: String, src: java.nio.file.Path): Unit = {
+      val link = staged.resolve(name)
+      java.nio.file.Files.createSymbolicLink(link, src)
+      link.toFile.deleteOnExit()
+    }
+    if (java.nio.file.Files.isDirectory(target)) {
+      val parts = java.nio.file.Files.list(target).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.getFileName.toString)
+      require(parts.nonEmpty, s"no parquet part files under $target")
+      parts.foreach(p => linkInto(p.getFileName.toString, p))
+    } else {
+      linkInto(fileName, target)
+    }
     staged
   }
 
