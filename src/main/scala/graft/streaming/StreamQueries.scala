@@ -46,11 +46,36 @@ object StreamQueries extends graft.QueryModule {
     * volume at start the same way — partitions are a checkpoint
     * contract, fixed for the query's life.
     */
-  private def drainSession(spark: SparkSession): SparkSession = {
+  private def drainSession(spark: SparkSession, dir: String): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", drainPartitions(spark, dir).toString)
     s
   }
+
+  /** Drain width for a fixture dir: 8 partitions up to the gate/bench
+    * scales, growing with the dir's largest streamable table beyond
+    * them (1 partition per 512 KiB, capped at 32). 8 is right when
+    * state-store machinery dominates (see above); at the sf1
+    * certification scale the compute-heavy drains (span dedup over 10×
+    * documents) are CPU-bound and a fixed 8 caps them at a quarter of
+    * the box — exactly the "size shuffle.partitions to state volume at
+    * start" rule a production job applies, made automatic for the
+    * harness. Memoized per dir (one FS metadata probe).
+    */
+  private val drainParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def drainPartitions(spark: SparkSession, dir: String): Int =
+    sys.env.get("GRAFT_DRAIN_PARTS").map(_.toInt).getOrElse(
+    drainParts.computeIfAbsent(dir, { d =>
+      val fsBytes = Seq("events", "documents", "embeddings").map { t =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        } catch { case _: Throwable => 0L }
+      }.max
+      Integer.valueOf(math.max(8L, math.min(32L, fsBytes / (512L * 1024))).toInt)
+    }))
 
   /** Run a streaming Dataset to completion into a memory sink and
     * return the accumulated table. Update mode for the keyed-state ops
@@ -69,7 +94,7 @@ object StreamQueries extends graft.QueryModule {
     * and the first-seen disposition the ingest gate assigned.
     */
   def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.dedupExactStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_dedup_exact")
   }
@@ -78,7 +103,7 @@ object StreamQueries extends graft.QueryModule {
     * its duplicated-span flag.
     */
   def streamDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_dup_spans")
   }
@@ -98,7 +123,7 @@ object StreamQueries extends graft.QueryModule {
     * is exactly the invariant worth pinning).
     */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.windowedCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_tumbling", mode = "append")
   }
@@ -107,7 +132,7 @@ object StreamQueries extends graft.QueryModule {
     * [[streamTumbling]], over the 3-overlap window set.
     */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.slidingCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_sliding", mode = "append")
   }
@@ -121,7 +146,7 @@ object StreamQueries extends graft.QueryModule {
     * oracle applies that same cut to the batch session build.
     */
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.sessionCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_session", mode = "append")
   }
@@ -169,7 +194,7 @@ object StreamQueries extends graft.QueryModule {
     */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     val views = StreamingOps.eventStream(s, dir)
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
@@ -194,7 +219,7 @@ object StreamQueries extends graft.QueryModule {
     * cross-batch drop/keep semantics).
     */
   def streamDedupWm(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     // SINGLE-BATCH drain by design: the DISTINCT oracle is equivalent
     // only because eventStream delivers the fixture as ONE micro-batch
     // — dropDuplicatesWithinWatermark may re-admit a key after its
@@ -215,7 +240,7 @@ object StreamQueries extends graft.QueryModule {
     * equals the batch interval join.
     */
   def streamAttrib(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.clickAttribution(StreamingOps.eventStream(s, dir)),
       "q_stream_attrib", mode = "append")
   }
@@ -226,7 +251,7 @@ object StreamQueries extends graft.QueryModule {
     * emitted doubles hash-match the batch DECIMAL(18,2) aggregate.
     */
   def streamTotals(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.userRunningTotals(s, StreamingOps.eventStream(s, dir)).toDF(),
       "q_stream_totals")
   }
@@ -237,7 +262,7 @@ object StreamQueries extends graft.QueryModule {
     * estimator; the oracle re-derives the salt/bucket scheme in SQL.
     */
   def streamCms(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.cmsCellsStream(StreamingOps.docStream(s, dir)),
       "q_stream_cms", mode = "complete")
   }
@@ -250,7 +275,7 @@ object StreamQueries extends graft.QueryModule {
     * batch media gram/band CTE by reference.
     */
   def streamMedia(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     val media = StreamingOps.docStream(s, dir).select(
       org.apache.spark.sql.functions.col("doc_id").as("media_id"),
       org.apache.spark.sql.functions.col("text").cast("binary").as("payload"))
@@ -277,7 +302,7 @@ object StreamQueries extends graft.QueryModule {
     * file B arrives only after batch 1's windows were evicted.
     */
   def streamAppend(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(s, dir)),
       "q_stream_append", mode = "append")
   }
@@ -290,7 +315,7 @@ object StreamQueries extends graft.QueryModule {
     * exact-dup x quality precedence).
     */
   def streamGate(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.ingestGateStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_gate")
   }
@@ -302,7 +327,7 @@ object StreamQueries extends graft.QueryModule {
     * the batch near-dup oracles, so the schemes cannot drift).
     */
   def streamNear(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.dedupNearStream(s, StreamingOps.docStream(s, dir)).toDF(),
       "q_stream_near")
   }
@@ -312,7 +337,7 @@ object StreamQueries extends graft.QueryModule {
     * shares the batch q_dedup_embedding quantization/banding CTE.
     */
   def streamEmb(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.dedupEmbeddingStream(s, StreamingOps.vecStream(s, dir)).toDF(),
       "q_stream_emb")
   }
@@ -324,7 +349,7 @@ object StreamQueries extends graft.QueryModule {
     * keyed-state fold).
     */
   def streamBudget(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark)
+    val s = drainSession(spark, dir)
     drain(StreamingOps.sourceTokenBudget(s, StreamingOps.docStream(s, dir),
         TokenBudget).toDF(),
       "q_stream_budget")
