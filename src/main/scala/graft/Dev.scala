@@ -42,11 +42,24 @@ object Dev {
         SparkEntry.queries(q)(spark, dir).explain("formatted")
       case "time" :: dir :: rest =>
         val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toList.sorted
+        // GRAFT_GC_BETWEEN=1: force a full GC (and let it settle)
+        // before each measured execution — separates "each run leaves
+        // collectable garbage the next run's young GCs choke on" from
+        // "live memory actually grows" when a query degrades across
+        // repeats. Prints heap-in-use after the GC for the same reason.
+        val gcBetween = sys.env.get("GRAFT_GC_BETWEEN").contains("1")
+        def settle(label: String): Unit = if (gcBetween) {
+          System.gc(); Thread.sleep(500)
+          val rt = Runtime.getRuntime
+          println(f"  [heap after gc @$label: ${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MiB]")
+        }
         val times = names.map { name =>
           val fn = SparkEntry.queries(name)
+          settle(s"$name cold")
           val c0 = System.nanoTime()
           fn(spark, dir).count() // cold: plan compile + codegen + JIT
           val cold = (System.nanoTime() - c0) / 1e9
+          settle(s"$name steady")
           val t0 = System.nanoTime()
           fn(spark, dir).count()
           (name, cold, (System.nanoTime() - t0) / 1e9)

@@ -213,10 +213,19 @@ object DedupQueries extends graft.QueryModule {
     * spell the same counts out with an exploded join.
     */
   private[graft] def jaccardVerify(cand: DataFrame, shArr: DataFrame,
-      jNum: Int, jDen: Int): DataFrame =
+      jNum: Int, jDen: Int): DataFrame = {
+    // Intersect 64-bit shingle fingerprints, not the strings: the
+    // projection runs per DOC before the join (hash cost O(corpus)),
+    // the join ships 8-byte longs instead of ~20-byte strings, and the
+    // per-pair intersect compares words. transform preserves length,
+    // so n_a/n_b are exact; c is exact unless two distinct shingles of
+    // one pair collide in 64 bits (p ≈ n²/2⁶⁴ — the oracle runs on raw
+    // text, so a consequential collision surfaces as a hash mismatch).
+    val fp = shArr.select(col("doc_id"),
+      transform(col("sh_arr"), g => xxhash64(g)).as("__h"))
     cand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa")), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("__h").as("__sa")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("__h").as("__sb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("__sa"), col("__sb"))).as("c"),
@@ -227,6 +236,7 @@ object DedupQueries extends graft.QueryModule {
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
           .as("jaccard"))
+  }
 
   /** The LSH banding + exact-verify pipeline over one representative
     * per duplicate class. Threshold 0.8 via integer comparison.
@@ -339,9 +349,12 @@ object DedupQueries extends graft.QueryModule {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    // fingerprint verify — same rationale (and caveat) as jaccardVerify
+    val fp = shArr.select(col("doc_id"),
+      transform(col("sh_arr"), g => xxhash64(g)).as("__h"))
     truthCand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa")), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")), Seq("doc_b"))
+      .join(fp.select(col("doc_id").as("doc_a"), col("__h").as("__sa")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("__h").as("__sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"),
         size(col("__sa")).cast("long").as("n_a"),
@@ -446,10 +459,22 @@ object DedupQueries extends graft.QueryModule {
           min(col("doc_id")).as("rep"))
         .select("rep", "n_chars", "text", "members"))
 
+      // g_arr: distinct bigram STRINGS (df/prefix computations need the
+      // real grams); h_arr: their xxhash64 fingerprints, the arrays the
+      // VERIFY stage intersects. At sf1 the verify join ships two
+      // ~40-element arrays per candidate pair — as strings that is
+      // ~1 KB/row (multi-GB shuffle at 5M candidates, the measured
+      // super-linear term of the sf1 scaling run); as 8-byte longs it
+      // is ~4× smaller and the intersect compares words instead of
+      // hashing strings. Counts stay exact unless two DISTINCT grams
+      // inside one candidate pair collide in 64 bits (p ≈ n²/2⁶⁴ <
+      // 1e-15 per pair); the DuckDB oracle runs on the raw text, so a
+      // consequential collision would surface as a hash mismatch.
       val gramArr = scope.cached(groups.select(
         col("rep").as("doc_id"), col("n_chars"),
         array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2))
-          .as("g_arr")))
+          .as("g_arr"))
+        .withColumn("h_arr", transform(col("g_arr"), g => xxhash64(g))))
       val grams = gramArr.select(
         col("doc_id"), col("n_chars"),
         size(col("g_arr")).cast("long").as("n_g"),
@@ -497,11 +522,16 @@ object DedupQueries extends graft.QueryModule {
     // global order) always satisfies the bound — its bound is an upper
     // estimate of the true overlap, which meets the threshold — so
     // OR-surviving any passing collision is lossless too.
+    // Lossless size-ratio cut: c ≥ (7/17)(n_a+n_b) and c ≤ min(n_a,n_b)
+    // force 10·min ≥ 7·max — a pair whose gram-set sizes differ by more
+    // than 10/7 can never reach Jaccard 0.7, so it never leaves the join.
     val cand = fanned.alias("a").join(bucketed.alias("b"),
         col("a.g") === col("b.g") &&
           col("a.bkt") === col("b.bkt") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 30 &&
+          lit(10) * least(col("a.n_g"), col("b.n_g"))
+            >= lit(7) * greatest(col("a.n_g"), col("b.n_g")) &&
           lit(17) * (lit(1) + least(col("a.n_g") - col("a.rn"), col("b.n_g") - col("b.rn")))
             >= lit(7) * (col("a.n_g") + col("b.n_g")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -510,11 +540,13 @@ object DedupQueries extends graft.QueryModule {
       println(s"[ngram] candidate pairs after prefix+positional filter: ${cand.count()}")
 
     // exact verify over candidates only, from the full (unpruned)
-    // bigram arrays — same row-level intersect shape as the minhash
-    // verify stage. These are REPRESENTATIVE pairs.
+    // fingerprint arrays — same row-level intersect shape as the
+    // minhash verify stage, on 8-byte longs instead of gram strings
+    // (see the h_arr note in ngramIndex). These are REPRESENTATIVE
+    // pairs.
     val repPairs = cand
-      .join(gramArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
-      .join(gramArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
+      .join(gramArr.select(col("doc_id").as("doc_a"), col("h_arr").as("ga")), Seq("doc_a"))
+      .join(gramArr.select(col("doc_id").as("doc_b"), col("h_arr").as("gb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("c"),
@@ -576,7 +608,9 @@ object DedupQueries extends graft.QueryModule {
       scope.cached(groups.select(
         col("rep").as("doc_id"),
         array_distinct(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3))
-          .as("g_arr")))
+          .as("g_arr"))
+        // verify-stage fingerprints — same rationale as ngramIndex.h_arr
+        .withColumn("h_arr", transform(col("g_arr"), g => xxhash64(g))))
     }
     val full = shArr.filter(size(col("g_arr")) > 0)
       .select(col("doc_id"), size(col("g_arr")).cast("long").as("n_g"),
@@ -595,8 +629,8 @@ object DedupQueries extends graft.QueryModule {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val repPairs = cand
-      .join(shArr.select(col("doc_id").as("doc_a"), col("g_arr").as("ga")), Seq("doc_a"))
-      .join(shArr.select(col("doc_id").as("doc_b"), col("g_arr").as("gb")), Seq("doc_b"))
+      .join(shArr.select(col("doc_id").as("doc_a"), col("h_arr").as("ga")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("h_arr").as("gb")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("overlap"),

@@ -490,14 +490,22 @@ object StreamingOps {
     graft.operators.DedupQueries.spanPositions(
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")))
       .as[SpanRow]
-      .groupByKey(_.h)
+      // Key the state by the md5's two unsigned-long HALVES, not the
+      // 32-char hex string: the same 128 bits (no collision semantics
+      // change), but the state-store key row is 16 fixed bytes instead
+      // of a ~40-byte variable-length string — smaller state map,
+      // smaller shuffle key, cheaper key compare at millions of
+      // distinct spans. The hex form stays in the emitted row (the
+      // oracle's h column).
+      .groupByKey(r => (java.lang.Long.parseUnsignedLong(r.h.substring(0, 16), 16),
+        java.lang.Long.parseUnsignedLong(r.h.substring(16), 16)))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (hash: String, rows: Iterator[SpanRow], state: GroupState[Boolean]) =>
+        (_: (Long, Long), rows: Iterator[SpanRow], state: GroupState[Boolean]) =>
           val seenBefore = state.getOption.getOrElse(false)
           val sorted = rows.toArray.sortBy(r => (r.doc_id, r.pos))
           state.update(true)
           sorted.iterator.zipWithIndex.map { case (r, i) =>
-            SpanHit(r.doc_id, r.pos, hash, seenBefore || i > 0)
+            SpanHit(r.doc_id, r.pos, r.h, seenBefore || i > 0)
           }
       }
   }
