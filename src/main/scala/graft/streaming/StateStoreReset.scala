@@ -34,4 +34,17 @@ package org.apache.spark.sql.execution.streaming.state
   */
 object GraftStateStoreReset {
   def unloadAll(): Unit = StateStore.unloadAll()
+
+  /** Number of state-store providers currently loaded in this JVM —
+    * the drain-harness leak probe (StreamingSpec asserts 0 after a
+    * failure-injected drain). The registry is object-private, so this
+    * reads it reflectively (Spark rides the classpath's unnamed module,
+    * so setAccessible is unrestricted); test/diagnostic plumbing only,
+    * never on a data path.
+    */
+  def loadedProviderCount: Int = {
+    val f = StateStore.getClass.getDeclaredField("loadedProviders")
+    f.setAccessible(true)
+    f.get(StateStore).asInstanceOf[scala.collection.mutable.HashMap[_, _]].size
+  }
 }

@@ -46,10 +46,53 @@ object StreamQueries extends graft.QueryModule {
     * volume at start the same way — partitions are a checkpoint
     * contract, fixed for the query's life.
     */
-  private def drainSession(spark: SparkSession, dir: String): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", drainPartitions(spark, dir).toString)
-    s
+  /** Memoized per (context, dir, width, noData): the drain contract is
+    * strictly sequential, so queries with the same conf shape can share
+    * one clone instead of paying SessionState construction per drain
+    * (68 clones per bench run otherwise — 17 stream queries × 4
+    * executions). Keyed on the context's identity so a suite JVM that
+    * rebuilds its SparkSession never receives a clone of a stopped
+    * context.
+    */
+  private val drainSessions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Boolean), SparkSession]()
+
+  private def drainSession(spark: SparkSession, dir: String,
+      noDataBatches: Boolean = false): SparkSession = {
+    val parts = drainPartitions(spark, dir)
+    drainSessions.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), dir, parts, noDataBatches), { _ =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // Throwaway-drain checkpoint hygiene: the checkpoint is deleted
+        // right after the drain, so retaining more than the latest batch's
+        // offset/commit log entries (default 100) buys nothing — and the
+        // async state-store maintenance task (default 60 s) must never fire
+        // mid-run: the drain path unloads providers deterministically via
+        // GraftStateStoreReset right after stop(), so the maintenance
+        // snapshot work it would do is pure interference (see
+        // GraftStateStoreReset's measured pathology). A production job
+        // keeps the defaults: it retains batches for recovery and lets
+        // maintenance amortize over a long-lived query.
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+        s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+        // The no-data micro-batch exists to advance the watermark and
+        // flush newly-closed state AFTER the last data batch — the
+        // windowed-aggregation append drains need it (their windows
+        // only emit when the watermark closes them; pass
+        // noDataBatches=true) — but for every other drain it is a pure
+        // fixed cost: keyed-state update/complete queries emit on data,
+        // and the append-mode INNER stream-stream joins and
+        // within-watermark dedup emit their rows in the data batch that
+        // matches them (the no-data batch only EVICTS state, which the
+        // post-drain unloadAll discards wholesale anyway). Skipping it
+        // removes one full state-store load/commit cycle per store per
+        // drain. A production job keeps the default (true): there the
+        // eviction IS the state bound.
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBatches.toString)
+        s
+      })
   }
 
   /** Drain width for a fixture dir: 8 partitions up to the gate/bench
@@ -65,7 +108,10 @@ object StreamQueries extends graft.QueryModule {
   private val drainParts =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def drainPartitions(spark: SparkSession, dir: String): Int =
-    sys.env.get("GRAFT_DRAIN_PARTS").map(_.toInt).getOrElse(
+    // sysprop first (in-process override for the width-32 smoke test —
+    // env vars are immutable inside the JVM), env for harness runs
+    sys.props.get("graft.drain.parts").orElse(
+      sys.env.get("GRAFT_DRAIN_PARTS")).map(_.toInt).getOrElse(
     drainParts.computeIfAbsent(dir, { d =>
       val fsBytes = Seq("events", "documents", "embeddings").map { t =>
         try {
@@ -95,43 +141,98 @@ object StreamQueries extends graft.QueryModule {
   private lazy val ckptRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      // Crashed runs leak their RAM-backed checkpoint roots until
+      // reboot (deleteOnExit never fires on a kill -9 / OOM kill), so
+      // sweep stale graft-drain-ckpt* dirs here. Age-gated at 2 h by
+      // mtime: a LIVE concurrent JVM's root is recent, a crashed run's
+      // is not — sweeping a neighbor's active checkpoint would corrupt
+      // its in-flight drains, so recency is the ownership test.
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      try {
+        val it = java.nio.file.Files.list(shm).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("graft-drain-ckpt") &&
+              p.toFile.lastModified() < cutoff)
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        }
+      } catch { case _: Throwable => () } // sweep is best-effort hygiene
       val d = java.nio.file.Files.createTempDirectory(shm, "graft-drain-ckpt")
       d.toFile.deleteOnExit()
       Some(d)
     } else None
   }
 
-  private def drain(df: DataFrame, prefix: String,
+  /** Guard for the drain harness: `GraftStateStoreReset
+    * .unloadAll()` is SparkContext-GLOBAL (it closes every loaded
+    * provider in the JVM), which is safe only because the harness
+    * drains strictly sequentially — a drain running concurrently would
+    * have its providers yanked mid-micro-batch and pay a checkpoint
+    * reload per batch at best. This turns that implicit contract into
+    * a loud failure at the call site (r10 ADVICE item 2).
+    */
+  private[graft] val activeDrain =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private[graft] def drain(df: DataFrame, prefix: String,
       mode: String = "update"): DataFrame = {
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
-    val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
-    val ckpt = ckptRoot.map(_.resolve(name))
-    val q = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString)).start()
-    try q.processAllAvailable() finally {
-      q.stop()
+    if (!activeDrain.compareAndSet(null, name))
+      throw new IllegalStateException(
+        s"concurrent drain: '${activeDrain.get()}' is still active while " +
+        s"'$name' starts — the drain harness contract is strictly " +
+        "sequential (unloadAll() is SparkContext-global)")
+    val session = df.sparkSession
+    try {
+      val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      val ckpt = ckptRoot.map(_.resolve(name))
+      val q = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString)).start()
+      // Failure-isolated cleanup (r10 ADVICE item 1): each step runs
+      // whatever the previous ones did — a q.stop() throw must not leak
+      // the loaded providers or the tmpfs checkpoint, and a failed
+      // drain must not leave the memory-sink temp view registered
+      // (Verify retries a failed query under a fresh sink name, but the
+      // orphaned view would pin its partial rows for the process life).
+      // Error policy: the drain error (or the first cleanup error when
+      // the drain itself succeeded) propagates; later cleanup errors
+      // attach as suppressed.
+      var primary: Throwable = null
+      def step(f: => Unit): Unit =
+        try f catch {
+          case t: Throwable =>
+            if (primary == null) primary = t else primary.addSuppressed(t)
+        }
+      step(q.processAllAvailable())
+      val drainFailed = primary != null
+      step(q.stop())
       // free the stopped query's keyed-state maps NOW instead of
       // leaving them for the async maintenance task — see
       // GraftStateStoreReset for the measured pathology
-      org.apache.spark.sql.execution.streaming.state.GraftStateStoreReset.unloadAll()
-      ckpt.foreach { p =>
+      step(org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreReset.unloadAll())
+      step(ckpt.foreach { p =>
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+      })
+      if (drainFailed) {
+        step(session.catalog.dropTempView(name))
+        throw primary
       }
-    }
-    // Capture the sink relation (Dataset construction analyzes the
-    // plan eagerly, so the returned frame keeps the resolved memory
-    // relation), then DROP the temp view: the registered name is the
-    // only long-lived root of the sink's driver-side rows, and across
-    // a bench run (157 queries × 4 executions, 19 of them streaming)
-    // the accumulated sinks — millions of rows at the sf1
-    // certification scale — otherwise stay reachable for the whole
-    // process and turn later drains into GC thrash (measured: the
-    // same sf1 drain 16.5 s fresh → 47–160 s after a few prior
-    // drains). With the view dropped, the rows live exactly as long
-    // as the caller holds the returned frame.
-    val session = df.sparkSession
-    val out = session.table(name)
-    session.catalog.dropTempView(name)
-    out
+      // Capture the sink relation (Dataset construction analyzes the
+      // plan eagerly, so the returned frame keeps the resolved memory
+      // relation), then DROP the temp view: the registered name is the
+      // only long-lived root of the sink's driver-side rows, and across
+      // a bench run (158 queries × 4 executions, 17 of them streaming)
+      // the accumulated sinks — millions of rows at the sf1
+      // certification scale — otherwise stay reachable for the whole
+      // process and turn later drains into GC thrash (measured: the
+      // same sf1 drain 16.5 s fresh → 47–160 s after a few prior
+      // drains). With the view dropped, the rows live exactly as long
+      // as the caller holds the returned frame.
+      val out = session.table(name)
+      step(session.catalog.dropTempView(name))
+      if (primary != null) throw primary
+      out
+    } finally activeDrain.set(null)
   }
 
   /** Streaming exact dedup, drained: every doc with its content hash
@@ -167,7 +268,7 @@ object StreamQueries extends graft.QueryModule {
     * is exactly the invariant worth pinning).
     */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark, dir)
+    val s = drainSession(spark, dir, noDataBatches = true)
     drain(StreamingOps.windowedCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_tumbling", mode = "append")
   }
@@ -176,7 +277,7 @@ object StreamQueries extends graft.QueryModule {
     * [[streamTumbling]], over the 3-overlap window set.
     */
   def streamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark, dir)
+    val s = drainSession(spark, dir, noDataBatches = true)
     drain(StreamingOps.slidingCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_sliding", mode = "append")
   }
@@ -190,7 +291,7 @@ object StreamQueries extends graft.QueryModule {
     * oracle applies that same cut to the batch session build.
     */
   def streamSession(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark, dir)
+    val s = drainSession(spark, dir, noDataBatches = true)
     drain(StreamingOps.sessionCounts(StreamingOps.eventStream(s, dir)),
       "q_stream_session", mode = "append")
   }
@@ -212,6 +313,10 @@ object StreamQueries extends graft.QueryModule {
       .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
         count(lit(1))).as("mean_value"))
     val enriched = StreamingOps.eventStream(spark, dir)
+      // spread the join + memory-sink row serialization off the
+      // single-file source task (100k output rows on one task
+      // otherwise; the stats side broadcasts either way)
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
       .join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"), col("mean_value"),
         (col("value") > col("mean_value") * lit(2.0)).as("is_anomaly"))
@@ -346,7 +451,7 @@ object StreamQueries extends graft.QueryModule {
     * file B arrives only after batch 1's windows were evicted.
     */
   def streamAppend(spark: SparkSession, dir: String): DataFrame = {
-    val s = drainSession(spark, dir)
+    val s = drainSession(spark, dir, noDataBatches = true)
     drain(StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(s, dir)),
       "q_stream_append", mode = "append")
   }

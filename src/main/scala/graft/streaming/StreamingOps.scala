@@ -60,10 +60,38 @@ object StreamingOps {
     * still-non-empty dir first, fails silently, and leaks a tempdir
     * per JVM exit.
     */
-  private def stageSingleFile(dir: String, fileName: String, prefix: String): java.nio.file.Path = {
+  private def stageSingleFile(dir: String, fileName: String, prefix: String,
+      split: Option[SparkSession] = None): java.nio.file.Path = {
     val target = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
     val staged = java.nio.file.Files.createTempDirectory(prefix)
     staged.toFile.deleteOnExit()
+    // A single-FILE fixture with one row group makes micro-batch 0 a
+    // one-task scan — and that task also produces the batch's first
+    // shuffle write, so every drain serializes its input on one core
+    // whatever the drain width. When a session is supplied and the file
+    // is big enough to matter, rewrite it ONCE per JVM into ~256 KiB
+    // part files (events at sf0.1: 2 MB -> 8 files -> 8-way batch-0
+    // scan; at the sf1 certification scale the effect is 10x). Row
+    // ORDER across part files is not the oracle contract: the keyed
+    // state ops sort arrivals per key (see the StreamQueries scaladoc)
+    // and windowed aggregates are order-free. Production file streams
+    // arrive as many files per trigger anyway — one giant file is the
+    // harness artifact, not the modeled shape.
+    val splitBytes = 256L * 1024
+    split match {
+      case Some(spark) if !java.nio.file.Files.isDirectory(target) &&
+          java.nio.file.Files.size(target) >= 2 * splitBytes =>
+        val k = math.min(16L, java.nio.file.Files.size(target) / splitBytes).toInt
+        spark.read.parquet(target.toString).repartition(k)
+          .write.mode("overwrite").parquet(staged.toString)
+        // Spark's local committer leaves _SUCCESS/.crc siblings next to
+        // the part files (all hidden to source listings); sweep the
+        // whole staged tree on exit instead of per-file deleteOnExit
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile): Unit))
+        return staged
+      case _ => ()
+    }
     // The fixture table may be a single parquet FILE (driver fixtures)
     // or a DIRECTORY of part files (Spark-written, e.g. ScaleGen's sf1
     // tree). FileStreamSource lists files directly under its path and
@@ -96,7 +124,7 @@ object StreamingOps {
     */
   def docStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = docStagingDirs.computeIfAbsent(dir,
-      stageSingleFile(_, "documents.parquet", "docs_stream"))
+      stageSingleFile(_, "documents.parquet", "docs_stream", Some(spark)))
     spark.readStream.schema(docSchema).parquet(streamDir.toString)
   }
 
@@ -112,7 +140,7 @@ object StreamingOps {
     */
   def vecStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = docStagingDirs.computeIfAbsent(dir + "#embeddings",
-      _ => stageSingleFile(dir, "embeddings.parquet", "vecs_stream"))
+      _ => stageSingleFile(dir, "embeddings.parquet", "vecs_stream", Some(spark)))
     spark.readStream.schema(vecSchema).parquet(streamDir.toString)
   }
 
@@ -134,13 +162,21 @@ object StreamingOps {
     // dir, so stage a directory containing just the events file
     // (symlink — no data copy).
     val streamDir = stagingDirs.computeIfAbsent(dir,
-      stageSingleFile(_, "events.parquet", "events_stream"))
-    val diskTsType = graft.Tables.read(spark, dir, "events").schema("ts").dataType
+      stageSingleFile(_, "events.parquet", "events_stream", Some(spark)))
+    // memoized per dir: the probe costs a parquet footer read + relation
+    // resolution (~100 ms) and every drain rebuilds its stream DataFrame
+    // (4 executions × 14 event/doc drains per bench); the fixture's
+    // on-disk type is immutable for the JVM's life
+    val diskTsType = tsTypes.computeIfAbsent(dir,
+      d => graft.Tables.read(spark, d, "events").schema("ts").dataType)
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = diskTsType) else f))
     graft.Tables.normalizeTs(
       spark.readStream.schema(schema).parquet(streamDir.toString))
   }
+
+  private val tsTypes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
 
   private val splitDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -285,6 +321,10 @@ object StreamingOps {
     */
   def cmsCellsStream(docs: DataFrame): DataFrame =
     docs
+      // spread tokenize/explode + partial agg off the single-file
+      // source task (see dupSpansStream); the post-explode shuffle only
+      // carries the 256 partial cells per task
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(split(col("text"), " ")).as("tok"))
       .select(explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
       .select(col("rb.r").as("r"), col("rb.b").as("b"))

@@ -78,4 +78,24 @@ class ScaleSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table(name).count() === docs.count())
   }
+
+  test("forced-tier embedding plan keeps the banded-join shape (no cartesian, no data x data BNLJ)") {
+    // PlanSpec's guarded set sees only the sf0.001 tier-0 plan; this
+    // pins the tier>0 plan the sf1+ corpus actually runs: candidate
+    // generation must stay a band-key equi-join (hash-partitionable),
+    // never an all-pairs product — the exact regression that made
+    // q_dedup_embedding quadratic before round 9's adaptive tier.
+    val plan = operators.DedupQueries
+      .dedupEmbeddingWith(spark, sf0001, forceTier = Some((16, 8)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("CartesianProduct"),
+      "tier>0 embedding dedup plan contains a CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "tier>0 embedding dedup plan contains a BroadcastNestedLoopJoin")
+    // the band-bucket self-join must be an equi-join on the band key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      "tier>0 embedding dedup plan lost its band-key equi-join")
+  }
 }

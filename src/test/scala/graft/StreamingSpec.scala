@@ -912,4 +912,78 @@ class StreamingSpec extends SparkSpec {
     // doc 3 as a duplicate; "cc" is genuinely new
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
   }
+
+  // ---- drain-harness robustness (r10 ADVICE items 1-3) ----
+
+  /** Temp views whose name starts with the given drain prefix. */
+  private def sinkViews(prefix: String): Seq[String] =
+    spark.catalog.listTables().collect().toSeq
+      .map(_.name).filter(_.startsWith(prefix))
+
+  /** Checkpoint dirs for the given drain prefix under any
+    * graft-drain-ckpt* root on /dev/shm.
+    */
+  private def ckptDirs(prefix: String): Seq[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (!java.nio.file.Files.isDirectory(shm)) return Nil
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(shm).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft-drain-ckpt"))
+      .flatMap { root =>
+        try java.nio.file.Files.list(root).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix))
+        catch { case _: Throwable => Iterator.empty }
+      }.toSeq
+  }
+
+  test("failed drain leaks nothing: view dropped, checkpoint deleted, providers unloaded") {
+    import org.apache.spark.sql.execution.streaming.state.GraftStateStoreReset
+    // a stateful streaming pipeline whose FIRST micro-batch throws
+    // mid-execution (after the query started and registered its
+    // memory-sink view and checkpoint): raise_error on every row
+    val failing = StreamingOps.docStream(spark, sf0001)
+      .select(raise_error(concat(lit("injected drain failure "), col("doc_id"))).as("boom"))
+      .groupBy(col("boom")).count()
+    val prefix = "q_spec_faildrain"
+    val e = intercept[Throwable] {
+      graft.streaming.StreamQueries.drain(failing, prefix, mode = "complete")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("injected drain failure")),
+      s"drain failure not propagated: $e")
+    assert(sinkViews(prefix).isEmpty,
+      s"memory-sink temp view leaked: ${sinkViews(prefix)}")
+    assert(ckptDirs(prefix).isEmpty,
+      s"tmpfs checkpoint leaked: ${ckptDirs(prefix)}")
+    assert(GraftStateStoreReset.loadedProviderCount === 0,
+      "state-store providers left loaded after a failed drain")
+    // the sequential-drain slot must be released for the next drain
+    assert(graft.streaming.StreamQueries.activeDrain.get() === null)
+  }
+
+  test("concurrent drain is refused loudly (unloadAll is SparkContext-global)") {
+    val taken = graft.streaming.StreamQueries.activeDrain
+      .compareAndSet(null, "q_spec_other_drain")
+    assert(taken, "drain slot unexpectedly occupied at test start")
+    try {
+      val df = StreamingOps.docStream(spark, sf0001).select(col("doc_id"))
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamQueries.drain(df, "q_spec_concurrent", mode = "append")
+      }
+      assert(e.getMessage.contains("q_spec_other_drain"))
+    } finally graft.streaming.StreamQueries.activeDrain.set(null)
+  }
+
+  test("width-32 drain smoke: the certification-scale partition count stays green") {
+    // the adaptive drain width only exceeds 8 beyond the gate scales,
+    // so the sf0.001 suite would never exercise a 32-partition drain
+    // (32 state stores per micro-batch) without this forced run
+    sys.props("graft.drain.parts") = "32"
+    try {
+      val got = graft.streaming.StreamQueries.streamTotals(spark, sf0001)
+      val want = Tables.events(spark, sf0001).select("user_id").distinct().count()
+      assert(got.count() === want)
+    } finally sys.props.remove("graft.drain.parts")
+  }
 }
