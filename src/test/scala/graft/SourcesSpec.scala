@@ -106,6 +106,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("DSv2 paginated source: total_count shrinking mid-scan fails loudly, never truncates silently") {
+    // The reference's meta.page envelope drives termination
+    // (wdn_api.py:126-135): its sequential loop stops at the first
+    // empty page. Parallel range readers cannot reproduce that without
+    // leaving silent page GAPS (a later partition would still emit),
+    // so the pinned rule is fail-loud when a planned page comes back
+    // empty — the probe saw 10 records, pages 2+ see a source shrunk
+    // to 3.
+    FakePagesTransport.reset()
+    FakePagesTransport.shrinkAfterProbe.set(3)
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .option("retryDelayMs", "1")
+      .option("retryTries", "2")
+      .load()
+    val e = intercept[Exception](df.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("shrank mid-scan"))),
+      s"expected the loud shrink failure, got: $e")
+  }
+
   test("DSv2 paginated source: empty source plans zero partitions") {
     FakePagesTransport.reset()
     FakePagesTransport.total.set(0)
@@ -143,10 +167,15 @@ class FakePagesTransport extends graft.sources.PageTransport {
   override def fetch(page: Int): (Seq[String], Long) = {
     if (FakePagesTransport.failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0)
       throw new RuntimeException("transient transport failure")
-    FakePagesTransport.fetchCalls.incrementAndGet()
+    val call = FakePagesTransport.fetchCalls.incrementAndGet()
     val total = FakePagesTransport.total.get()
     val from = (page - 1).toLong * pageSize
     val recs = (from until math.min(from + pageSize, total)).map(i => s"""{"id": $i}""")
+    // simulate the source shrinking UNDER a planned scan: the driver
+    // probe (call 1) sees the full total_count, every later fetch sees
+    // the shrunken one
+    val shrink = FakePagesTransport.shrinkAfterProbe.get()
+    if (call == 1 && shrink >= 0) FakePagesTransport.total.set(shrink)
     (recs, total)
   }
 }
@@ -155,5 +184,8 @@ object FakePagesTransport {
   val fetchCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val failFirst = new java.util.concurrent.atomic.AtomicInteger(0)
   val total = new java.util.concurrent.atomic.AtomicLong(10)
-  def reset(): Unit = { fetchCalls.set(0); failFirst.set(0); total.set(10) }
+  val shrinkAfterProbe = new java.util.concurrent.atomic.AtomicLong(-1)
+  def reset(): Unit = {
+    fetchCalls.set(0); failFirst.set(0); total.set(10); shrinkAfterProbe.set(-1)
+  }
 }
