@@ -1,0 +1,17 @@
+#!/bin/bash
+# Pre-snapshot regression gate (wired per r10 verdict item 7): compare
+# a fresh bench run against the committed 158-query baseline and fail
+# on any >2x per-query steady regression (bench_gate.py applies its
+# 0.75 s absolute-delta noise floor). Run it before every end-of-round
+# snapshot:
+#
+#   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_XMX=48g \
+#     scripts/run.sh graft.Bench        # writes target/bench.json
+#   scripts/round_gate.sh               # gate vs committed baseline
+#
+# The baseline is min-per-query over a multi-sample campaign (see the
+# provenance field inside the JSON); regenerate it the same way after
+# intentional performance work, never from a single sample.
+BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_158q.json}
+NEW=${1:-target/bench.json}
+exec python3 "$(dirname "$0")/bench_gate.py" "$BASE" "$NEW" "${2:-2.0}"
