@@ -112,36 +112,55 @@ object RelationalQueries extends graft.QueryModule {
     * so both engines agree exactly; reported support counts are plain
     * integers.
     *
-    * Scale: the self-join keys on l_orderkey, so pair generation is
-    * per-order and bounded by order width squared (TPC-H orders hold
-    * <= 7 parts) — never parts x parts; the support >= 2 filter bounds
-    * the output; per-part supports join back on the pair frame (AQE
-    * broadcasts the vocabulary-sized support table when small).
+    * Scale: pair generation is per-order and bounded by basket width
+    * squared (TPC-H orders hold <= 7 parts) — never parts x parts.
+    * One shuffle groups the fact table into per-order basket arrays;
+    * pairs expand row-locally from each array, so no self-join and no
+    * second fact shuffle exist in the plan. The support >= 2 filter
+    * bounds the output; per-part supports join back on the pair frame
+    * (AQE broadcasts the vocabulary-sized support table when small).
     */
   /** Baskets wider than this are excluded from pair mining — the
     * standard bot-cart guard: an unbounded basket pairs quadratically
-    * INSIDE one join key (one task), so a single 100k-item cart would
-    * emit 10^10 rows from one partition. TPC-H orders hold <= 7 parts,
-    * so on the fixture the cap is a no-op (the oracle applies the
-    * same clause); in production it is the knob that keeps the
-    * operator's per-key work bounded by policy, not by luck.
+    * inside one row, so a single 100k-item cart would expand to 5x10^9
+    * pair structs from one task. The width filter runs on the basket
+    * ARRAY before any pair expands, so the wide basket costs one
+    * array, not w² rows. TPC-H orders hold <= 7 parts, so on the
+    * fixture the cap is a no-op (the oracle applies the same clause);
+    * in production it is the knob that keeps the operator's per-row
+    * work bounded by policy, not by luck.
     */
   private val MaxBasket = 200L
 
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li0 = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val widths = li0.groupBy(col("ok")).agg(count(lit(1)).as("w"))
-      .filter(col("w") <= MaxBasket).select("ok")
-    val li = li0.join(widths, Seq("ok"))
-    val pairs = li.as("a")
-      .join(li.select(col("ok"), col("pk").as("pk_b")).as("b"), Seq("ok"))
-      .filter(col("pk") < col("pk_b"))
-      .groupBy(col("pk").as("part_a"), col("pk_b").as("part_b"))
+    // One shuffle builds per-order baskets (collect_set is the
+    // per-order DISTINCT, sort_array fixes pair orientation); the
+    // basket-width cap is then a row-local size() filter, so a
+    // pathological 100k-item cart costs one array, never w² join
+    // rows — the cap rejects it before any pair materializes. Pair
+    // generation is a row-local combinations expression (for element
+    // i, pair with every later element of the sorted array), keeping
+    // a.pk < b.pk by construction: no self-join, no second shuffle of
+    // the fact table. Supports and the basket count reuse the same
+    // basket aggregate — identical exchanges, so Spark's
+    // ReuseExchange materializes the shuffle once for all three
+    // consumers.
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .filter(size(col("parts")) <= MaxBasket)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("parts"),
+        (x, i) => transform(
+          slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 2)
-    val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n_orders_part"))
-    val stats = li.agg(countDistinct(col("ok")).as("n_orders"))
+    val sup = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_orders_part"))
+    val stats = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(sup.select(col("pk").as("part_a"), col("n_orders_part").as("n_a")), Seq("part_a"))
       .join(sup.select(col("pk").as("part_b"), col("n_orders_part").as("n_b")), Seq("part_b"))
