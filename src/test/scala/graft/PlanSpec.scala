@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("copurchase plans basket expansion, not a fact self-join") {
+    // The r11 rewrite generates pairs row-locally from per-order
+    // basket arrays: exactly 3 joins remain (two per-part support
+    // lookups + the broadcast 1-row order-count scalar). A
+    // reintroduced fact self-join or width-filter join raises the
+    // join count; losing the Generate means the expansion regressed
+    // to a join. Counted on the executed plan string (each node once).
+    val p = SparkEntry.queries("q_copurchase")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
+      .findAllIn(p).size
+    assert(joins == 3, s"q_copurchase: expected 3 joins (2 support + 1 stats), got $joins")
+    assert("Generate".r.findAllIn(p).size >= 2,
+      "q_copurchase: row-local pair/support expansion (Generate) missing")
+  }
+
   test("flagship scans push real predicates into parquet (not just IsNotNull)") {
     // q_filter_range: the timestamp range must reach the orders scan
     val fr = planOf("q_filter_range")
