@@ -479,7 +479,47 @@ object TextAnalysisQueries extends graft.QueryModule {
       .withColumn("mean_millibits", expr("(sum_bits * 1000) DIV n_toks"))
   }
 
+  /** BPE tokenizer training, round one: the freq-weighted adjacent
+    * symbol-pair counts a byte-pair-encoding trainer computes to pick
+    * its first merge (Sennrich et al., arXiv:1508.07909). The classic
+    * corpus-scale trick is the whole point of the Spark shape: pairs
+    * are counted over the WORD-FREQUENCY TABLE, not the corpus — each
+    * distinct word contributes its in-word pairs once, weighted by its
+    * corpus frequency — so after the first aggregate every downstream
+    * row count is vocabulary-bounded (Heaps-law sublinear in corpus
+    * size). Top 50 merge candidates under a total order
+    * (count desc, pair asc), so the cut is deterministic cross-engine.
+    *
+    * Scale: two shuffles, both with map-side partial aggregation —
+    * corpus tokens → word freqs (combiner collapses each partition to
+    * its local vocabulary), then vocabulary → pair counts (domain =
+    * alphabet², tiny). The pair expansion is a row-local transform
+    * over character positions; TakeOrderedAndProject handles the
+    * top-50. A full trainer iterates merge rounds; each round is this
+    * same job over the re-segmented vocabulary, never the corpus.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsOf(Tables.documents(spark, dir))
+
+  private[graft] def bpePairsOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - lit(1)),
+          i => struct(
+            col("w").substr(i, lit(1)).as("lhs"),
+            col("w").substr(i + lit(1), lit(1)).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> bpePairs,
     "q_surprisal" -> surprisal,
     "q_heavy_hitters" -> heavyHitters,
     "q_collocations" -> collocations,
@@ -497,6 +537,22 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE length(tok) >= 2
+        |  GROUP BY tok
+        |), positions AS (
+        |  SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM words
+        |)
+        |SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs,
+        |       CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM positions
+        |GROUP BY 1, 2
+        |ORDER BY pair_count DESC, lhs, rhs
+        |LIMIT 50""".stripMargin,
     "q_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents

@@ -244,4 +244,19 @@ class AnalyticsSpec extends SparkSpec {
         got("cluster_id") === clusters("cluster_id"), "left_anti")
     assert(orphan.count() == 0)
   }
+
+  test("bpe pair counts weight in-word adjacency by word frequency and cut deterministically") {
+    import spark.implicits._
+    // "ab" x3 (one per doc 1-2, once in doc 3), "abc" x1, "a" x1 (no
+    // pair: length < 2), "bc" x1. Expected freq-weighted pairs:
+    // (a,b) = 3 [ab] + 1 [abc] = 4, (b,c) = 1 [abc] + 1 [bc] = 2.
+    val docs = Seq(
+      (1L, "ab a"),
+      (2L, "ab"),
+      (3L, "ab abc bc")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysisQueries.bpePairsOf(docs)
+      .select("lhs", "rhs", "pair_count").as[(String, String, Long)].collect().toList
+    assert(got === List(("a", "b", 4L), ("b", "c", 2L)))
+  }
 }
