@@ -89,15 +89,58 @@ object PipelineQueries extends graft.QueryModule {
       .select(col("promo_id"), coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
   }
 
+  // ===== CDC log collapse: N-version change log -> current state =====
+  /** Collapse a keyed change log to its current state — the CDC-apply
+    * step downstream of any log-based replication (Debezium-style
+    * feeds): last writer wins per key under the total order
+    * (ts, event_id), and a key whose LATEST entry is a tombstone
+    * (`error` plays the delete op here) vanishes from the state.
+    * Distinct from [[upsertMerge]] (two-frame merge) — this collapses
+    * an N-version single-frame log with delete semantics.
+    *
+    * Scale: deliberately NOT a row_number window (whose per-key sort
+    * materializes every version on one task before discarding all but
+    * one) — the LWW pick is max(struct(ts, event_id, ...)), a plain
+    * hash aggregate with map-side partial combine: each partition
+    * reduces its local versions to one candidate per key before the
+    * shuffle, so the exchange carries keys, not log volume. The
+    * tombstone filter runs post-aggregate (latest-wins must see
+    * deletes). event_id is globally unique, so the struct order is
+    * total and the survivor deterministic cross-engine.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeOf(Tables.events(spark, dir))
+
+  private[graft] def cdcMergeOf(log: DataFrame): DataFrame =
+    log
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("m"))
+      .filter(col("m.event_type") =!= "error")
+      .select(col("user_id"),
+        col("m.event_type").as("last_op"),
+        col("m.value").as("last_value"),
+        col("m.ts").as("last_ts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_parse" -> jsonParse,
     "q_flatten" -> flattenTokens,
     "q_upsert" -> upsertMerge,
     "q_scd2" -> scd2History,
-    "q_range_join" -> rangeJoinQ
+    "q_range_join" -> rangeJoinQ,
+    "q_cdc_merge" -> cdcMerge
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value,
+        |       CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) t
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q_json_parse" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

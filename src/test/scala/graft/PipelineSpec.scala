@@ -226,4 +226,23 @@ class PipelineSpec extends SparkSpec {
     assert(v1.length == 1 && v1.head.getAs[String]("v") == "b")
     hist.unpersist()
   }
+
+  test("cdc merge: last writer wins, trailing tombstone deletes, same-ts ties break on event_id") {
+    // u1: update then tombstone LAST -> vanishes entirely
+    // u2: tombstone then a LATER update -> survives with the update
+    // u3: two versions at the SAME ts -> higher event_id wins
+    val log = Seq(
+      (1L, 1000L, 10L, "view", 1.0),
+      (2L, 2000L, 10L, "error", 0.0),
+      (3L, 1000L, 20L, "error", 0.0),
+      (4L, 2000L, 20L, "purchase", 5.0),
+      (5L, 1000L, 30L, "click", 2.0),
+      (6L, 1000L, 30L, "view", 3.0)
+    ).toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val got = graft.operators.PipelineQueries.cdcMergeOf(log)
+      .select("user_id", "last_op", "last_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((20L, "purchase", 5.0), (30L, "view", 3.0)))
+  }
 }
