@@ -100,10 +100,12 @@ object PipelineQueries extends graft.QueryModule {
     *
     * Scale: deliberately NOT a row_number window (whose per-key sort
     * materializes every version on one task before discarding all but
-    * one) — the LWW pick is max(struct(ts, event_id, ...)), a plain
-    * hash aggregate with map-side partial combine: each partition
-    * reduces its local versions to one candidate per key before the
-    * shuffle, so the exchange carries keys, not log volume. The
+    * one) — the LWW pick is max(struct(ts, event_id, ...)), an
+    * aggregate with map-side partial combine (struct buffers are not
+    * hash-aggregable, so Spark plans partial+final SortAggregate; the
+    * sort is per-partition and row-local): each partition reduces its
+    * local versions to one candidate per key before the shuffle, so
+    * the exchange carries keys, not log volume. The
     * tombstone filter runs post-aggregate (latest-wins must see
     * deletes). event_id is globally unique, so the struct order is
     * total and the survivor deterministic cross-engine.

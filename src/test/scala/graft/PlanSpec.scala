@@ -88,6 +88,26 @@ class PlanSpec extends SparkSpec {
       "q_copurchase: row-local pair/support expansion (Generate) missing")
   }
 
+  test("cdc merge plans a combining aggregate, never a per-key window sort") {
+    // The LWW pick must stay max(struct(...)) — partial+final
+    // aggregation (SortAggregate: struct buffers are not
+    // hash-aggregable) — so the shuffle carries one candidate per key
+    // per partition, not log volume. A row_number rewrite would
+    // reintroduce Window and ship every version of every key.
+    val p = SparkEntry.queries("q_cdc_merge")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "q_cdc_merge: LWW regressed to a window")
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      "q_cdc_merge: lost the partial (map-side) aggregation phase")
+  }
+
+  test("bpe pair top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = SparkEntry.queries("q_bpe_pairs")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "q_bpe_pairs: top-50 cut lost its TakeOrderedAndProject")
+  }
+
   test("flagship scans push real predicates into parquet (not just IsNotNull)") {
     // q_filter_range: the timestamp range must reach the orders scan
     val fr = planOf("q_filter_range")
