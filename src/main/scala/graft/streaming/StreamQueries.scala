@@ -394,6 +394,23 @@ object StreamQueries extends graft.QueryModule {
       "q_stream_attrib", mode = "append")
   }
 
+  /** CDC-apply at ingest, drained: per-key latest-version state with
+    * tombstone suppression (see StreamingOps.cdcCurrentState). A
+    * one-batch drain emits exactly the batch log collapse, so the
+    * oracle is q_cdc_merge's SQL verbatim.
+    */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val s = drainSession(spark, dir)
+    drain(
+      StreamingOps.cdcCurrentState(s, StreamingOps.eventStream(s, dir)).toDF()
+        .select(
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("last_op"),
+          org.apache.spark.sql.functions.col("last_value"),
+          org.apache.spark.sql.functions.expr("timestamp_micros(last_us)").as("last_ts")),
+      "q_stream_cdc")
+  }
+
   /** Per-user running totals via flatMapGroupsWithState, drained: one
     * batch emits each user's final (n_events, total_value). The state
     * accumulates exact integer cents (see StreamingOps), so the
@@ -514,6 +531,7 @@ object StreamQueries extends graft.QueryModule {
     "q_stream_dedup_wm" -> streamDedupWm,
     "q_stream_attrib" -> streamAttrib,
     "q_stream_totals" -> streamTotals,
+    "q_stream_cdc" -> streamCdc,
     "q_stream_cms" -> streamCms,
     "q_stream_media" -> streamMedia,
     "q_stream_gate" -> streamGate,
@@ -573,6 +591,15 @@ object StreamQueries extends graft.QueryModule {
         | AND c.user_id = p.user_id
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR""".stripMargin,
+    "q_stream_cdc" ->
+      """SELECT user_id, event_type AS last_op, value AS last_value,
+        |       CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) t
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q_stream_totals" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)

@@ -359,6 +359,11 @@ object StreamingOps {
   case class UserEvent(user_id: Long, cents: Long)
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
   case class UserState(n_events: Long, cents: Long)
+  case class CdcVersion(event_id: Long, us: Long, user_id: Long,
+      event_type: String, value: Double)
+  case class CdcLatest(us: Long, event_id: Long, event_type: String, value: Double)
+  case class CdcCurrent(user_id: Long, last_op: String, last_value: Double,
+      last_us: Long)
 
   case class DocTokens(source: String, doc_id: Long, n_tok: Long)
   case class BudgetedDoc(source: String, doc_id: Long, n_tok: Long,
@@ -705,6 +710,39 @@ object StreamingOps {
           sorted.iterator.map { b =>
             EmbNearDupHit(b.vec_id, b.band_id, anchor, b.vec_id != anchor)
           }
+      }
+  }
+
+  /** CDC-apply at ingest: keep the latest version per key as keyed
+    * state (one row per key forever — the state IS the materialized
+    * current table), last writer wins under the total (ts, event_id)
+    * order whatever the arrival interleaving, and a key whose latest
+    * entry is the tombstone op (`error`) emits nothing while its state
+    * remembers the tombstone — a later genuine update re-admits the
+    * key. Streaming twin of
+    * [[graft.operators.PipelineQueries.cdcMerge]]: a single-batch
+    * drain emits exactly the batch collapse, so both share one oracle;
+    * cross-batch override/tombstone/re-admit semantics are pinned in
+    * StreamingSpec where the SQL oracle can't follow.
+    */
+  def cdcCurrentState(spark: SparkSession, events: DataFrame): Dataset[CdcCurrent] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[CdcVersion]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[CdcVersion], state: GroupState[CdcLatest]) =>
+          var st = state.getOption.orNull
+          rows.foreach { r =>
+            if (st == null || r.us > st.us ||
+                (r.us == st.us && r.event_id > st.event_id))
+              st = CdcLatest(r.us, r.event_id, r.event_type, r.value)
+          }
+          state.update(st)
+          if (st.event_type == "error") Iterator.empty
+          else Iterator(CdcCurrent(userId, st.event_type, st.value, st.us))
       }
   }
 

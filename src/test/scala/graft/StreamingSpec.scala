@@ -986,4 +986,42 @@ class StreamingSpec extends SparkSpec {
       assert(got.count() === want)
     } finally sys.props.remove("graft.drain.parts")
   }
+
+  test("cdc at ingest: cross-batch override, tombstone suppression, re-admit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val log = mem.toDF().toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val q = StreamingOps.cdcCurrentState(spark, log).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("scdc").start()
+    try {
+      // batch 1: u10 view, u20 purchase
+      mem.addData((1L, 1000L, 10L, "view", 1.0), (2L, 1000L, 20L, "purchase", 5.0))
+      q.processAllAvailable()
+      val b1 = spark.table("scdc").select("user_id", "last_op").as[(Long, String)]
+        .collect().toSet
+      assert(b1 === Set((10L, "view"), (20L, "purchase")))
+      // batch 2: u10 tombstoned (emits nothing), u20 overridden by a
+      // LATER version, plus an out-of-order EARLIER u20 version that
+      // must lose to the state
+      mem.addData((3L, 2000L, 10L, "error", 0.0),
+        (4L, 2000L, 20L, "click", 7.0), (5L, 500L, 20L, "view", 9.9))
+      q.processAllAvailable()
+      val b2 = spark.table("scdc").select("user_id", "last_op", "last_value")
+        .as[(Long, String, Double)].collect()
+      // update-mode memory sink accumulates; the LAST emission per key
+      // is the state. u10 emitted nothing in batch 2.
+      assert(b2.count(_._1 == 10L) === 1) // only the batch-1 emission
+      assert(b2.filter(_._1 == 20L).map(r => (r._2, r._3)).toSet
+        .contains(("click", 7.0)))
+      // batch 3: a genuine u10 update AFTER the tombstone re-admits it
+      mem.addData((6L, 3000L, 10L, "signup", 4.0))
+      q.processAllAvailable()
+      val b3 = spark.table("scdc").filter(col("user_id") === 10L)
+        .select("last_op", "last_value").as[(String, Double)].collect().toSet
+      assert(b3.contains(("signup", 4.0)))
+    } finally q.stop()
+  }
 }
