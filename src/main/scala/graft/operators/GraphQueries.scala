@@ -93,11 +93,89 @@ object GraphQueries extends graft.QueryModule {
       col("r"))
   }
 
+  /** Triangle count of the co-purchase part graph (edges =
+    * [[RelationalQueries.coPairs]], support >= 2) via degree-ordered
+    * orientation — the standard distributed-triangle trick (Cohen,
+    * "Graph Twiddling in a MapReduce World", 2009): orient every
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, so each triangle is counted exactly once from its
+    * lowest-ordered corner AND wedge generation is bounded — a node's
+    * oriented out-degree is at most O(sqrt(m)) whatever its raw degree
+    * (a hub's edges orient INTO it), which is what keeps the wedge
+    * join from exploding on power-law graphs at 100 TB. Two
+    * equi-joins: wedges share their apex (hash join on src, the
+    * ordering conjunct rides as a post-join filter), then close
+    * against the oriented edge list on the exact (src, dst) pair.
+    * All counts are exact integers; one summary row.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(spark,
+      RelationalQueries.coPairs(spark, dir).select(col("part_a").as("u"), col("part_b").as("v")))
+
+  private[graft] def trianglesOf(spark: SparkSession, e0: DataFrame): DataFrame = {
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lt = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e0
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(lt, col("u")).otherwise(col("v")).as("src"),
+        when(lt, col("v")).otherwise(col("u")).as("dst"),
+        when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val tri = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && wedgeOrder)
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+      .join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(e0.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> pagerank
+    "q_pagerank" -> pagerank,
+    "q_triangles" -> triangles
   )
 
   def oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |li AS (
+        |  SELECT ok, pk FROM li0
+        |  WHERE ok IN (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= 200)
+        |),
+        |e0 AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) t
+        |  GROUP BY n
+        |),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS ddst
+        |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v
+        |),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM o e1
+        |  JOIN o e2 ON e1.src = e2.src
+        |    AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+        |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin,
     "q_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s

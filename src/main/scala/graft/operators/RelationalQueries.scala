@@ -132,25 +132,27 @@ object RelationalQueries extends graft.QueryModule {
     */
   private val MaxBasket = 200L
 
-  def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // One shuffle builds per-order baskets (collect_set is the
-    // per-order DISTINCT, sort_array fixes pair orientation); the
-    // basket-width cap is then a row-local size() filter, so a
-    // pathological 100k-item cart costs one array, never w² join
-    // rows — the cap rejects it before any pair materializes. Pair
-    // generation is a row-local combinations expression (for element
-    // i, pair with every later element of the sorted array), keeping
-    // a.pk < b.pk by construction: no self-join, no second shuffle of
-    // the fact table. Supports and the basket count reuse the same
-    // basket aggregate — identical exchanges, so Spark's
-    // ReuseExchange materializes the shuffle once for all three
-    // consumers.
-    val baskets = Tables.lineitem(spark, dir)
+  /** Per-order basket arrays — one shuffle (collect_set is the
+    * per-order DISTINCT, sort_array fixes pair orientation); the
+    * basket-width cap is a row-local size() filter, so a pathological
+    * 100k-item cart costs one array, never w² join rows.
+    */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("parts"))
       .filter(size(col("parts")) <= MaxBasket)
-    val pairs = baskets
+
+  /** Co-purchased part pairs with support >= 2 — pair generation is a
+    * row-local combinations expression over each sorted basket (for
+    * element i, pair with every later element), keeping
+    * part_a < part_b by construction: no self-join, no second shuffle
+    * of the fact table. Shared by [[copurchase]] and the co-purchase
+    * graph consumers (GraphQueries.triangles).
+    */
+  private[operators] def coPairs(spark: SparkSession, dir: String): DataFrame =
+    baskets(spark, dir)
       .select(explode(flatten(transform(col("parts"),
         (x, i) => transform(
           slice(col("parts"), i + lit(2), size(col("parts"))),
@@ -158,9 +160,16 @@ object RelationalQueries extends graft.QueryModule {
       .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 2)
-    val sup = baskets.select(explode(col("parts")).as("pk"))
+
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    // Supports and the basket count reuse the same basket aggregate as
+    // the pair frame — identical exchanges, so Spark's ReuseExchange
+    // materializes the shuffle once for all three consumers.
+    val bk = baskets(spark, dir)
+    val pairs = coPairs(spark, dir)
+    val sup = bk.select(explode(col("parts")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_orders_part"))
-    val stats = baskets.agg(count(lit(1)).as("n_orders"))
+    val stats = bk.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(sup.select(col("pk").as("part_a"), col("n_orders_part").as("n_a")), Seq("part_a"))
       .join(sup.select(col("pk").as("part_b"), col("n_orders_part").as("n_b")), Seq("part_b"))

@@ -50,4 +50,23 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"),
       "iterations must read the SharedBuilds-cached edge frame, not rebuild it")
   }
+
+  test("triangle count: 4-clique plus pendant edge counts exactly 4 triangles") {
+    // K4 on {1,2,3,4} has C(4,3) = 4 triangles; the pendant edge
+    // (4,5) adds a node and an edge but closes nothing. Degree
+    // orientation must count each triangle exactly once whatever the
+    // hub structure.
+    val e0 = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)
+    ).toDF("u", "v")
+    val got = GraphQueries.trianglesOf(spark, e0).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((5L, 7L, 4L)))
+  }
+
+  test("triangle count: triangle-free bipartite edges count zero") {
+    val e0 = Seq((1L, 10L), (1L, 12L), (3L, 10L), (3L, 12L)).toDF("u", "v")
+    val got = GraphQueries.trianglesOf(spark, e0).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((4L, 4L, 0L)))
+  }
 }
