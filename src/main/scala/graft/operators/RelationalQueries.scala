@@ -149,17 +149,21 @@ object RelationalQueries extends graft.QueryModule {
     * element i, pair with every later element), keeping
     * part_a < part_b by construction: no self-join, no second shuffle
     * of the fact table. Shared by [[copurchase]] and the co-purchase
-    * graph consumers (GraphQueries.triangles).
+    * graph consumers (GraphQueries.triangles) — memoized per
+    * (session, dir) via [[graft.SharedBuilds]] so one cached pair
+    * build serves both families, the materialized-staging-table role.
     */
   private[operators] def coPairs(spark: SparkSession, dir: String): DataFrame =
-    baskets(spark, dir)
-      .select(explode(flatten(transform(col("parts"),
-        (x, i) => transform(
-          slice(col("parts"), i + lit(2), size(col("parts"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= 2)
+    graft.SharedBuilds.getOrBuild[DataFrame]("relational.coPairs", spark, dir) { scope =>
+      scope.cached(baskets(spark, dir)
+        .select(explode(flatten(transform(col("parts"),
+          (x, i) => transform(
+            slice(col("parts"), i + lit(2), size(col("parts"))),
+            y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2))
+    }
 
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
     // Supports and the basket count reuse the same basket aggregate as

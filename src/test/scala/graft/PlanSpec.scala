@@ -77,15 +77,19 @@ class PlanSpec extends SparkSpec {
     // basket arrays: exactly 3 joins remain (two per-part support
     // lookups + the broadcast 1-row order-count scalar). A
     // reintroduced fact self-join or width-filter join raises the
-    // join count; losing the Generate means the expansion regressed
-    // to a join. Counted on the executed plan string (each node once).
+    // join count. The pair frame itself comes from the SharedBuilds-
+    // cached coPairs build (InMemoryTableScan); the support explode's
+    // Generate stays in this plan. Counted on the executed plan
+    // string (each node once).
     val p = SparkEntry.queries("q_copurchase")(spark, sf0001)
       .queryExecution.executedPlan.toString
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
       .findAllIn(p).size
     assert(joins == 3, s"q_copurchase: expected 3 joins (2 support + 1 stats), got $joins")
-    assert("Generate".r.findAllIn(p).size >= 2,
-      "q_copurchase: row-local pair/support expansion (Generate) missing")
+    assert(p.contains("InMemoryTableScan"),
+      "q_copurchase: pair frame must read the SharedBuilds-cached coPairs build")
+    assert(p.contains("Generate"),
+      "q_copurchase: row-local support expansion (Generate) missing")
   }
 
   test("cdc merge plans a combining aggregate, never a per-key window sort") {
