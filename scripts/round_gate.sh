@@ -12,6 +12,6 @@
 # The baseline is min-per-query over a multi-sample campaign (see the
 # provenance field inside the JSON); regenerate it the same way after
 # intentional performance work, never from a single sample.
-BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_158q.json}
+BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_162q.json}
 NEW=${1:-target/bench.json}
 exec python3 "$(dirname "$0")/bench_gate.py" "$BASE" "$NEW" "${2:-2.0}"
