@@ -309,4 +309,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ===== round-11 additions: CDC collapse and triangle counting =====
+
+  private val logGen: Gen[List[(Long, Long, Long, String, Double)]] =
+    Gen.listOfN(30, Gen.zip(
+      Gen.choose(0L, 5L),               // user_id: few keys => many versions
+      Gen.choose(0L, 9L),               // sec: coarse => same-ts ties happen
+      Gen.oneOf("view", "click", "purchase", "error"),
+      Gen.choose(0, 99)))
+      .map(_.zipWithIndex.map { case ((u, t, op, v), i) =>
+        (i.toLong, t, u, op, v / 10.0)  // event_id = position, unique
+      })
+
+  test("cdc collapse equals the sequential replay reference on random logs") {
+    (0 until 8).foreach { i =>
+      val log = logGen.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil)
+      val df = log.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_seconds(sec)"))
+      val got = graft.operators.PipelineQueries.cdcMergeOf(df)
+        .select("user_id", "last_op", "last_value")
+        .as[(Long, String, Double)].collect().toSet
+      // reference: replay the log in (ts, event_id) order, keep the
+      // last entry per key, drop keys whose last entry is a tombstone
+      val want = log.groupBy(_._3).flatMap { case (u, vs) =>
+        val last = vs.maxBy(r => (r._2, r._1))
+        if (last._4 == "error") None else Some((u, last._4, last._5))
+      }.toSet
+      assert(got === want, s"seed ${42 + i}")
+    }
+  }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+
+  test("triangle count equals brute-force triple enumeration on random graphs") {
+    (0 until 8).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v")
+        val got = graft.operators.GraphQueries.trianglesOf(spark, df).collect().head
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val want = (for {
+          a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+        assert(got.getLong(0) === nodes.size.toLong, s"nodes, seed ${7 + i}")
+        assert(got.getLong(1) === edges.size.toLong, s"edges, seed ${7 + i}")
+        assert(got.getLong(2) === want, s"triangles, seed ${7 + i}")
+      }
+    }
+  }
 }
