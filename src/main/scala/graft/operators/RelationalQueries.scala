@@ -166,9 +166,10 @@ object RelationalQueries extends graft.QueryModule {
     }
 
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // Supports and the basket count reuse the same basket aggregate as
-    // the pair frame — identical exchanges, so Spark's ReuseExchange
-    // materializes the shuffle once for all three consumers.
+    // sup and stats share one basket exchange (ReuseExchange unifies
+    // their identical shuffles); the pair frame itself reads the
+    // SharedBuilds-cached coPairs build (InMemoryTableScan), whose
+    // basket shuffle was paid once inside that cached build.
     val bk = baskets(spark, dir)
     val pairs = coPairs(spark, dir)
     val sup = bk.select(explode(col("parts")).as("pk"))

@@ -50,18 +50,25 @@ object StreamQueries extends graft.QueryModule {
     * strictly sequential, so queries with the same conf shape can share
     * one clone instead of paying SessionState construction per drain
     * (68 clones per bench run otherwise — 17 stream queries × 4
-    * executions). Keyed on the context's identity so a suite JVM that
-    * rebuilds its SparkSession never receives a clone of a stopped
-    * context.
+    * executions). Keyed on the SparkContext REFERENCE (default identity
+    * equals/hashCode — contexts never override them), so a suite JVM
+    * that rebuilds its SparkSession never receives a clone of a stopped
+    * context and two contexts can never collide (an identityHashCode
+    * key could — hash codes aren't unique). Entries for stopped
+    * contexts are purged on access, mirroring SharedBuilds' stopped-
+    * session purge, so a session-cycling JVM doesn't accumulate
+    * SessionStates of dead contexts.
     */
   private val drainSessions =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Boolean), SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String, Int, Boolean), SparkSession]()
 
   private def drainSession(spark: SparkSession, dir: String,
       noDataBatches: Boolean = false): SparkSession = {
     val parts = drainPartitions(spark, dir)
+    drainSessions.keySet().removeIf(k => k._1.isStopped)
     drainSessions.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), dir, parts, noDataBatches), { _ =>
+      (spark.sparkContext, dir, parts, noDataBatches), { _ =>
         val s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", parts.toString)
         // Throwaway-drain checkpoint hygiene: the checkpoint is deleted
@@ -143,21 +150,44 @@ object StreamQueries extends graft.QueryModule {
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
       // Crashed runs leak their RAM-backed checkpoint roots until
       // reboot (deleteOnExit never fires on a kill -9 / OOM kill), so
-      // sweep stale graft-drain-ckpt* dirs here. Age-gated at 2 h by
-      // mtime: a LIVE concurrent JVM's root is recent, a crashed run's
-      // is not — sweeping a neighbor's active checkpoint would corrupt
-      // its in-flight drains, so recency is the ownership test.
+      // sweep stale graft-drain-ckpt* dirs here. Ownership test is
+      // LIVENESS, not recency: every root carries an `owner.pid` file
+      // (written below) and a root is swept only when its recorded
+      // process is gone (/proc/<pid> absent) — a concurrent JVM that
+      // idles for hours between drains keeps its root (r11 used a 2 h
+      // mtime gate, which could sweep exactly that root mid-run). The
+      // mtime age gate is kept only for legacy/pid-less roots, and as
+      // a grace period so a root is never swept in the window between
+      // createTempDirectory and its pid write.
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      def ownerAlive(root: java.nio.file.Path): Boolean = {
+        val pidFile = root.resolve("owner.pid")
+        try {
+          if (!java.nio.file.Files.isRegularFile(pidFile)) false
+          else {
+            val pid = new String(
+              java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim
+            pid.nonEmpty && java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("/proc", pid))
+          }
+        } catch { case _: Throwable => true } // unreadable => assume live
+      }
       try {
-        val it = java.nio.file.Files.list(shm).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.startsWith("graft-drain-ckpt") &&
-              p.toFile.lastModified() < cutoff)
-            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        }
+        val listing = java.nio.file.Files.list(shm)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("graft-drain-ckpt") &&
+                p.toFile.lastModified() < cutoff && !ownerAlive(p))
+              org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          }
+        } finally listing.close() // Files.list holds a directory fd
       } catch { case _: Throwable => () } // sweep is best-effort hygiene
       val d = java.nio.file.Files.createTempDirectory(shm, "graft-drain-ckpt")
+      try java.nio.file.Files.write(d.resolve("owner.pid"),
+        ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+      catch { case _: Throwable => () } // falls back to the mtime gate
       d.toFile.deleteOnExit()
       Some(d)
     } else None
