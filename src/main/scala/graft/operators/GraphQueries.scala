@@ -137,12 +137,61 @@ object GraphQueries extends graft.QueryModule {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Connected components of the co-purchase part graph (edges =
+    * [[RelationalQueries.coPairs]], support >= 2): each part labeled
+    * with the smallest part id reachable through shared baskets — the
+    * product-family clustering view of the association graph.
+    *
+    * Deliberately forces [[DedupQueries.connectedComponents]]'
+    * DISTRIBUTED min-label-propagation path (localThreshold = 0): the
+    * driver union-find fast path is for bounded duplicate-pair sets,
+    * and this query exists precisely so the corpus-scale code path —
+    * O(log diameter) rounds of one equi-join + one keyed min
+    * aggregation, loop state localCheckpoint'ed, partition count
+    * derived from edge volume — runs under the DuckDB oracle gate
+    * rather than only under property tests at toy sizes. The oracle
+    * is the reachability closure to fixpoint (recursive CTE), so the
+    * label-propagation + pointer-halving loop is certified against a
+    * definitionally-correct fixpoint, not against itself.
+    *
+    * Scale: every round shuffles on node id only; no step ever
+    * collects edges or labels to the driver (PlanSpec pins the absence
+    * of a LocalTableScan in the executed plan — the signature the
+    * driver fast path would leave).
+    */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.connectedComponents(spark,
+      RelationalQueries.coPairs(spark, dir)
+        .select(col("part_a").as("doc_a"), col("part_b").as("doc_b")),
+      localThreshold = 0L)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
-    "q_triangles" -> triangles
+    "q_triangles" -> triangles,
+    "q_components" -> components
   )
 
   def oracles: Map[String, String] = Map(
+    "q_components" ->
+      """WITH RECURSIVE li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |li AS (
+        |  SELECT ok, pk FROM li0
+        |  WHERE ok IN (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= 200)
+        |),
+        |e0 AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM ed) n
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst
+        |)
+        |SELECT src AS node, min(dst) AS component
+        |FROM reach GROUP BY src ORDER BY node""".stripMargin,
     "q_triangles" ->
       """WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |li AS (

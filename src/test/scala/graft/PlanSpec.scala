@@ -98,6 +98,21 @@ class PlanSpec extends SparkSpec {
       "q_copurchase: row-local support expansion (Generate) missing")
   }
 
+  test("components runs the distributed label-propagation path, never the driver union-find") {
+    // q_components exists to put the DISTRIBUTED connected-components
+    // loop under the oracle gate (localThreshold = 0). The driver
+    // fast path's signature is a LocalTableScan (collected edges,
+    // union-found on the driver, re-parallelized); the distributed
+    // path's result is the final localCheckpoint'ed label frame (an
+    // RDD scan). Building the frame runs the loop — cheap at sf0.001.
+    val p = SparkEntry.queries("q_components")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan"),
+      "q_components: result came from a driver-side collect (union-find fast path)")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "q_components: expected the checkpointed label frame (RDD scan) as the source")
+  }
+
   test("cdc merge plans a combining aggregate, never a per-key window sort") {
     // The LWW pick must stay max(struct(...)) — partial+final
     // aggregation (SortAggregate: struct buffers are not
