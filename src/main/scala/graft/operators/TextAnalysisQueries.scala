@@ -518,7 +518,103 @@ object TextAnalysisQueries extends graft.QueryModule {
       .limit(50)
   }
 
+  /** Iterated BPE tokenizer training (Sennrich et al.,
+    * arXiv:1508.07909 §3): MergeRounds rounds of count-adjacent-pairs
+    * → pick the top merge → re-segment the VOCABULARY and recount.
+    * Extends [[bpePairs]] (round one only) with the loop a real
+    * trainer runs, and proves the property that makes BPE trainable
+    * at corpus scale: after the single corpus scan that builds the
+    * word-frequency table, every round's input is the vocabulary
+    * frame — re-segmentation is a row-local fold over each word's
+    * symbol list, weighted recounting is a vocabulary-sized
+    * aggregate, and the corpus is never rescanned (PlanSpec pins the
+    * executed plan to the cached vocabulary build, zero document
+    * scans).
+    *
+    * Merge application is greedy left-to-right, non-overlapping —
+    * standard BPE: scanning symbols left to right, (lhs, rhs) merges
+    * whenever the PREVIOUS EMITTED symbol is exactly lhs and the
+    * current is rhs; a symbol just produced by a merge can never
+    * match lhs again this round (lhs+rhs != lhs). The segmentation is
+    * carried as a comma-joined string (words containing ',' are
+    * excluded up front), so the fold is one codegen'd `aggregate`
+    * higher-order function per word: append x fused (no comma) when
+    * it merges with the tail symbol, comma-separated otherwise. The
+    * oracle runs the IDENTICAL fold via DuckDB's list_reduce, and the
+    * per-round top-1/top-10 cuts share a total order
+    * (count desc, lhs, rhs) so the unrolled CTEs agree exactly.
+    *
+    * Scale: the chosen merge is a 1-row broadcast into the
+    * vocabulary fold — the whole loop is vocabulary-bounded
+    * (Heaps-law sublinear in corpus size); round r's lineage replays
+    * earlier folds over the CACHED vocabulary, so the DAG costs
+    * O(rounds^2) vocabulary-local passes and zero corpus work.
+    */
+  private val MergeRounds = 3
+
+  /** Adjacent-pair counts of a comma-joined segmentation column,
+    * freq-weighted: the per-round recount. Row-local expansion,
+    * one map-side-combined aggregate over the (tiny) pair domain.
+    */
+  private def segPairCounts(seg: DataFrame): DataFrame = {
+    val arr = split(col("seg"), ",")
+    seg
+      .select(col("freq"), explode(
+        when(size(arr) > 1,
+          transform(sequence(lit(1), size(arr) - 1),
+            i => struct(element_at(arr, i).as("lhs"),
+              element_at(arr, i + 1).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
+  /** Greedy left-to-right merge of (lhs, rhs) over a symbol array,
+    * rebuilt as the comma-joined segmentation string: append fused
+    * when the tail symbol is exactly lhs and x is rhs (the
+    * ends_with(",lhs") check is exact — symbols never contain
+    * commas, so ",lhs" can only suffix-match a complete tail symbol).
+    */
+  private[graft] def applyMerge(arr: Column, lhs: Column, rhs: Column): Column =
+    aggregate(arr, lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(x === rhs && (acc === lhs || endswith(acc, concat(lit(","), lhs))),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(","), x)))
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    // One corpus scan, memoized: (initial segmentation, freq) per
+    // distinct word. The comma guard keeps the separator unambiguous.
+    val vocab = graft.SharedBuilds.getOrBuild[DataFrame]("text.bpeVocab", spark, dir) { scope =>
+      scope.cached(
+        Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2 && !col("w").contains(","))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(
+            concat_ws(",", filter(split(col("w"), ""), c => c =!= lit(""))).as("seg"),
+            col("freq")))
+    }
+    var seg = vocab
+    val rounds = (1 to MergeRounds).map { r =>
+      val pairs = segPairCounts(seg)
+      val out = pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(10)
+        .select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("pair_count"))
+      if (r < MergeRounds) {
+        val top = pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+          .select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))
+        seg = seg.crossJoin(broadcast(top))
+          .select(applyMerge(split(col("seg"), ","), col("m_lhs"), col("m_rhs")).as("seg"),
+            col("freq"))
+      }
+      out
+    }
+    rounds.reduce(_ unionByName _)
+      .orderBy(col("merge_round"), col("pair_count").desc, col("lhs"), col("rhs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> bpeMerges,
     "q_bpe_pairs" -> bpePairs,
     "q_surprisal" -> surprisal,
     "q_heavy_hitters" -> heavyHitters,
@@ -537,6 +633,44 @@ object TextAnalysisQueries extends graft.QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE length(tok) >= 2 AND NOT contains(tok, ',')
+        |  GROUP BY tok
+        |), l1 AS (
+        |  SELECT list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS l, freq
+        |  FROM words
+        |), p1i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l1),
+        |p1 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p1i GROUP BY 1, 2),
+        |m1 AS (SELECT lhs, rhs FROM p1 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |l2 AS (
+        |  SELECT string_split(list_reduce(l, (acc, x) -> acc ||
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR ends_with(acc, ',' || m.lhs))
+        |                THEN '' ELSE ',' END || x), ',') AS l, freq
+        |  FROM l1, m1 m
+        |), p2i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l2),
+        |p2 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p2i GROUP BY 1, 2),
+        |m2 AS (SELECT lhs, rhs FROM p2 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |l3 AS (
+        |  SELECT string_split(list_reduce(l, (acc, x) -> acc ||
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR ends_with(acc, ',' || m.lhs))
+        |                THEN '' ELSE ',' END || x), ',') AS l, freq
+        |  FROM l2, m2 m
+        |), p3i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l3),
+        |p3 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p3i GROUP BY 1, 2),
+        |o1 AS (SELECT 1 AS merge_round, lhs, rhs, pair_count FROM p1
+        |       ORDER BY pair_count DESC, lhs, rhs LIMIT 10),
+        |o2 AS (SELECT 2 AS merge_round, lhs, rhs, pair_count FROM p2
+        |       ORDER BY pair_count DESC, lhs, rhs LIMIT 10),
+        |o3 AS (SELECT 3 AS merge_round, lhs, rhs, pair_count FROM p3
+        |       ORDER BY pair_count DESC, lhs, rhs LIMIT 10)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+        |ORDER BY merge_round, pair_count DESC, lhs, rhs""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq

@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
       "q_bpe_pairs: top-50 cut lost its TakeOrderedAndProject")
   }
 
+  test("bpe merge rounds read the cached vocabulary, never the corpus") {
+    // The corpus-scale property of iterated BPE: one corpus scan
+    // builds the word-frequency vocabulary; every merge round
+    // (recount, top-1 pick, re-segmentation fold) is
+    // vocabulary-bounded. Asserted on the optimized plan's LEAVES
+    // (string matching would false-positive: an InMemoryRelation's
+    // description embeds its cached build plan, documents scan
+    // included) — every leaf must be the cached vocabulary relation,
+    // so the query's own execution reads no table.
+    val leaves = SparkEntry.queries("q_bpe_merges")(spark, sf0001)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"q_bpe_merges: a merge round rescans a table instead of the cached vocabulary " +
+        s"frame; leaves = ${leaves.map(_.nodeName).distinct.mkString(", ")}")
+  }
+
   test("flagship scans push real predicates into parquet (not just IsNotNull)") {
     // q_filter_range: the timestamp range must reach the orders scan
     val fr = planOf("q_filter_range")

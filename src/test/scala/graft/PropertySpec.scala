@@ -51,6 +51,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE merge fold equals the index-based greedy reference on random segmentations") {
+    import org.apache.spark.sql.functions._
+    // Reference: scan positions left to right, merge (lhs, rhs) at i
+    // when syms(i)=lhs, syms(i+1)=rhs and syms(i) wasn't consumed by
+    // the previous merge — textbook greedy non-overlapping BPE.
+    def greedyRef(syms: List[String], lhs: String, rhs: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+          out += (lhs + rhs); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    // small symbol alphabet forces runs (the lhs==rhs overlap regime)
+    // and multi-char symbols (post-merge vocabulary shapes)
+    val symGen = Gen.oneOf("a", "b", "ab", "ba", "aa")
+    val wordGen = Gen.choose(1, 10).flatMap(k => Gen.listOfN(k, symGen))
+    val caseGen = Gen.zip(Gen.listOfN(25, wordGen), symGen, symGen)
+    (0 until 6).foreach { s =>
+      val (words, lhs, rhs) = caseGen.apply(Gen.Parameters.default, Seed(4200L + s))
+        .getOrElse((Nil, "a", "b"))
+      val got = words.map(_.mkString(",")).toDF("seg")
+        .select(graft.operators.TextAnalysisQueries
+          .applyMerge(split(col("seg"), ","), lit(lhs), lit(rhs)).as("m"))
+        .as[String].collect().toList
+      val want = words.map(w => greedyRef(w, lhs, rhs).mkString(","))
+      assert(got == want, s"seed=$s lhs=$lhs rhs=$rhs")
+    }
+  }
+
   test("t=1/2 prefix-filtered truth equals brute-force all-pairs Jaccard >= 0.5") {
     import org.apache.spark.sql.functions._
     // random gram-set corpora over a SMALL vocab (forces mid-similarity
