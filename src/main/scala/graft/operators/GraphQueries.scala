@@ -93,6 +93,65 @@ object GraphQueries extends graft.QueryModule {
       col("r"))
   }
 
+  /** Directed PageRank with dangling-mass redistribution — the real
+    * web/host-graph case the module doc cites: on a directed graph
+    * some nodes have no out-edges (here every supplier: edges run
+    * customer → supplier only), and without redistribution their rank
+    * mass simply evaporates each iteration. Per iteration the
+    * dangling mass D = Σ r(u) over out-degree-0 nodes is ONE 1-row
+    * aggregate, broadcast into the update as an equal share
+    * `D div N` added to every node's received sum before damping:
+    * r'(v) = 150e6 + (85 · (Σ_in r(u) div deg(u) + D div N)) div 100
+    * — still pure integer arithmetic (nano-units, decimal(38,0)
+    * sums), so bit-identical across engines and aggregation orders.
+    *
+    * Scale: the per-iteration shape is the symmetric [[pagerank]]'s
+    * join + keyed agg plus a broadcast-scalar anti-join aggregate;
+    * nothing new shuffles. Nodes with no in-edges stay in the vector
+    * via a left join against the node domain (they receive only the
+    * dangling share — exactly the teleport floor plus redistribution).
+    */
+  private[graft] def pagerankDirectedOf(spark: SparkSession, edges: DataFrame,
+      iters: Int): DataFrame = {
+    // edges: (src, dst, deg) with deg = out-degree of src
+    val nodesDf = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val srcs = edges.select(col("src").as("node")).distinct()
+    val nTotal = nodesDf.agg(count(lit(1)).as("n"))
+    val zero = lit(0).cast(DecimalType(38, 0))
+    var ranks = nodesDf.withColumn("r", lit(R0))
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r").cast(DecimalType(38, 0))), zero).as("dm"))
+      val sums = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("w"))
+        .groupBy("dst")
+        .agg(sum(col("w").cast(DecimalType(38, 0))).as("sin"))
+      ranks = nodesDf.join(sums, nodesDf("node") === sums("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(nTotal))
+        .select(nodesDf("node"),
+          (lit(150000000L).cast(DecimalType(38, 0)) +
+            floor((coalesce(col("sin"), zero) + expr("dm div n"))
+              * lit(85) / lit(100))).cast("long").as("r"))
+    }
+    ranks
+  }
+
+  /** Damped directed PageRank over the one-way customer → supplier
+    * edge list (suppliers are all dangling by construction) after
+    * ITERS iterations; reuses the memoized degree-annotated edge list
+    * (a customer's symmetric degree equals its directed out-degree —
+    * all its edges point at suppliers).
+    */
+  def pagerankDirected(spark: SparkSession, dir: String): DataFrame =
+    pagerankDirectedOf(spark,
+      edgesWithDeg(spark, dir).filter(col("src") % 2 === 0), Iters)
+      .select(
+        when(col("node") % 2 === 1, lit("s")).otherwise(lit("c")).as("entity"),
+        expr("node div 2").as("id"),
+        col("r"))
+
   /** Triangle count of the co-purchase part graph (edges =
     * [[RelationalQueries.coPairs]], support >= 2) via degree-ordered
     * orientation — the standard distributed-triangle trick (Cohen,
@@ -168,11 +227,58 @@ object GraphQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
+    "q_pagerank_directed" -> pagerankDirected,
     "q_triangles" -> triangles,
     "q_components" -> components
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pagerank_directed" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT c AS node FROM pairs UNION SELECT s AS node FROM pairs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |d0 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r1 AS (
+        |  SELECT nd.node,
+        |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
+        |  FROM nodes nd
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // dg.deg) AS sin
+        |             FROM edges e JOIN deg dg ON dg.src = e.src JOIN r0 r ON r.node = e.src
+        |             GROUP BY e.dst) s ON s.node = nd.node
+        |  CROSS JOIN d0 d CROSS JOIN nn
+        |),
+        |d1 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r2 AS (
+        |  SELECT nd.node,
+        |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
+        |  FROM nodes nd
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // dg.deg) AS sin
+        |             FROM edges e JOIN deg dg ON dg.src = e.src JOIN r1 r ON r.node = e.src
+        |             GROUP BY e.dst) s ON s.node = nd.node
+        |  CROSS JOIN d1 d CROSS JOIN nn
+        |),
+        |d2 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT src FROM deg)),
+        |r3 AS (
+        |  SELECT nd.node,
+        |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
+        |  FROM nodes nd
+        |  LEFT JOIN (SELECT e.dst AS node, SUM(r.r // dg.deg) AS sin
+        |             FROM edges e JOIN deg dg ON dg.src = e.src JOIN r2 r ON r.node = e.src
+        |             GROUP BY e.dst) s ON s.node = nd.node
+        |  CROSS JOIN d2 d CROSS JOIN nn
+        |)
+        |SELECT CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END AS entity,
+        |       node // 2 AS id, r
+        |FROM r3""".stripMargin,
     "q_components" ->
       """WITH RECURSIVE li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |li AS (

@@ -51,6 +51,52 @@ class GraphSpec extends SparkSpec {
       "iterations must read the SharedBuilds-cached edge frame, not rebuild it")
   }
 
+  test("directed pagerank: planted dangling node redistributes its mass") {
+    // Graph: 1 -> 2, 3 -> 2; node 2 dangles (no out-edges). N = 3,
+    // all ranks start at 1e9. Iteration 1 by hand:
+    //   D = r(2) = 1e9, share = D div 3 = 333333333
+    //   sin(2) = r(1)/1 + r(3)/1 = 2e9; sin(1) = sin(3) = 0
+    //   r(1) = r(3) = 150e6 + 85*333333333 div 100       = 433333333
+    //   r(2) = 150e6 + 85*(2e9 + 333333333) div 100      = 2133333333
+    // Without redistribution r(1)/r(3) would read the bare teleport
+    // floor 150e6 — the dangling share is exactly what this pins.
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "deg")
+    val got = GraphQueries.pagerankDirectedOf(spark, edges, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 433333333L, 3L -> 433333333L, 2L -> 2133333333L))
+  }
+
+  test("directed pagerank matches an independent integer-recurrence model") {
+    val got = GraphQueries.pagerankDirected(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val pairs = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as[Long], col("l_suppkey").as[Long])
+      .collect().distinct
+    val edges = pairs.map { case (c, s) => (2 * c, 2 * s + 1) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = nodes.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 3) {
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      val share = dm / nodes.length
+      val recv = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst) <- edges) recv(dst) += r(src) / deg(src)
+      r = nodes.map(n => n ->
+        (BigInt(150000000) + (recv(n) + share) * 85 / 100)).toMap
+    }
+    assert(got.size == r.size, "node set mismatch")
+    for ((node, want) <- r) {
+      val key = (if (node % 2 == 1) "s" else "c", node / 2)
+      assert(BigInt(got(key)) == want, s"rank mismatch at node $node")
+    }
+  }
+
   test("triangle count: 4-clique plus pendant edge counts exactly 4 triangles") {
     // K4 on {1,2,3,4} has C(4,3) = 4 triangles; the pendant edge
     // (4,5) adds a node and an edge but closes nothing. Degree
