@@ -987,6 +987,77 @@ class StreamingSpec extends SparkSpec {
     } finally sys.props.remove("graft.drain.parts")
   }
 
+  test("cdc state survives a checkpoint restart: exactly-once continuity across queries") {
+    // The reference's crash-resume guarantee (README.md:36, T1-T3)
+    // for the STREAMING twin: drain half the log, STOP the query,
+    // start a brand-new query on the same checkpoint, drain the rest
+    // — the restored keyed state must decide run-2 emissions exactly
+    // as a never-stopped query would. Each run-2 event is chosen so
+    // the outcome is observable only if state crossed the restart:
+    //   u1 gets an OLDER version  -> must lose LWW to restored state
+    //   u2 gets a PRE-tombstone   -> restored tombstone still wins
+    //   u3 gets a NEWER version   -> overrides restored state
+    // Without restored state, u1 would emit the stale click and u2
+    // would resurface.
+    // The memory sink refuses checkpoint recovery (not fault-tolerant),
+    // so emissions land via foreachBatch — the fault-tolerant sink the
+    // production path (foreachBatchUpsert) uses, which is exactly the
+    // restart contract under test.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val log = mem.toDF().toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
+    def drainInto(src: org.apache.spark.sql.DataFrame, ckptDir: Option[String],
+        sink: scala.collection.mutable.Set[(Long, String, Double)])(
+        feed: => Unit): Unit = {
+      val w = StreamingOps.cdcCurrentState(spark, src).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.select("user_id", "last_op", "last_value")
+            .as[(Long, String, Double)].collect()
+          sink.synchronized { sink ++= rows }
+          ()
+        }
+      val q = ckptDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+      try { feed; q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val run1 = scala.collection.mutable.Set[(Long, String, Double)]()
+      drainInto(log, Some(ckpt.toString), run1) {
+        mem.addData((1L, 1000L, 1L, "purchase", 5.0),
+          (2L, 1000L, 2L, "error", 0.0), (3L, 1000L, 3L, "view", 1.0))
+      }
+      assert(run1.toSet === Set((1L, "purchase", 5.0), (3L, "view", 1.0)))
+
+      // brand-new query on the SAME checkpoint: state must be restored
+      val run2 = scala.collection.mutable.Set[(Long, String, Double)]()
+      drainInto(log, Some(ckpt.toString), run2) {
+        mem.addData((4L, 500L, 1L, "click", 9.9),
+          (5L, 500L, 2L, "view", 2.0), (6L, 2000L, 3L, "click", 7.0))
+      }
+
+      // one-shot reference: the same six events in a single drain
+      val memAll = MemoryStream[(Long, Long, Long, String, Double)]
+      val logAll = memAll.toDF().toDF("event_id", "sec", "user_id", "event_type", "value")
+        .withColumn("ts", expr("timestamp_seconds(sec)"))
+      val oneShot = scala.collection.mutable.Set[(Long, String, Double)]()
+      drainInto(logAll, None, oneShot) {
+        memAll.addData((1L, 1000L, 1L, "purchase", 5.0),
+          (2L, 1000L, 2L, "error", 0.0), (3L, 1000L, 3L, "view", 1.0),
+          (4L, 500L, 1L, "click", 9.9), (5L, 500L, 2L, "view", 2.0),
+          (6L, 2000L, 3L, "click", 7.0))
+      }
+
+      // every key was touched in run 2, so run 2's emissions ARE the
+      // final state table; it must equal the one-shot drain exactly
+      assert(run2.toSet === oneShot.toSet)
+      assert(run2.toSet === Set((1L, "purchase", 5.0), (3L, "click", 7.0)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+  }
+
   test("cdc at ingest: cross-batch override, tombstone suppression, re-admit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
