@@ -12,6 +12,11 @@
 # The baseline is min-per-query over a multi-sample campaign (see the
 # provenance field inside the JSON); regenerate it the same way after
 # intentional performance work, never from a single sample.
+# The round close also requires scaling COVERAGE: every catalog query
+# must have a committed row or below-floor entry in SCALING.md
+# (r11 verdict item 5 — a query added in a round must ship with its
+# scaling evidence; measure new queries via scripts/scaling_run.sh).
 BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_162q.json}
 NEW=${1:-target/bench.json}
+python3 "$(dirname "$0")/scaling_gate.py" || exit 1
 exec python3 "$(dirname "$0")/bench_gate.py" "$BASE" "$NEW" "${2:-2.0}"

@@ -81,13 +81,17 @@ class CatalogSpec extends SparkSpec {
     // against the broadcast 64-doc negative pool under a non-equi
     // exclusion, the ANN-anchor shape; q_gapfill crossJoins the
     // broadcast 1-row hour-span aggregate to build its grid;
-    // q_copurchase crossJoins the broadcast 1-row order-count scalar)
+    // q_copurchase crossJoins the broadcast 1-row order-count scalar;
+    // q_bpe_merges crossJoins each round's broadcast 1-row top-merge
+    // pick into the vocabulary fold; q_pagerank_directed crossJoins
+    // the broadcast 1-row dangling-mass and node-count scalars into
+    // each iteration's rank update)
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
       "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall",
       "q_hybrid_rank", "q_surprisal", "q_triplets", "q_gapfill",
-      "q_copurchase",
+      "q_copurchase", "q_bpe_merges", "q_pagerank_directed",
       "q_triangles") // 1-row node/edge/triangle count scalars
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
