@@ -77,20 +77,65 @@ object GraphQueries extends graft.QueryModule {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = edgesWithDeg(spark, dir)
     var ranks = nodes(spark, dir).withColumn("r", lit(R0))
-    for (_ <- 1 to Iters) {
-      val sums = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("r div deg").as("w"))
-        .groupBy("dst")
-        .agg(sum(col("w").cast(DecimalType(38, 0))).as("s"))
-      ranks = sums.select(
-        col("dst").as("node"),
-        (lit(150000000L).cast(DecimalType(38, 0)) +
-          floor(col("s") * lit(85) / lit(100))).cast("long").as("r"))
-    }
+    for (_ <- 1 to Iters) ranks = pagerankStep(edges, ranks)
     ranks.select(
       when(col("node") % 2 === 1, lit("s")).otherwise(lit("c")).as("entity"),
       expr("node div 2").as("id"),
       col("r"))
+  }
+
+  /** One synchronous damped-PageRank iteration over the
+    * degree-annotated edge list — the step [[pagerank]] runs a fixed
+    * number of times and [[pagerankConverged]] runs to an epsilon.
+    */
+  private def pagerankStep(edges: DataFrame, ranks: DataFrame): DataFrame =
+    edges.join(ranks, edges("src") === ranks("node"))
+      .select(col("dst"), expr("r div deg").as("w"))
+      .groupBy("dst")
+      .agg(sum(col("w").cast(DecimalType(38, 0))).as("s"))
+      .select(
+        col("dst").as("node"),
+        (lit(150000000L).cast(DecimalType(38, 0)) +
+          floor(col("s") * lit(85) / lit(100))).cast("long").as("r"))
+
+  /** PageRank run to CONVERGENCE instead of a fixed dial: iterate
+    * [[pagerankStep]] until the largest per-node rank change is at
+    * most `epsNano` nano-units (integer-exact — no float tolerance
+    * games), capped at `maxIters`. This is the driver loop the fixed
+    * `Iters = 3` of [[pagerank]] documents as the production shape:
+    * each convergence check is one join + one 1-row max aggregate
+    * over the rank vector, and the loop state is localCheckpoint'ed
+    * per round exactly like the connected-components loop, so round
+    * N's plan never nests rounds 1..N-1 (constant planning cost, and
+    * the per-round lineage truncation is what failure recovery
+    * restarts from). Returns (final ranks, iterations run); requires
+    * convergence within the cap — a silent partially-converged vector
+    * is never returned.
+    *
+    * Not a catalog query: the iteration count is data-dependent, so
+    * a fixed unrolled-CTE oracle can't express it; GraphSpec pins it
+    * against the fixed-iteration recurrence instead (running the
+    * fixed form for the converged count reproduces the vector
+    * bit-for-bit, and the final delta really is <= eps).
+    */
+  private[graft] def pagerankConverged(spark: SparkSession, dir: String,
+      epsNano: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
+    val edges = edgesWithDeg(spark, dir)
+    var ranks = nodes(spark, dir).withColumn("r", lit(R0)).localCheckpoint()
+    var iters = 0
+    var delta = Long.MaxValue
+    while (delta > epsNano && iters < maxIters) {
+      val next = pagerankStep(edges, ranks).localCheckpoint()
+      delta = next.alias("n")
+        .join(ranks.alias("o"), col("n.node") === col("o.node"))
+        .select(abs(col("n.r") - col("o.r")).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      ranks = next
+      iters += 1
+    }
+    require(delta <= epsNano,
+      s"pagerank did not converge to $epsNano nano-units in $maxIters iterations (last delta $delta)")
+    (ranks, iters)
   }
 
   /** Directed PageRank with dangling-mass redistribution — the real

@@ -582,7 +582,14 @@ object TextAnalysisQueries extends graft.QueryModule {
           concat(acc, x))
         .otherwise(concat(acc, lit(","), x)))
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared training chain: per round the pair-count frame over
+    * the current segmentation, plus the final segmentation after ALL
+    * MergeRounds chosen merges applied in order. Everything is lazy —
+    * [[bpeMerges]] only executes the per-round pair frames,
+    * [[bpeEncode]] only the final segmentation — and every frame
+    * derives from the memoized vocabulary build (one corpus scan).
+    */
+  private def bpeTrain(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     // One corpus scan, memoized: (initial segmentation, freq) per
     // distinct word. The comma guard keeps the separator unambiguous.
     val vocab = graft.SharedBuilds.getOrBuild[DataFrame]("text.bpeVocab", spark, dir) { scope =>
@@ -596,25 +603,46 @@ object TextAnalysisQueries extends graft.QueryModule {
             col("freq")))
     }
     var seg = vocab
-    val rounds = (1 to MergeRounds).map { r =>
+    val pairsPerRound = (1 to MergeRounds).map { _ =>
       val pairs = segPairCounts(seg)
-      val out = pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(10)
-        .select(lit(r).as("merge_round"), col("lhs"), col("rhs"), col("pair_count"))
-      if (r < MergeRounds) {
-        val top = pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
-          .select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))
-        seg = seg.crossJoin(broadcast(top))
-          .select(applyMerge(split(col("seg"), ","), col("m_lhs"), col("m_rhs")).as("seg"),
-            col("freq"))
-      }
-      out
+      val top = pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+        .select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))
+      seg = seg.crossJoin(broadcast(top))
+        .select(applyMerge(split(col("seg"), ","), col("m_lhs"), col("m_rhs")).as("seg"),
+          col("freq"))
+      pairs
     }
-    rounds.reduce(_ unionByName _)
-      .orderBy(col("merge_round"), col("pair_count").desc, col("lhs"), col("rhs"))
+    (pairsPerRound, seg)
   }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)._1.zipWithIndex.map { case (pairs, i) =>
+      pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(10)
+        .select(lit(i + 1).as("merge_round"), col("lhs"), col("rhs"), col("pair_count"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("merge_round"), col("pair_count").desc, col("lhs"), col("rhs"))
+
+  /** BPE ENCODE — apply the learned merge table: the corpus token
+    * distribution after segmenting every word with all MergeRounds
+    * merges, top 50 tokens by frequency under a total order. This is
+    * the other half of a tokenizer's life: [[bpeMerges]] trains,
+    * this applies the trained table, and the same scale property
+    * holds — application is a row-local fold per DISTINCT word
+    * (frequency-weighted), so the encoded distribution costs
+    * vocabulary-bounded work after the one memoized corpus scan.
+    * Oracle: the q_bpe_merges CTE chain extended by one more
+    * list_reduce application and an unnest-count.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir)._2
+      .select(col("freq"), explode(split(col("seg"), ",")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("token_count"))
+      .orderBy(col("token_count").desc, col("token"))
+      .limit(50)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> bpeMerges,
+    "q_bpe_encode" -> bpeEncode,
     "q_bpe_pairs" -> bpePairs,
     "q_surprisal" -> surprisal,
     "q_heavy_hitters" -> heavyHitters,
@@ -671,6 +699,46 @@ object TextAnalysisQueries extends graft.QueryModule {
         |       ORDER BY pair_count DESC, lhs, rhs LIMIT 10)
         |SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
         |ORDER BY merge_round, pair_count DESC, lhs, rhs""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH words AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |  WHERE length(tok) >= 2 AND NOT contains(tok, ',')
+        |  GROUP BY tok
+        |), l1 AS (
+        |  SELECT list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS l, freq
+        |  FROM words
+        |), p1i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l1),
+        |p1 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p1i GROUP BY 1, 2),
+        |m1 AS (SELECT lhs, rhs FROM p1 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |l2 AS (
+        |  SELECT string_split(list_reduce(l, (acc, x) -> acc ||
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR ends_with(acc, ',' || m.lhs))
+        |                THEN '' ELSE ',' END || x), ',') AS l, freq
+        |  FROM l1, m1 m
+        |), p2i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l2),
+        |p2 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p2i GROUP BY 1, 2),
+        |m2 AS (SELECT lhs, rhs FROM p2 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |l3 AS (
+        |  SELECT string_split(list_reduce(l, (acc, x) -> acc ||
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR ends_with(acc, ',' || m.lhs))
+        |                THEN '' ELSE ',' END || x), ',') AS l, freq
+        |  FROM l2, m2 m
+        |), p3i AS (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i FROM l3),
+        |p3 AS (SELECT l[i] AS lhs, l[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p3i GROUP BY 1, 2),
+        |m3 AS (SELECT lhs, rhs FROM p3 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |l4 AS (
+        |  SELECT string_split(list_reduce(l, (acc, x) -> acc ||
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR ends_with(acc, ',' || m.lhs))
+        |                THEN '' ELSE ',' END || x), ',') AS l, freq
+        |  FROM l3, m3 m
+        |)
+        |SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS token_count
+        |FROM (SELECT freq, unnest(l) AS tok FROM l4) t
+        |GROUP BY tok ORDER BY token_count DESC, token LIMIT 50""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq

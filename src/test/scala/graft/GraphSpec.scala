@@ -51,6 +51,38 @@ class GraphSpec extends SparkSpec {
       "iterations must read the SharedBuilds-cached edge frame, not rebuild it")
   }
 
+  test("converged pagerank equals the fixed recurrence run for the same iteration count") {
+    val eps = 5000000L // 0.5% of the unit rank, in nano-units
+    val (ranksDf, iters) = GraphQueries.pagerankConverged(spark, sf0001, eps)
+    assert(iters >= 1 && iters < 50)
+    val got = ranksDf.select("node", "r").as[(Long, Long)].collect().toMap
+
+    // independent fixed-iteration replay for exactly `iters` rounds
+    val pairs = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as[Long], col("l_suppkey").as[Long])
+      .collect().distinct
+    val edges = pairs.flatMap { case (c, s) =>
+      Seq(2 * c -> (2 * s + 1), (2 * s + 1) -> (2 * c))
+    }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(_ -> BigInt(1000000000L)).toMap
+    var prev = r
+    for (_ <- 1 to iters) {
+      prev = r
+      val recv = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((src, dst) <- edges) recv(dst) += r(src) / deg(src)
+      r = recv.map { case (n, s) => n -> (BigInt(150000000) + s * 85 / 100) }.toMap
+    }
+    assert(got.view.mapValues(BigInt(_)).toMap == r,
+      "converged vector differs from the fixed recurrence at the same iteration count")
+    // the stopping condition really held at the returned count
+    assert(r.map { case (n, v) => (v - prev(n)).abs }.max <= eps)
+  }
+
   test("directed pagerank: planted dangling node redistributes its mass") {
     // Graph: 1 -> 2, 3 -> 2; node 2 dangles (no out-edges). N = 3,
     // all ranks start at 1e9. Iteration 1 by hand:

@@ -136,18 +136,20 @@ class PlanSpec extends SparkSpec {
   test("bpe merge rounds read the cached vocabulary, never the corpus") {
     // The corpus-scale property of iterated BPE: one corpus scan
     // builds the word-frequency vocabulary; every merge round
-    // (recount, top-1 pick, re-segmentation fold) is
-    // vocabulary-bounded. Asserted on the optimized plan's LEAVES
-    // (string matching would false-positive: an InMemoryRelation's
-    // description embeds its cached build plan, documents scan
-    // included) — every leaf must be the cached vocabulary relation,
-    // so the query's own execution reads no table.
-    val leaves = SparkEntry.queries("q_bpe_merges")(spark, sf0001)
-      .queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.nonEmpty && leaves.forall(
-      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
-      s"q_bpe_merges: a merge round rescans a table instead of the cached vocabulary " +
-        s"frame; leaves = ${leaves.map(_.nodeName).distinct.mkString(", ")}")
+    // (recount, top-1 pick, re-segmentation fold) and the final
+    // encode application are vocabulary-bounded. Asserted on the
+    // optimized plan's LEAVES (string matching would false-positive:
+    // an InMemoryRelation's description embeds its cached build plan,
+    // documents scan included) — every leaf must be the cached
+    // vocabulary relation, so the query's own execution reads no table.
+    Seq("q_bpe_merges", "q_bpe_encode").foreach { q =>
+      val leaves = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"$q: a round rescans a table instead of the cached vocabulary " +
+          s"frame; leaves = ${leaves.map(_.nodeName).distinct.mkString(", ")}")
+    }
   }
 
   test("flagship scans push real predicates into parquet (not just IsNotNull)") {
