@@ -1058,6 +1058,74 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
 
+  test("windowed aggregation state AND watermark survive a checkpoint restart") {
+    // Companion to the CDC restart test for the OTHER state class:
+    // window aggregation buffers plus the committed watermark. Run 1
+    // drains events at sec 5, 8, 25 under a 10 s watermark delay
+    // (watermark after the batch = 25 - 10 = 15, which CLOSES window
+    // [0,10) — aggregation lateness drops a row when its window END
+    // <= watermark, not when the event time is merely below it). A
+    // brand-new query on the same checkpoint then receives sec 3 and
+    // 8 (window [0,10), end 10 <= restored watermark 15: must be
+    // DROPPED with no emission — a fresh query without the checkpoint
+    // would emit (0,2)), sec 12 (open window [10,20): accepted), and
+    // sec 27 (must ADD to the RESTORED [20,30) buffer -> count 2,
+    // not 1). The run-2 emissions must equal batch 2 of a
+    // never-stopped two-batch drain.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wm-restart-ckpt")
+    def windowed(src: org.apache.spark.sql.DataFrame) = src
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds")).count()
+      .select(expr("unix_timestamp(window.start)").as("w0"), col("count"))
+    def drainInto(src: org.apache.spark.sql.DataFrame, ckptDir: Option[String],
+        sink: scala.collection.mutable.Set[(Long, Long)])(feed: => Unit): Unit = {
+      val w = windowed(src).writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.as[(Long, Long)].collect()
+          sink.synchronized { sink ++= rows }
+          ()
+        }
+      val q = ckptDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+      try { feed; q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val mem = MemoryStream[Long]
+      val src = mem.toDF().toDF("sec")
+      val run1 = scala.collection.mutable.Set[(Long, Long)]()
+      drainInto(src, Some(ckpt.toString), run1) { mem.addData(5L, 8L, 25L) }
+      assert(run1.toSet === Set((0L, 2L), (20L, 1L)))
+
+      val run2 = scala.collection.mutable.Set[(Long, Long)]()
+      drainInto(src, Some(ckpt.toString), run2) { mem.addData(3L, 8L, 12L, 27L) }
+      // sec 3/8 died against the RESTORED watermark (their window is
+      // closed); sec 12 opened [10,20); sec 27 joined the RESTORED
+      // [20,30) buffer
+      assert(run2.toSet === Set((10L, 1L), (20L, 2L)))
+
+      // never-stopped reference: same two batches, one query
+      val memAll = MemoryStream[Long]
+      val srcAll = memAll.toDF().toDF("sec")
+      val buf = scala.collection.mutable.Set[(Long, Long)]()
+      val w = windowed(srcAll).writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.as[(Long, Long)].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }.start()
+      try {
+        memAll.addData(5L, 8L, 25L); w.processAllAvailable()
+        buf.synchronized(buf.clear()) // keep only batch-2 emissions
+        memAll.addData(3L, 8L, 12L, 27L); w.processAllAvailable()
+      } finally w.stop()
+      assert(run2.toSet === buf.toSet,
+        "restarted query's emissions differ from the never-stopped drain")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+  }
+
   test("cdc at ingest: cross-batch override, tombstone suppression, re-admit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
