@@ -172,6 +172,17 @@ object GraphQueries extends graft.QueryModule {
         .select(col("dst"), expr("r div deg").as("w"))
         .groupBy("dst")
         .agg(sum(col("w").cast(DecimalType(38, 0))).as("sin"))
+      // DAG-shape note: the rank vector feeds TWO consumers next
+      // round (the received-sum join AND the dangling aggregate), so
+      // round r's lazy plan holds 2^r copies of the round-0 subtree.
+      // At the fixed Iters = 3 that is 8 bounded copies which
+      // ReuseExchange dedupes at execution — measured 2.6 s lazy vs
+      // 4.5 s with per-iteration localCheckpoint at sf0.1 (the
+      // checkpoint forces a materialization barrier per round and
+      // discards the cross-round exchange reuse). A production run at
+      // a data-dependent iteration count MUST instead truncate
+      // lineage per round — that shape is [[pagerankConverged]],
+      // whose loop checkpoints every iteration.
       ranks = nodesDf.join(sums, nodesDf("node") === sums("dst"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
