@@ -18,5 +18,6 @@
 # scaling evidence; measure new queries via scripts/scaling_run.sh).
 BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_166q.json}
 NEW=${1:-target/bench.json}
+python3 "$(dirname "$0")/count_gate.py" || exit 1
 python3 "$(dirname "$0")/scaling_gate.py" || exit 1
 exec python3 "$(dirname "$0")/bench_gate.py" "$BASE" "$NEW" "${2:-2.0}"
