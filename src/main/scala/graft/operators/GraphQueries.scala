@@ -126,10 +126,16 @@ object GraphQueries extends graft.QueryModule {
     var delta = Long.MaxValue
     while (delta > epsNano && iters < maxIters) {
       val next = pagerankStep(edges, ranks).localCheckpoint()
-      delta = next.alias("n")
+      // max(d) over an EMPTY inner join is SQL NULL — fail loudly
+      // (empty graph / diverged node sets) instead of NPE-ing in
+      // getLong and masking the real condition.
+      val dRow = next.alias("n")
         .join(ranks.alias("o"), col("n.node") === col("o.node"))
         .select(abs(col("n.r") - col("o.r")).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
+        .agg(max(col("d"))).head()
+      require(!dRow.isNullAt(0),
+        "pagerank delta undefined — empty graph or disjoint node sets between iterations")
+      delta = dRow.getLong(0)
       ranks = next
       iters += 1
     }
@@ -273,6 +279,14 @@ object GraphQueries extends graft.QueryModule {
     * collects edges or labels to the driver (PlanSpec pins the absence
     * of a LocalTableScan in the executed plan — the signature the
     * driver fast path would leave).
+    *
+    * EAGER: this is the one catalog builder that executes at
+    * DataFrame-CONSTRUCTION time — connectedComponents counts the
+    * edge frame, runs the checkpointed propagation rounds, and
+    * toggles session AQE around the loop before the returned frame's
+    * first action. Plan-only callers (Dev show/explain) therefore pay
+    * the full loop; Bench/Verify are unaffected (they time
+    * builder + action together).
     */
   def components(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.connectedComponents(spark,
@@ -281,8 +295,53 @@ object GraphQueries extends graft.QueryModule {
       localThreshold = 0L)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** Epsilon of [[pagerankEps]] in nano-units: 6 initial-rank units.
+    * Pinned from the measured max-delta schedule (scratch/eps_probe
+    * .py): the per-round contraction is the damping factor 0.85, and
+    * the round-1 delta is set by the hub in-degree, which is
+    * SF-INVARIANT on this generator (~1.2-1.4e10 at sf0.001-0.1), so
+    * the convergence count stays small at every scale — 6 rounds at
+    * sf0.001/sf0.01 (oracle scale), 7 at sf0.1. Production tightness
+    * is a caller dial ([[pagerankConverged]] defaults to 1e6 ≈ 42
+    * rounds); the catalog pin exists to certify the LOOP — stop at
+    * the first convergent round, return that round's vector and the
+    * count — under the cross-engine hash gate, not to pick a
+    * production epsilon.
+    */
+  private val EpsNano = 6000000000L
+
+  /** PageRank run to CONVERGENCE as a catalog query — the
+    * data-dependent-iteration driver loop ([[pagerankConverged]])
+    * under the DuckDB oracle gate, closing the one graph code path
+    * that was previously spec-only (r12 verdict item 3). Output is
+    * [[pagerank]]'s (entity, id, r) plus a constant `iters` column
+    * carrying the round count the loop actually ran; the oracle
+    * re-derives that count DEFINITIONALLY — it unrolls the recurrence,
+    * computes every round's max-delta, and emits the FIRST round at
+    * which the delta reaches [[EpsNano]] (a CASE over d1..d6, NULL if
+    * none) — so a loop that stopped early, late, or returned the
+    * wrong round's vector hash-mismatches; nothing is hardcoded to
+    * agree.
+    *
+    * EAGER like q_components: the builder runs the checkpointed loop
+    * (one 1-row max-delta aggregate per round) before returning;
+    * the returned frame reads the final localCheckpoint'ed rank
+    * vector (PlanSpec pins its leaves as the checkpoint RDD scan, so
+    * the certified result provably came from the truncated-lineage
+    * loop state, not a re-derivation).
+    */
+  def pagerankEps(spark: SparkSession, dir: String): DataFrame = {
+    val (ranks, iters) = pagerankConverged(spark, dir, EpsNano)
+    ranks.select(
+      when(col("node") % 2 === 1, lit("s")).otherwise(lit("c")).as("entity"),
+      expr("node div 2").as("id"),
+      col("r"),
+      lit(iters).as("iters"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
+    "q_pagerank_eps" -> pagerankEps,
     "q_pagerank_directed" -> pagerankDirected,
     "q_triangles" -> triangles,
     "q_components" -> components
@@ -419,6 +478,77 @@ object GraphQueries extends graft.QueryModule {
         |)
         |SELECT CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END AS entity,
         |       node // 2 AS id, r
-        |FROM r3""".stripMargin
+        |FROM r3""".stripMargin,
+    // q_pagerank_eps: the oracle re-derives the CONVERGENCE COUNT
+    // definitionally — unroll the recurrence past the expected stop,
+    // compute every round's max-delta, and emit the FIRST round whose
+    // delta <= eps. The vector is round 6's; if the Spark loop
+    // stopped at any other round (or its stopping test drifted), the
+    // iters column and/or the vector hash-mismatch. Eps and the
+    // 6-round unroll come from the measured schedule (see EpsNano).
+    "q_pagerank_eps" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM pairs
+        |),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r4 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r3 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r5 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r4 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |r6 AS (
+        |  SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r5 r ON r.node = e.src
+        |  GROUP BY e.dst
+        |),
+        |d1 AS (SELECT max(abs(a.r - b.r)) AS d FROM r1 a JOIN r0 b ON a.node = b.node),
+        |d2 AS (SELECT max(abs(a.r - b.r)) AS d FROM r2 a JOIN r1 b ON a.node = b.node),
+        |d3 AS (SELECT max(abs(a.r - b.r)) AS d FROM r3 a JOIN r2 b ON a.node = b.node),
+        |d4 AS (SELECT max(abs(a.r - b.r)) AS d FROM r4 a JOIN r3 b ON a.node = b.node),
+        |d5 AS (SELECT max(abs(a.r - b.r)) AS d FROM r5 a JOIN r4 b ON a.node = b.node),
+        |d6 AS (SELECT max(abs(a.r - b.r)) AS d FROM r6 a JOIN r5 b ON a.node = b.node)
+        |SELECT CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END AS entity,
+        |       node // 2 AS id, r,
+        |       CAST(CASE WHEN (SELECT d FROM d1) <= 6000000000 THEN 1
+        |                 WHEN (SELECT d FROM d2) <= 6000000000 THEN 2
+        |                 WHEN (SELECT d FROM d3) <= 6000000000 THEN 3
+        |                 WHEN (SELECT d FROM d4) <= 6000000000 THEN 4
+        |                 WHEN (SELECT d FROM d5) <= 6000000000 THEN 5
+        |                 WHEN (SELECT d FROM d6) <= 6000000000 THEN 6
+        |            END AS INTEGER) AS iters
+        |FROM r6""".stripMargin
   )
 }

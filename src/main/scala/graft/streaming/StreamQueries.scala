@@ -152,23 +152,40 @@ object StreamQueries extends graft.QueryModule {
       // reboot (deleteOnExit never fires on a kill -9 / OOM kill), so
       // sweep stale graft-drain-ckpt* dirs here. Ownership test is
       // LIVENESS, not recency: every root carries an `owner.pid` file
-      // (written below) and a root is swept only when its recorded
-      // process is gone (/proc/<pid> absent) — a concurrent JVM that
-      // idles for hours between drains keeps its root (r11 used a 2 h
-      // mtime gate, which could sweep exactly that root mid-run). The
-      // mtime age gate is kept only for legacy/pid-less roots, and as
-      // a grace period so a root is never swept in the window between
-      // createTempDirectory and its pid write.
+      // (written below, "pid startEpochMillis") and a root is swept
+      // only when its recorded process is gone — a concurrent JVM
+      // that idles for hours between drains keeps its root (r11 used
+      // a 2 h mtime gate, which could sweep exactly that root
+      // mid-run). Liveness goes through ProcessHandle (no /proc
+      // dependency) and compares the recorded process START TIME when
+      // both sides have one, so an unrelated process that reuses the
+      // pid after a crash does not keep a dead root alive; when
+      // either start time is unavailable the check degrades to
+      // pid-alive (PID-reuse false-liveness then bounded until
+      // reboot, when tmpfs clears anyway). The mtime age gate is kept
+      // only for legacy/pid-less roots, and as a grace period so a
+      // root is never swept in the window between createTempDirectory
+      // and its pid write.
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       def ownerAlive(root: java.nio.file.Path): Boolean = {
         val pidFile = root.resolve("owner.pid")
         try {
           if (!java.nio.file.Files.isRegularFile(pidFile)) false
           else {
-            val pid = new String(
-              java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim
-            pid.nonEmpty && java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get("/proc", pid))
+            val parts = new String(
+              java.nio.file.Files.readAllBytes(pidFile), "UTF-8")
+              .trim.split("\\s+")
+            if (parts.isEmpty || parts(0).isEmpty) false
+            else {
+              val handle = ProcessHandle.of(parts(0).toLong)
+              if (!handle.isPresent) false
+              else {
+                val actualStart = handle.get().info().startInstant()
+                if (parts.length < 2 || parts(1).toLong < 0 ||
+                    !actualStart.isPresent) true // degrade: pid-alive
+                else actualStart.get().toEpochMilli == parts(1).toLong
+              }
+            }
           }
         } catch { case _: Throwable => true } // unreadable => assume live
       }
@@ -185,9 +202,13 @@ object StreamQueries extends graft.QueryModule {
         } finally listing.close() // Files.list holds a directory fd
       } catch { case _: Throwable => () } // sweep is best-effort hygiene
       val d = java.nio.file.Files.createTempDirectory(shm, "graft-drain-ckpt")
-      try java.nio.file.Files.write(d.resolve("owner.pid"),
-        ProcessHandle.current().pid().toString.getBytes("UTF-8"))
-      catch { case _: Throwable => () } // falls back to the mtime gate
+      try {
+        val self = ProcessHandle.current()
+        val start = self.info().startInstant()
+        val startMs = if (start.isPresent) start.get().toEpochMilli else -1L
+        java.nio.file.Files.write(d.resolve("owner.pid"),
+          s"${self.pid()} $startMs".getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // falls back to the mtime gate
       d.toFile.deleteOnExit()
       Some(d)
     } else None

@@ -786,9 +786,18 @@ object StreamingOps {
     * A delete-then-rename swap would instead leave NO snapshot if the
     * process died between the two calls — checkpoint replay would then
     * take the first-batch path and silently discard all merged history.
+    *
+    * `afterBatch` runs as the LAST statement of the batch function —
+    * after the swap completes, before Spark records the batch's
+    * commit marker. Its only intended use is failure injection:
+    * throwing from it dies in exactly the at-least-once crash window
+    * (target written, commit unrecorded), which is how StreamingSpec
+    * proves a replayed batch's second MERGE leaves the target
+    * content-identical. Production callers leave the default no-op.
     */
   def foreachBatchUpsert(
-      stream: DataFrame, pk: Seq[String], targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream: DataFrame, pk: Seq[String], targetPath: String,
+      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val hconf = spark.sparkContext.hadoopConfiguration
@@ -821,6 +830,7 @@ object StreamingOps {
       if (!fs.rename(tmpP, targetP))
         throw new java.io.IOException(s"rename $tmpP -> $targetP failed")
       fs.delete(prevP, true)
+      afterBatch(batchId)
       ()
     }
 

@@ -83,6 +83,18 @@ class GraphSpec extends SparkSpec {
     assert(r.map { case (n, v) => (v - prev(n)).abs }.max <= eps)
   }
 
+  test("q_pagerank_eps stops at the first convergent round (6 at sf0.001)") {
+    // Pin of the catalog epsilon against the measured delta schedule
+    // (scratch/eps_probe.py: d5 = 6.32e9 > 6e9 >= d6 = 5.38e9 at
+    // sf0.001) — a loop that runs one round long or short moves the
+    // constant iters column. The definitional certification lives in
+    // the DuckDB oracle; this is the cheap local regression pin.
+    val df = GraphQueries.queries("q_pagerank_eps")(spark, sf0001)
+    val iters = df.select("iters").distinct().as[Int].collect().toSeq
+    assert(iters == Seq(6),
+      s"expected convergence at round 6 at sf0.001, got $iters")
+  }
+
   test("directed pagerank: planted dangling node redistributes its mass") {
     // Graph: 1 -> 2, 3 -> 2; node 2 dangles (no out-edges). N = 3,
     // all ranks start at 1e9. Iteration 1 by hand:

@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
       "q_components: expected the checkpointed label frame (RDD scan) as the source")
   }
 
+  test("pagerank_eps returns the checkpointed loop state, never a lineage re-derivation") {
+    // q_pagerank_eps certifies the data-dependent convergence loop;
+    // its contract is that the returned vector IS the final
+    // localCheckpoint'ed round (per-round lineage truncation is what
+    // keeps planning cost constant and what failure recovery restarts
+    // from). Every optimized-plan leaf must therefore be the
+    // checkpoint's LogicalRDD — a parquet or in-memory leaf would
+    // mean the result re-derives lineage instead of reading the loop
+    // state. Building the frame runs the loop — cheap at sf0.001.
+    val leaves = SparkEntry.queries("q_pagerank_eps")(spark, sf0001)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "q_pagerank_eps: result must read the checkpointed rank vector; " +
+        s"leaves = ${leaves.map(_.nodeName).distinct.mkString(", ")}")
+  }
+
   test("cdc merge plans a combining aggregate, never a per-key window sort") {
     // The LWW pick must stay max(struct(...)) — partial+final
     // aggregation (SortAggregate: struct buffers are not

@@ -225,6 +225,58 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0, "replay duplicated PKs")
   }
 
+  test("foreachBatchUpsert: injected crash after the sink swap, before the commit — replay leaves the target content-identical") {
+    // The sink-side half of the restart story (r12 verdict item 6):
+    // the checkpoint tests prove STATE continuity; this proves the
+    // TARGET's idempotence under genuine at-least-once re-delivery.
+    // Unlike the marker-delete test above (which doctors a completed
+    // checkpoint), the failure here is INJECTED IN-FLIGHT: the hook
+    // throws after batch 1's rename-swap completed but before Spark
+    // records its commit — the exact crash window — so run 1 dies
+    // with the target already holding batch 1's merge and the
+    // checkpoint claiming it never ran. Run 2 must re-deliver batch 1
+    // and the second LWW MERGE must be a semantic no-op: every row of
+    // the re-merged target equals the pre-crash snapshot.
+    val base = java.nio.file.Files.createTempDirectory("upsert_inject").toString
+    val tmp = base + "/t"
+    val ckpt = base + "/ckpt"
+    def run(afterBatch: Long => Unit): Unit = {
+      val stream = StreamingOps.eventStreamTwoBatch(spark, sf0001)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val q = StreamingOps
+        .foreachBatchUpsert(stream, Seq("user_id", "event_type"), tmp, afterBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(120000)
+    }
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(bid => if (bid >= 1)
+        throw new RuntimeException("injected crash: sink written, commit not recorded"))
+    }
+    def causeChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(causeChain(thrown).exists(_.contains("injected crash")),
+      causeChain(thrown).mkString(" | "))
+    // the claimed window really holds: batch 1's target write landed,
+    // its commit marker did not
+    val snapshot = spark.read.parquet(tmp)
+      .collect().map(_.toString).sorted.toSeq
+    val commits = new java.io.File(ckpt + "/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).map(_.getName.toLong)
+    assert(!commits.contains(1L),
+      s"batch 1 was committed despite the injected crash: ${commits.toSeq}")
+    val keys = graft.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(snapshot.size == keys, "pre-crash target missing batch 1's merge")
+    run(_ => ()) // restart: Spark re-delivers batch 1 from its offsets
+    val replayed = spark.read.parquet(tmp)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == snapshot,
+      "re-delivered batch's second upsert changed the target content")
+  }
+
   test("foreachBatchJdbcUpsert merges a stream into a JDBC target idempotently") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString
     System.setProperty("derby.system.home", dbDir)
