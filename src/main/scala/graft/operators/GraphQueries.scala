@@ -310,7 +310,7 @@ object GraphQueries extends graft.QueryModule {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
   /** Epsilon of [[pagerankEps]] in nano-units: 6 initial-rank units.
-    * Pinned from the measured max-delta schedule (scratch/eps_probe
+    * Pinned from the measured max-delta schedule (scripts/eps_probe
     * .py): the per-round contraction is the damping factor 0.85, and
     * the round-1 delta is set by the hub in-degree, which is
     * SF-INVARIANT on this generator (~1.2-1.4e10 at sf0.001-0.1), so

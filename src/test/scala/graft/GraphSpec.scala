@@ -85,7 +85,7 @@ class GraphSpec extends SparkSpec {
 
   test("q_pagerank_eps stops at the first convergent round (6 at sf0.001)") {
     // Pin of the catalog epsilon against the measured delta schedule
-    // (scratch/eps_probe.py: d5 = 6.32e9 > 6e9 >= d6 = 5.38e9 at
+    // (scripts/eps_probe.py: d5 = 6.32e9 > 6e9 >= d6 = 5.38e9 at
     // sf0.001) — a loop that runs one round long or short moves the
     // constant iters column. The definitional certification lives in
     // the DuckDB oracle; this is the cheap local regression pin.
