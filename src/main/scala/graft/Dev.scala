@@ -397,6 +397,39 @@ object Dev {
           println(s"\n========== $name ==========")
           fn(spark, dir).explain("formatted")
         }
+      case "spanscale" :: dir :: rest =>
+        // Scale experiment for the span-granularity drain
+        // (q_stream_dup_spans): the oracle harness sinks via MEMORY —
+        // the full emitted output is collected onto the driver, which
+        // is the right shape for hash certification but adds a
+        // driver-side O(output) term that dominates at sf10. This
+        // runs the IDENTICAL pipeline (file source -> repartition ->
+        // keyed span state -> per-position emissions) under the
+        // PRODUCTION sink shape — foreachBatch writing parquet, fully
+        // distributed, nothing collected — so the pipeline's own
+        // scaling reads separately from the harness sink's.
+        import graft.streaming.StreamingOps
+        val runs = rest.headOption.map(_.toInt).getOrElse(2)
+        val out = java.nio.file.Files.createTempDirectory("spanscale").toString
+        for (i <- 1 to runs) {
+          val s = spark.newSession()
+          s.conf.set("spark.sql.shuffle.partitions", "32")
+          val t0 = System.nanoTime()
+          val q = StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(s"$out/run$i"); ()
+            }
+            .option("checkpointLocation", s"$out/ckpt$i")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          if (!q.awaitTermination(600000)) { q.stop(); sys.error("spanscale timed out") }
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rows = spark.read.parquet(s"$out/run$i").count()
+          println(f"[spanscale] run$i: $secs%.2f s, $rows rows (distributed parquet sink)")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        return
       case "stream" :: op :: dir :: Nil =>
         import graft.streaming.StreamingOps
         val events = StreamingOps.eventStream(spark, dir)
