@@ -411,9 +411,15 @@ object Dev {
         import graft.streaming.StreamingOps
         val runs = rest.headOption.map(_.toInt).getOrElse(2)
         val out = java.nio.file.Files.createTempDirectory("spanscale").toString
+        val provider = sys.props.get("graft.state.provider")
+          .orElse(sys.env.get("GRAFT_STATE_PROVIDER")).getOrElse("default")
         for (i <- 1 to runs) {
           val s = spark.newSession()
           s.conf.set("spark.sql.shuffle.partitions", "32")
+          // same corpus-scale state dial as StreamQueries.drainSession
+          if (provider == "rocksdb")
+            s.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val t0 = System.nanoTime()
           val q = StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF()
             .writeStream.outputMode("update")
@@ -426,7 +432,8 @@ object Dev {
           if (!q.awaitTermination(600000)) { q.stop(); sys.error("spanscale timed out") }
           val secs = (System.nanoTime() - t0) / 1e9
           val rows = spark.read.parquet(s"$out/run$i").count()
-          println(f"[spanscale] run$i: $secs%.2f s, $rows rows (distributed parquet sink)")
+          println(f"[spanscale] run$i: $secs%.2f s, $rows rows " +
+            s"(distributed parquet sink, state provider $provider)")
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         return

@@ -61,16 +61,35 @@ object StreamQueries extends graft.QueryModule {
     */
   private val drainSessions =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.SparkContext, String, Int, Boolean), SparkSession]()
+      (org.apache.spark.SparkContext, String, Int, Boolean, String), SparkSession]()
+
+  /** Corpus-scale state dial: `graft.state.provider=rocksdb` (sysprop,
+    * or GRAFT_STATE_PROVIDER env) switches the drain sessions to
+    * Spark's RocksDB state store, which keeps keyed state OFF-HEAP
+    * with changelog-incremental commits — the production provider
+    * once dedup/span state outgrows executor heaps (the 100 TB
+    * regime; at harness scales the default HDFSBacked map is faster
+    * because the whole state fits in memory and RocksDB's write
+    * amplification buys nothing). StreamingSpec certifies the drained
+    * output is provider-invariant, so flipping the dial is a pure
+    * deployment decision, never a semantics change.
+    */
+  private def stateProvider: String =
+    sys.props.get("graft.state.provider")
+      .orElse(sys.env.get("GRAFT_STATE_PROVIDER")).getOrElse("default")
 
   private def drainSession(spark: SparkSession, dir: String,
       noDataBatches: Boolean = false): SparkSession = {
     val parts = drainPartitions(spark, dir)
+    val provider = stateProvider
     drainSessions.keySet().removeIf(k => k._1.isStopped)
     drainSessions.computeIfAbsent(
-      (spark.sparkContext, dir, parts, noDataBatches), { _ =>
+      (spark.sparkContext, dir, parts, noDataBatches, provider), { _ =>
         val s = spark.newSession()
         s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        if (provider == "rocksdb")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         // Throwaway-drain checkpoint hygiene: the checkpoint is deleted
         // right after the drain, so retaining more than the latest batch's
         // offset/commit log entries (default 100) buys nothing — and the

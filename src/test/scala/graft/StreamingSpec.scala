@@ -1215,4 +1215,29 @@ class StreamingSpec extends SparkSpec {
       assert(b3.contains(("signup", 4.0)))
     } finally q.stop()
   }
+
+  test("drained output is state-store-provider invariant (RocksDB vs default)") {
+    // The corpus-scale state dial (graft.state.provider=rocksdb,
+    // StreamQueries.drainSession): once dedup/span state outgrows
+    // executor heaps, production flips the drain sessions to Spark's
+    // off-heap RocksDB provider. This certifies the flip is a pure
+    // deployment decision — the drained rows are byte-identical for
+    // both state classes (flatMapGroupsWithState span state and
+    // windowed-aggregation buffers + watermark) — and doubles as the
+    // proof that the RocksDB provider actually loads in this
+    // environment (rocksdbjni native extraction included).
+    def drainWith(provider: Option[String], q: String): Seq[String] = {
+      provider.foreach(sys.props("graft.state.provider") = _)
+      try graft.streaming.StreamQueries.queries(q)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      finally sys.props.remove("graft.state.provider")
+    }
+    Seq("q_stream_dup_spans", "q_stream_tumbling").foreach { q =>
+      val default = drainWith(None, q)
+      val rocks = drainWith(Some("rocksdb"), q)
+      assert(default.nonEmpty, s"$q drained empty")
+      assert(rocks == default,
+        s"$q: RocksDB-provider drain differs from the default provider's")
+    }
+  }
 }
