@@ -1222,9 +1222,10 @@ class StreamingSpec extends SparkSpec {
     // executor heaps, production flips the drain sessions to Spark's
     // off-heap RocksDB provider. This certifies the flip is a pure
     // deployment decision — the drained rows are byte-identical for
-    // both state classes (flatMapGroupsWithState span state and
-    // windowed-aggregation buffers + watermark) — and doubles as the
-    // proof that the RocksDB provider actually loads in this
+    // all four state classes (flatMapGroupsWithState span state,
+    // windowed-aggregation buffers + watermark, stream-stream join
+    // state, and dropDuplicatesWithinWatermark keys) — and doubles as
+    // the proof that the RocksDB provider actually loads in this
     // environment (rocksdbjni native extraction included).
     def drainWith(provider: Option[String], q: String): Seq[String] = {
       provider.foreach(sys.props("graft.state.provider") = _)
@@ -1232,7 +1233,8 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
       finally sys.props.remove("graft.state.provider")
     }
-    Seq("q_stream_dup_spans", "q_stream_tumbling").foreach { q =>
+    Seq("q_stream_dup_spans", "q_stream_tumbling",
+        "q_stream_join", "q_stream_dedup_wm").foreach { q =>
       val default = drainWith(None, q)
       val rocks = drainWith(Some("rocksdb"), q)
       assert(default.nonEmpty, s"$q drained empty")
