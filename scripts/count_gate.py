@@ -18,7 +18,7 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from qscan import ROOT, checked_catalog_queries
+from qscan import ROOT, checked_catalog_queries, oracle_queries
 
 
 def main():
@@ -40,6 +40,21 @@ def main():
                     " queries' line")
     elif int(m.group(1)) != n:
         errs.append(f"COVERAGE.md totals say {m.group(1)}, catalog has {n}")
+
+    # r13 ADVICE: diff CATALOG.md's per-row oracle column against the
+    # oracles maps — the headline count alone let a regenerated table
+    # with 54 wrongly-'—' rows pass the gate.
+    oracles = oracle_queries()
+    for row in re.finditer(
+            r"^\| `(q_[a-z0-9_]+)` \| [^|]+ \| [^|]+ \| ([^|]+) \|", cat,
+            re.M):
+        name, col = row.group(1), row.group(2).strip()
+        if name in oracles and col != "yes":
+            errs.append(f"CATALOG.md: {name} has a DuckDB oracle but the"
+                        f" oracle column says '{col}'")
+        elif name not in oracles and col == "yes":
+            errs.append(f"CATALOG.md: {name} says oracle 'yes' but no"
+                        " oracles-map entry was found")
 
     readme = open(os.path.join(ROOT, "README.md")).read()
     for m in re.finditer(r"(\d+)\s+named quer", readme):

@@ -23,6 +23,18 @@ MAIN = os.path.join(ROOT, "src/main/scala/graft")
 
 _ENTRY = re.compile(r'"(q_[a-z0-9_]+)"\s*->\s*(s?")?')
 
+# `"q_x" -> value` where value may be a string literal or an identifier
+_ENTRY_VAL = re.compile(r'"(q_[a-z0-9_]+)"\s*->\s*(s?"|[A-Za-z_][A-Za-z0-9_.]*)')
+
+# `val foo: String = s"""...` / `val fooOracle =\n  s"..."` — identifiers
+# whose value is a (possibly interpolated) string literal
+_STRING_VAL = re.compile(
+    r'(?:val|def)\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?::\s*String)?\s*=\s*s?"')
+
+# `def foo(args): String` — helper functions returning oracle SQL
+_STRING_DEF = re.compile(
+    r'def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^)]*\)\s*:\s*String', re.S)
+
 
 def catalog_queries():
     """All `queries`-map names (value is NOT a string literal)."""
@@ -48,6 +60,28 @@ def catalog_queries_lines():
                 if m and '"""' not in line and not re.search(
                         r'->\s*s?"', line):
                     names.add(m.group(1))
+    return names
+
+
+def oracle_queries():
+    """All `oracles`-map names: entries whose value is a string literal
+    OR an identifier defined as a string val anywhere in src/main (the
+    r13-ADVICE gap — `"q_x" -> tumblingAppendOracle` style entries were
+    invisible to a literal-only scan)."""
+    texts = []
+    for path in glob.glob(MAIN + "/**/*.scala", recursive=True):
+        with open(path) as f:
+            texts.append(f.read())
+    string_vals = set()
+    for text in texts:
+        string_vals.update(_STRING_VAL.findall(text))
+        string_vals.update(_STRING_DEF.findall(text))
+    names = set()
+    for text in texts:
+        for m in _ENTRY_VAL.finditer(text):
+            val = m.group(2)
+            if val.endswith('"') or val.split(".")[-1] in string_vals:
+                names.add(m.group(1))
     return names
 
 
