@@ -1167,19 +1167,19 @@ object DedupQueries extends graft.QueryModule {
       .repartition(parts, col("doc_b"))
       .cache()
 
-    // Loop state is eagerly localCheckpoint'ed each round, not cached:
-    // a cached DataFrame keeps its full logical plan, so round N's plan
-    // nests rounds 1..N-1 and analysis/optimization time GROWS per
-    // round (measured: 5s -> 11s by round 6 on a 50-node path).
-    // Checkpointing truncates the lineage to the materialized
-    // partitions — constant planning cost per round, and failure
-    // recovery restarts from the checkpoint instead of replaying every
-    // round. (Executor-local storage; a long-lived production job
-    // would point this at reliable checkpoint storage.)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .repartition(parts, col("doc_id"))
-      .localCheckpoint()
+    // Loop state is eagerly truncated each round via LoopState, not
+    // cached: a cached DataFrame keeps its full logical plan, so round
+    // N's plan nests rounds 1..N-1 and analysis/optimization time
+    // GROWS per round (measured: 5s -> 11s by round 6 on a 50-node
+    // path). Truncation caps planning cost; DURABILITY is the dial's
+    // business — the default localCheckpoint leaves no recompute path
+    // (executor loss kills the loop), GRAFT_LOOP_CHECKPOINT=reliable
+    // writes each round to reliable checkpoint storage instead (see
+    // LoopState's scaladoc for the measured cost).
+    var labels = LoopState.truncate(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .repartition(parts, col("doc_id")))
     // AQE off for the iterative loop only (restored below): the loop's
     // state is cached and already partitioned by the |edges|-derived
     // count, so AQE's runtime re-planning can't improve the plan — it
@@ -1199,13 +1199,12 @@ object DedupQueries extends graft.QueryModule {
         .agg(min(col("cluster_id")).as("n_min"))
       // old label rides along so the convergence check is a filter over
       // the materialized frame, not another join
-      val propagated = labels
+      val propagated = LoopState.truncate(labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .repartition(parts, col("doc_id"))
-        .localCheckpoint()
+        .repartition(parts, col("doc_id")))
       val changed = propagated.filter(col("cluster_id") =!= col("old_label")).count()
       if (changed == 0) {
         // propagation fixpoint: for every edge l(u)=l(v), so labels are
@@ -1219,13 +1218,12 @@ object DedupQueries extends graft.QueryModule {
         // difference between 20 and 10^6 shuffles on a path-shaped
         // component at corpus scale. Both join sides read propagated's
         // checkpointed partitions.
-        labels = propagated.alias("v")
+        labels = LoopState.truncate(propagated.alias("v")
           .join(propagated.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")).alias("p"),
             col("v.cluster_id") === col("p_id"), "left")
           .select(col("v.doc_id").as("doc_id"),
             coalesce(col("p_label"), col("v.cluster_id")).as("cluster_id"))
-          .repartition(parts, col("doc_id"))
-          .localCheckpoint()
+          .repartition(parts, col("doc_id")))
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -104,11 +104,15 @@ object GraphQueries extends graft.QueryModule {
     * games), capped at `maxIters`. This is the driver loop the fixed
     * `Iters = 3` of [[pagerank]] documents as the production shape:
     * each convergence check is one join + one 1-row max aggregate
-    * over the rank vector, and the loop state is localCheckpoint'ed
-    * per round exactly like the connected-components loop, so round
-    * N's plan never nests rounds 1..N-1 (constant planning cost, and
-    * the per-round lineage truncation is what failure recovery
-    * restarts from). Returns (final ranks, iterations run); requires
+    * over the rank vector, and the loop state is truncated per round
+    * via [[LoopState.truncate]] exactly like the connected-components
+    * loop, so round N's plan never nests rounds 1..N-1 (constant
+    * planning cost). Durability is the dial's business: the default
+    * localCheckpoint has NO recompute path (executor-resident blocks
+    * — an executor loss mid-loop kills the job); set
+    * GRAFT_LOOP_CHECKPOINT=reliable for per-round reliable
+    * checkpoints a cluster job can actually restart from.
+    * Returns (final ranks, iterations run); requires
     * convergence within the cap — a silent partially-converged vector
     * is never returned.
     *
@@ -121,7 +125,15 @@ object GraphQueries extends graft.QueryModule {
   private[graft] def pagerankConverged(spark: SparkSession, dir: String,
       epsNano: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = edgesWithDeg(spark, dir)
-    var ranks = nodes(spark, dir).withColumn("r", lit(R0)).localCheckpoint()
+    var ranks = LoopState.truncate(
+      nodes(spark, dir).withColumn("r", lit(R0)))
+    // Precondition: a stable node set (here: nodes are edge sources
+    // of a symmetric graph, so every node has in-degree >= 1 in every
+    // round). The update joins next INNER prev, so a node leaving the
+    // in-edge image would silently shrink the vector to the
+    // intersection — enforced below per round rather than trusted:
+    // the count rides the same 1-row aggregate as the delta.
+    val nRanks = ranks.count()
     var iters = 0
     var delta = Long.MaxValue
     while (delta > epsNano && iters < maxIters) {
@@ -137,18 +149,24 @@ object GraphQueries extends graft.QueryModule {
       // fixture graph is small (~16k nodes), so round cost is job
       // overhead; at a corpus-scale edge list the removed per-round
       // exchange of the full rank vector is the term that matters.
-      val withPrev = pagerankStep(edges, ranks).alias("n")
-        .join(ranks.alias("o"), col("n.node") === col("o.node"))
-        .select(col("n.node").as("node"), col("n.r").as("r"),
-          col("o.r").as("r_prev"))
-        .localCheckpoint()
+      val withPrev = LoopState.truncate(
+        pagerankStep(edges, ranks).alias("n")
+          .join(ranks.alias("o"), col("n.node") === col("o.node"))
+          .select(col("n.node").as("node"), col("n.r").as("r"),
+            col("o.r").as("r_prev")))
       // max(d) over an EMPTY frame is SQL NULL — fail loudly (empty
       // graph / diverged node sets) instead of NPE-ing in getLong and
-      // masking the real condition.
+      // masking the real condition. count rides the same 1-row scan:
+      // the inner join above intersects consecutive node sets, so a
+      // PARTIAL shrink (some nodes lost in-edges this round) would
+      // otherwise silently drop nodes from the vector.
       val dRow = withPrev.select(abs(col("r") - col("r_prev")).as("d"))
-        .agg(max(col("d"))).head()
+        .agg(max(col("d")), count(lit(1))).head()
       require(!dRow.isNullAt(0),
         "pagerank delta undefined — empty graph or disjoint node sets between iterations")
+      require(dRow.getLong(1) == nRanks,
+        s"pagerank node set changed between rounds (${dRow.getLong(1)} != $nRanks) — " +
+          "the update join requires a stable node set")
       delta = dRow.getLong(0)
       ranks = withPrev.select(col("node"), col("r"))
       iters += 1
@@ -282,7 +300,7 @@ object GraphQueries extends graft.QueryModule {
     * driver union-find fast path is for bounded duplicate-pair sets,
     * and this query exists precisely so the corpus-scale code path —
     * O(log diameter) rounds of one equi-join + one keyed min
-    * aggregation, loop state localCheckpoint'ed, partition count
+    * aggregation, loop state truncated per round (LoopState dial), partition count
     * derived from edge volume — runs under the DuckDB oracle gate
     * rather than only under property tests at toy sizes. The oracle
     * is the reachability closure to fixpoint (recursive CTE), so the
@@ -339,7 +357,7 @@ object GraphQueries extends graft.QueryModule {
     *
     * EAGER like q_components: the builder runs the checkpointed loop
     * (one 1-row max-delta aggregate per round) before returning;
-    * the returned frame reads the final localCheckpoint'ed rank
+    * the returned frame reads the final dial-truncated rank
     * vector (PlanSpec pins its leaves as the checkpoint RDD scan, so
     * the certified result provably came from the truncated-lineage
     * loop state, not a re-derivation).

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-round loop-state truncation for the iterative operators
+  * ([[GraphQueries.pagerankConverged]], connected components), with a
+  * durability dial mirroring the streaming state-provider dial
+  * (StreamQueries `graft.state.provider`).
+  *
+  * Why truncate at all: a cached DataFrame keeps its full logical
+  * plan, so round N's plan nests rounds 1..N-1 and planning time
+  * grows per round. Checkpointing (either kind) truncates lineage to
+  * the materialized partitions — constant planning cost per round.
+  *
+  * The dial — `graft.loop.checkpoint` sysprop or
+  * `GRAFT_LOOP_CHECKPOINT` env:
+  *
+  *  - `local` (default): `localCheckpoint()` — blocks live on
+  *    executors, no file I/O. Fastest, and the right harness/dev
+  *    setting, but there is NO recompute path: lineage is gone and
+  *    the blocks die with their executor, so on a real cluster one
+  *    executor loss mid-loop kills the whole multi-round job.
+  *  - `reliable`: `checkpoint()` to the SparkContext checkpoint dir
+  *    (set lazily from `graft.checkpoint.dir` /
+  *    `GRAFT_CHECKPOINT_DIR`, else a temp dir — in production point
+  *    it at HDFS/S3). Each round's state is a file an executor loss
+  *    can re-read, so the loop survives executor churn at the cost
+  *    of one write+read of the state per round (measured in
+  *    SCALING.md; the state is the O(nodes) vector, not the edge
+  *    list, so the write is the small term of a round).
+  *
+  * Every round truncates eagerly regardless of mode: loop state has
+  * multiple consumers per round (the convergence scan plus the next
+  * round's join sides), so a lazily-carried plan would recompute the
+  * round once per consumer. GraphSpec/DedupCollapseSpec certify the
+  * loops are dial-invariant: both modes produce hash-identical
+  * output, so flipping to `reliable` is a pure deployment decision.
+  */
+object LoopState {
+
+  private def mode: String =
+    sys.props.get("graft.loop.checkpoint")
+      .orElse(sys.env.get("GRAFT_LOOP_CHECKPOINT")).getOrElse("local")
+
+  /** Truncate `df`'s lineage eagerly per the dial. */
+  def truncate(df: DataFrame): DataFrame =
+    if (mode == "reliable") {
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir is idempotent enough for our use (last call
+      // wins); only set it when unset so callers/tests can pin it.
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = sys.props.get("graft.checkpoint.dir")
+          .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))
+          .getOrElse(java.nio.file.Files
+            .createTempDirectory("graft-loop-ckpt").toString)
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint()
+    } else df.localCheckpoint()
+}

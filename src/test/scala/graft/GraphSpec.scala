@@ -95,6 +95,40 @@ class GraphSpec extends SparkSpec {
       s"expected convergence at round 6 at sf0.001, got $iters")
   }
 
+  test("converged pagerank is loop-checkpoint-dial invariant (reliable vs local)") {
+    // The cluster-durability dial (GRAFT_LOOP_CHECKPOINT=reliable,
+    // LoopState.truncate): localCheckpoint blocks die with their
+    // executor — no recompute path — so a production multi-round loop
+    // flips to reliable checkpoint files. This certifies the flip is
+    // a pure deployment decision: vector and iteration count are
+    // identical, and the reliable path really wrote checkpoint files.
+    val eps = 5000000L // above the integer-rounding delta floor here
+    def runWith(mode: Option[String]): (Map[Long, Long], Int) = {
+      mode.foreach(sys.props("graft.loop.checkpoint") = _)
+      try {
+        val (df, iters) = GraphQueries.pagerankConverged(spark, sf0001, eps)
+        (df.select("node", "r").as[(Long, Long)].collect().toMap, iters)
+      } finally sys.props.remove("graft.loop.checkpoint")
+    }
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-test-ckpt").toString
+    sys.props("graft.checkpoint.dir") = ckptDir
+    try {
+      val (defaultVec, defaultIters) = runWith(None)
+      val (reliableVec, reliableIters) = runWith(Some("reliable"))
+      assert(defaultVec.nonEmpty)
+      assert(reliableVec == defaultVec,
+        "reliable-checkpoint loop vector differs from the local-checkpoint loop's")
+      assert(reliableIters == defaultIters)
+      // the dial actually took the reliable path: per-round RDD
+      // checkpoint files exist under the pinned dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote >= defaultIters.toLong,
+        s"expected >= $defaultIters reliable checkpoints under $ckptDir, found $wrote")
+    } finally sys.props.remove("graft.checkpoint.dir")
+  }
+
   test("directed pagerank: planted dangling node redistributes its mass") {
     // Graph: 1 -> 2, 3 -> 2; node 2 dangles (no out-edges). N = 3,
     // all ranks start at 1e9. Iteration 1 by hand:

@@ -149,6 +149,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed components are loop-checkpoint-dial invariant (reliable vs local)") {
+    // Same certification as GraphSpec's pagerank dial test, for the
+    // label-propagation loop: GRAFT_LOOP_CHECKPOINT=reliable swaps
+    // per-round localCheckpoint (no recompute path) for reliable
+    // checkpoint files without changing a single label.
+    import spark.implicits._
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++ // path: depth stress
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("doc_a", "doc_b").cache()
+    def runWith(mode: Option[String]): Map[Long, Long] = {
+      mode.foreach(sys.props("graft.loop.checkpoint") = _)
+      try graft.operators.DedupQueries
+        .connectedComponents(spark, edges, localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      finally sys.props.remove("graft.loop.checkpoint")
+    }
+    val default = runWith(None)
+    val reliable = runWith(Some("reliable"))
+    edges.unpersist()
+    assert(default.nonEmpty)
+    assert(reliable == default,
+      "reliable-checkpoint components differ from the local-checkpoint loop's")
+  }
+
   test("connected components handle a path graph (pointer-halving depth stress)") {
     // diameter 49 (reversed chain + duplicate edges): plain
     // min-propagation would need 49 rounds — more than the loop's
