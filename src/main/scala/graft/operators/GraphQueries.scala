@@ -514,10 +514,16 @@ object GraphQueries extends graft.QueryModule {
     // q_pagerank_eps: the oracle re-derives the CONVERGENCE COUNT
     // definitionally — unroll the recurrence past the expected stop,
     // compute every round's max-delta, and emit the FIRST round whose
-    // delta <= eps. The vector is round 6's; if the Spark loop
-    // stopped at any other round (or its stopping test drifted), the
-    // iters column and/or the vector hash-mismatch. Eps and the
-    // 6-round unroll come from the measured schedule (see EpsNano).
+    // delta <= eps. The VECTOR comes from that same first-convergent
+    // round (the vec/it join below), not from a hardcoded round: a
+    // loop that stops early or late mismatches both the iters column
+    // AND the rank values, and if NO unrolled round converges the
+    // join drops every row — a loud 0-row mismatch, never a silent
+    // certify. Scale restriction: the unroll depth (6) comes from the
+    // measured schedule (see EpsNano) and covers the oracle scales
+    // sf0.001/sf0.01; at sf0.1 convergence is round 7 — outside the
+    // unroll — so this oracle is only meaningful at the gate scale
+    // (the driver runs DuckDB compares at sf0.01 only).
     "q_pagerank_eps" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
@@ -571,16 +577,26 @@ object GraphQueries extends graft.QueryModule {
         |d3 AS (SELECT max(abs(a.r - b.r)) AS d FROM r3 a JOIN r2 b ON a.node = b.node),
         |d4 AS (SELECT max(abs(a.r - b.r)) AS d FROM r4 a JOIN r3 b ON a.node = b.node),
         |d5 AS (SELECT max(abs(a.r - b.r)) AS d FROM r5 a JOIN r4 b ON a.node = b.node),
-        |d6 AS (SELECT max(abs(a.r - b.r)) AS d FROM r6 a JOIN r5 b ON a.node = b.node)
+        |d6 AS (SELECT max(abs(a.r - b.r)) AS d FROM r6 a JOIN r5 b ON a.node = b.node),
+        |it AS (
+        |  SELECT CAST(CASE WHEN (SELECT d FROM d1) <= 6000000000 THEN 1
+        |                   WHEN (SELECT d FROM d2) <= 6000000000 THEN 2
+        |                   WHEN (SELECT d FROM d3) <= 6000000000 THEN 3
+        |                   WHEN (SELECT d FROM d4) <= 6000000000 THEN 4
+        |                   WHEN (SELECT d FROM d5) <= 6000000000 THEN 5
+        |                   WHEN (SELECT d FROM d6) <= 6000000000 THEN 6
+        |              END AS INTEGER) AS iters
+        |),
+        |vec AS (
+        |  SELECT 1 AS rnd, node, r FROM r1
+        |  UNION ALL SELECT 2, node, r FROM r2
+        |  UNION ALL SELECT 3, node, r FROM r3
+        |  UNION ALL SELECT 4, node, r FROM r4
+        |  UNION ALL SELECT 5, node, r FROM r5
+        |  UNION ALL SELECT 6, node, r FROM r6
+        |)
         |SELECT CASE WHEN node % 2 = 1 THEN 's' ELSE 'c' END AS entity,
-        |       node // 2 AS id, r,
-        |       CAST(CASE WHEN (SELECT d FROM d1) <= 6000000000 THEN 1
-        |                 WHEN (SELECT d FROM d2) <= 6000000000 THEN 2
-        |                 WHEN (SELECT d FROM d3) <= 6000000000 THEN 3
-        |                 WHEN (SELECT d FROM d4) <= 6000000000 THEN 4
-        |                 WHEN (SELECT d FROM d5) <= 6000000000 THEN 5
-        |                 WHEN (SELECT d FROM d6) <= 6000000000 THEN 6
-        |            END AS INTEGER) AS iters
-        |FROM r6""".stripMargin
+        |       node // 2 AS id, r, it.iters
+        |FROM vec JOIN it ON vec.rnd = it.iters""".stripMargin
   )
 }
