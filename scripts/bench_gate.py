@@ -52,12 +52,8 @@ def load_bench(path):
         f"target/bench.json instead")
 
 
-def main():
-    if len(sys.argv) < 3:
-        raise SystemExit(__doc__)
-    old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-
+def compare(old, new, threshold):
+    """Run the gate logic; returns the exit code (0 pass, 1 fail)."""
     # Prefer steady-state numbers when both artifacts carry them (r5+):
     # cold numbers attribute shared one-time builds to whichever query
     # alphabetically-first consumes them, which is attribution, not
@@ -66,13 +62,23 @@ def main():
     oq, nq = old[basis], new[basis]
     o_total = old.get("steady_total") if basis == "steady" else old["value"]
     n_total = new.get("steady_total") if basis == "steady" else new["value"]
-    print(f"basis: {basis}")
+    # Per-query noise spreads (r13 verdict item 4): when the baseline
+    # records what pure window noise has ever done to a query
+    # (min/med/max over every same-catalog campaign + driver sample,
+    # contended windows included), a ratio-flagged reading that stays
+    # AT OR UNDER the worst ever observed is window noise by
+    # construction — report it, cite the spread, but don't fail. A
+    # reading beyond anything ever seen fails as before.
+    spreads = old.get("steady_spread", {}) if basis == "steady" else {}
+    print(f"basis: {basis}" + (
+        f" (spreads over {old.get('spread_samples', '?')} samples)"
+        if spreads else ""))
     # a query that existed before but is absent now is lost COVERAGE,
     # not a pass — flag it before comparing the intersection
     missing = sorted(set(oq) - set(nq))
     for name in missing:
         print(f"  MISSING: {name} present in old bench but absent in new")
-    failures, improved = [], []
+    failures, improved, within = [], [], []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
         if o is None or n is None:  # failed query: reported elsewhere
@@ -80,7 +86,11 @@ def main():
         if abs(n - o) < FLOOR:  # absolute delta too small to be signal
             continue
         if o > 0 and n > o * threshold:
-            failures.append((name, o, n, n / o))
+            sp = spreads.get(name)
+            if sp and n <= sp["max"]:
+                within.append((name, o, n, n / o, sp))
+            else:
+                failures.append((name, o, n, n / o, sp))
         elif n > 0 and o > n * threshold:
             improved.append((name, o, n, o / n))
 
@@ -89,14 +99,61 @@ def main():
           f"({n_total / o_total:.2f}x), failed queries: {new_failed}")
     for name, o, n, x in sorted(improved, key=lambda t: -t[3]):
         print(f"  improved {x:5.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
-    for name, o, n, x in sorted(failures, key=lambda t: -t[3]):
-        print(f"  REGRESSED {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
+    for name, o, n, x, sp in sorted(within, key=lambda t: -t[3]):
+        print(f"  within-spread {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name} "
+              f"(window noise: max seen {sp['max']:.2f}s, med {sp['med']:.2f}s "
+              f"over {sp['n']} samples)")
+    for name, o, n, x, sp in sorted(failures, key=lambda t: -t[3]):
+        cite = (f" (beyond max ever seen {sp['max']:.2f}s over {sp['n']} samples)"
+                if sp else "")
+        print(f"  REGRESSED {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}{cite}")
 
     if failures or new_failed or missing:
         print(f"GATE FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
               f"regressed >{threshold}x, {new_failed} failed, {len(missing)} missing")
-        sys.exit(1)
+        return 1
     print("GATE PASS")
+    return 0
+
+
+def selftest():
+    """Synthetic-regression self-test of the spread logic: a 4x reading
+    within the recorded spread passes (window noise); the same reading
+    beyond the spread fails; a query with no spread keeps the old
+    strict behavior."""
+    base = {
+        "steady": {"q_loop": 2.0, "q_flat": 3.0},
+        "steady_total": 5.0,
+        "steady_spread": {
+            "q_loop": {"min": 2.0, "med": 2.5, "max": 9.0, "n": 10},
+            "q_flat": {"min": 3.0, "med": 3.1, "max": 3.6, "n": 10},
+        },
+        "spread_samples": 10,
+    }
+    noisy = {"steady": {"q_loop": 8.0, "q_flat": 3.2}, "steady_total": 11.2}
+    regressed = {"steady": {"q_loop": 9.5, "q_flat": 3.2}, "steady_total": 12.7}
+    legacy_base = {"steady": base["steady"], "steady_total": 5.0}
+    checks = [
+        ("within-spread 4x passes", compare(base, noisy, 2.0), 0),
+        ("beyond-spread 4.75x fails", compare(base, regressed, 2.0), 1),
+        ("no-spread baseline stays strict", compare(legacy_base, noisy, 2.0), 1),
+    ]
+    bad = [(lbl, got, want) for lbl, got, want in checks if got != want]
+    for lbl, got, want in bad:
+        print(f"SELFTEST FAIL: {lbl}: exit {got}, wanted {want}")
+    if bad:
+        sys.exit(1)
+    print("SELFTEST PASS (3 checks)")
+
+
+def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        return selftest()
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    sys.exit(compare(old, new, threshold))
 
 
 if __name__ == "__main__":

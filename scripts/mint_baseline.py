@@ -7,17 +7,32 @@ runs spread 2-4x under host noise), refuses samples whose query sets
 disagree (a catalog change invalidates old samples), and writes the
 baseline file `scripts/round_gate.sh` compares against.
 
+With --history=bench_history.jsonl, also records a per-query noise
+SPREAD (min/med/max/n of steady seconds) over every history entry
+with the SAME query set — including contended-window runs — so the
+gate can mechanically distinguish "loop query in a loadavg-10 window"
+(within the recorded spread) from a plan regression (beyond anything
+ever observed). The min-per-query baseline itself still comes only
+from the explicitly passed (quiet-campaign) samples.
+
 Usage:
-  python3 scripts/mint_baseline.py OUT.json "provenance text" sample1.json [sample2.json ...]
+  python3 scripts/mint_baseline.py OUT.json "provenance text" \
+      [--history=bench_history.jsonl] sample1.json [sample2.json ...]
 """
 import json
 import sys
 
 
 def main():
-    out, prov, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
-    if not paths:
-        sys.exit("need at least one sample json")
+    args = sys.argv[1:]
+    history = None
+    for a in list(args):
+        if a.startswith("--history="):
+            history = a.split("=", 1)[1]
+            args.remove(a)
+    if len(args) < 3:
+        sys.exit("need OUT.json, provenance, and at least one sample json")
+    out, prov, paths = args[0], args[1], args[2:]
     samples = []
     for p in paths:
         with open(p) as f:
@@ -39,6 +54,26 @@ def main():
         return dict(sorted(m.items()))
 
     cold, steady = mins("queries"), mins("steady")
+
+    # spread pool: the passed samples plus every same-query-set history
+    # entry (contended windows included — that's the point: the spread
+    # records what pure window noise has ever done to each query)
+    pool = list(samples)
+    if history:
+        with open(history) as f:
+            for line in f:
+                e = json.loads(line)
+                if (set(e.get("steady", {})) == keys
+                        and not e.get("failed", 0)):
+                    pool.append(e)
+    spread = {}
+    for k in sorted(keys):
+        vals = sorted(s["steady"][k] for s in pool
+                      if s["steady"].get(k) is not None)
+        if vals:
+            spread[k] = {"min": vals[0], "med": vals[len(vals) // 2],
+                         "max": vals[-1], "n": len(vals)}
+
     doc = {
         "metric": "total",
         "value": sum(cold.values()),
@@ -47,6 +82,8 @@ def main():
         "steady": steady,
         "steady_total": sum(steady.values()),
         "steady_runs": samples[0].get("steady_runs", 3),
+        "steady_spread": spread,
+        "spread_samples": len(pool),
         "failed": 0,
         "provenance": prov,
         "sf": samples[0].get("sf", ""),

@@ -20,4 +20,6 @@ BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_167q.json}
 NEW=${1:-target/bench.json}
 python3 "$(dirname "$0")/count_gate.py" || exit 1
 python3 "$(dirname "$0")/scaling_gate.py" || exit 1
+# the gate's own spread logic must work before we trust its verdict
+python3 "$(dirname "$0")/bench_gate.py" --selftest > /dev/null || exit 1
 exec python3 "$(dirname "$0")/bench_gate.py" "$BASE" "$NEW" "${2:-2.0}"
