@@ -11,13 +11,11 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-# maxResultSize: the streaming ORACLE harness drains into a memory
-# sink, which accumulates the full drained output on the driver — at
-# sf10 a per-span drain (q_stream_dup_spans) crosses the 1 GiB
-# default. This is harness plumbing, not the pipeline (production
-# streams sink via foreachBatch straight to parquet/JDBC and never
-# collect); raise the cap for the harness JVM only.
+# No raised spark.driver.maxResultSize: the large-output stream
+# drains (dup_spans/media/append) sink per-batch to parquet
+# (StreamQueries.drain parquetSink) instead of accumulating in a
+# driver-side memory sink, so the 1 GiB default is the honest guard
+# again — a query that trips it is genuinely collecting too much.
 exec java $ADD_OPENS -Xmx"${SPARK_GRAFT_XMX:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Dspark.driver.maxResultSize=8g \
   -cp "$CP" "$@"

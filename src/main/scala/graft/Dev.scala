@@ -399,15 +399,15 @@ object Dev {
         }
       case "spanscale" :: dir :: rest =>
         // Scale experiment for the span-granularity drain
-        // (q_stream_dup_spans): the oracle harness sinks via MEMORY —
-        // the full emitted output is collected onto the driver, which
-        // is the right shape for hash certification but adds a
-        // driver-side O(output) term that dominates at sf10. This
-        // runs the IDENTICAL pipeline (file source -> repartition ->
-        // keyed span state -> per-position emissions) under the
-        // PRODUCTION sink shape — foreachBatch writing parquet, fully
-        // distributed, nothing collected — so the pipeline's own
-        // scaling reads separately from the harness sink's.
+        // (q_stream_dup_spans): this was the round-13 experiment that
+        // isolated the memory sink's driver-side O(output) term from
+        // the pipeline's own scaling (alpha 1.14 memory-sink vs 0.83
+        // here), which motivated flipping the large-output gate
+        // drains to the parquet sink (StreamQueries.drain
+        // parquetSink). Kept as the standalone production-shape
+        // driver: file source -> repartition -> keyed span state ->
+        // per-position emissions -> foreachBatch parquet, fully
+        // distributed, nothing collected.
         import graft.streaming.StreamingOps
         val runs = rest.headOption.map(_.toInt).getOrElse(2)
         val out = java.nio.file.Files.createTempDirectory("spanscale").toString
@@ -423,8 +423,14 @@ object Dev {
           val t0 = System.nanoTime()
           val q = StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF()
             .writeStream.outputMode("update")
+            // append, not overwrite: Trigger.AvailableNow may split
+            // the input into several micro-batches, and an overwrite
+            // per batch would leave only the LAST batch's rows in the
+            // reported count — under-reporting the pipeline's output
+            // (r13 ADVICE). Append accumulates every batch's
+            // emissions, the memory-sink-equivalent semantics.
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.mode("overwrite").parquet(s"$out/run$i"); ()
+              b.write.mode("append").parquet(s"$out/run$i"); ()
             }
             .option("checkpointLocation", s"$out/ckpt$i")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -244,8 +244,17 @@ object StreamQueries extends graft.QueryModule {
   private[graft] val activeDrain =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Last parquet-drain output dir per prefix: a new drain for the
+    * same prefix deletes its predecessor, bounding disk to one copy
+    * per query (the callers — Verify, Bench, specs — consume the
+    * returned frame before re-draining, mirroring the memory-sink
+    * contract that rows live only as long as the caller's frame).
+    */
+  private val parquetDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   private[graft] def drain(df: DataFrame, prefix: String,
-      mode: String = "update"): DataFrame = {
+      mode: String = "update", parquetSink: Boolean = false): DataFrame = {
     val name = s"${prefix}_${sinkSeq.incrementAndGet()}"
     if (!activeDrain.compareAndSet(null, name))
       throw new IllegalStateException(
@@ -253,6 +262,57 @@ object StreamQueries extends graft.QueryModule {
         s"'$name' starts — the drain harness contract is strictly " +
         "sequential (unloadAll() is SparkContext-global)")
     val session = df.sparkSession
+    if (parquetSink) {
+      // Large-output drains (output grows with corpus rows): the
+      // memory sink accumulates the whole drained output ON THE
+      // DRIVER — at sf10 q_stream_dup_spans crossed the 1 GiB
+      // maxResultSize default, which is the HARNESS's own
+      // superlinear term, not the pipeline's (r13 SCALING.md: alpha
+      // 1.14 memory-sink vs 0.83 under foreachBatch→parquet). These
+      // drains therefore sink each micro-batch straight to parquet —
+      // the production shape — and the gate hashes the parquet read
+      // back. Append-to-files reproduces memory-sink accumulation
+      // exactly for update/append modes (each trigger's emitted rows
+      // are appended once); complete mode would not, so it is
+      // rejected loudly.
+      require(mode != "complete",
+        "parquet drain appends per-batch emissions; complete mode would duplicate windows")
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft-drain-out-$prefix")
+      val old = parquetDirs.put(prefix, outDir)
+      if (old != null) org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+      try {
+        val w0 = df.writeStream.outputMode(mode).queryName(name)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir.toString)
+          }
+        val ckpt = ckptRoot.map(_.resolve(name))
+        val q = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString)).start()
+        // same failure-isolated cleanup discipline as the memory path
+        // below (no temp view to unregister here)
+        var primary: Throwable = null
+        def step(f: => Unit): Unit =
+          try f catch {
+            case t: Throwable =>
+              if (primary == null) primary = t else primary.addSuppressed(t)
+          }
+        step(q.processAllAvailable())
+        step(q.stop())
+        step(org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreReset.unloadAll())
+        step(ckpt.foreach { p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        })
+        if (primary != null) throw primary
+        // a drain that emitted nothing writes no files — return an
+        // empty frame of the stream's schema instead of failing
+        // schema inference on an empty directory
+        val hasFiles = java.nio.file.Files.list(outDir)
+          .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        if (hasFiles) session.read.schema(df.schema).parquet(outDir.toString)
+        else session.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+      } finally activeDrain.set(null)
+    } else
     try {
       val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
       val ckpt = ckptRoot.map(_.resolve(name))
@@ -320,7 +380,7 @@ object StreamQueries extends graft.QueryModule {
   def streamDupSpans(spark: SparkSession, dir: String): DataFrame = {
     val s = drainSession(spark, dir)
     drain(StreamingOps.dupSpansStream(s, StreamingOps.docStream(s, dir)).toDF(),
-      "q_stream_dup_spans")
+      "q_stream_dup_spans", parquetSink = true)
   }
 
   /** Streaming tumbling windows, drained in APPEND mode — the mode
@@ -515,7 +575,7 @@ object StreamQueries extends graft.QueryModule {
     val media = StreamingOps.docStream(s, dir).select(
       org.apache.spark.sql.functions.col("doc_id").as("media_id"),
       org.apache.spark.sql.functions.col("text").cast("binary").as("payload"))
-    drain(StreamingOps.dedupMediaStream(s, media).toDF(), "q_stream_media")
+    drain(StreamingOps.dedupMediaStream(s, media).toDF(), "q_stream_media", parquetSink = true)
   }
 
   /** Append-mode tumbling windows under a real 1-hour watermark across
@@ -540,7 +600,7 @@ object StreamQueries extends graft.QueryModule {
   def streamAppend(spark: SparkSession, dir: String): DataFrame = {
     val s = drainSession(spark, dir, noDataBatches = true)
     drain(StreamingOps.windowedCounts(StreamingOps.eventStreamTwoBatch(s, dir)),
-      "q_stream_append", mode = "append")
+      "q_stream_append", mode = "append", parquetSink = true)
   }
 
   /** The streaming ingest gate, drained: every doc dispositioned with
