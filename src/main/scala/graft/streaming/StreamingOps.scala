@@ -842,12 +842,21 @@ object StreamingOps {
     * database and last-writer-wins by PK, so checkpoint replay of a
     * batch is idempotent — at-least-once delivery + this sink =
     * effectively-once, same as the parquet path above.
+    *
+    * `afterBatch` mirrors [[foreachBatchUpsert]]'s failure-injection
+    * hook: it runs after the MERGE committed on the database but
+    * before Spark records the batch's commit marker — the
+    * at-least-once crash window — so StreamingSpec can prove the
+    * re-delivered batch's second MERGE leaves the table
+    * content-identical. Production callers leave the default no-op.
     */
   def foreachBatchJdbcUpsert(
       stream: DataFrame, pk: Seq[String], url: String, table: String,
-      options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      options: Map[String, String] = Map.empty,
+      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.pipeline.JdbcSink.upsert(batch, url, table, pk, options)
+      afterBatch(batchId)
       ()
     }
 }
