@@ -50,6 +50,61 @@ class SaltingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AQE skew-join splits the plain join's hot partition (negative control for manual salting)") {
+    // The negative control the 100 TB operator needs (r13 verdict
+    // item 5): for a PLAIN shuffle join, Spark's own AQE skew-split
+    // already mitigates the hot key at runtime — this pins that it
+    // actually fires on the saltbench fixture shape (50% of the probe
+    // on one key) and returns the same rows as the manual salted
+    // rewrite. Manual salting's remit is therefore what AQE can't
+    // touch: a downstream op that REUSES the join's hash partitioning
+    // (splitting would break the distribution contract, so AQE skips
+    // it) and hot keyed AGGREGATIONS (Salting.twoPhaseAgg — AQE skew
+    // handling is join-only). Measured crossover lives in NOTES
+    // (Dev saltbench: unsalted/salted/AQE at 30x sf0.1 probe rows).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spec-sized thresholds: defaults detect skew at 256 MB partitions;
+    // scale them to the fixture (hot partition ~1.5 MB vs ~50 KB median)
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    val probe = s.range(200000L).select(
+      when(pmod(col("id"), lit(2L)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("k"),
+      col("id").as("v"))
+    val buildDf = s.range(1000L).select(
+      col("id").as("k"), concat(lit("dim"), col("id")).as("name"))
+    val joined = probe.join(buildDf, Seq("k"))
+    val rows = joined.count()
+    assert(rows > 0)
+    // inspect the FINAL adaptive plan of an executed run
+    val executed = joined.queryExecution.executedPlan
+    joined.collect()
+    val plan = executed.toString
+    assert(plan.contains("skew=true") || plan.contains("isSkew=true")
+        || plan.toLowerCase.contains("skewed"),
+      s"AQE did not split the hot partition; final plan:\n$plan")
+    // and the mitigated plain join agrees with the manual salted rewrite
+    val salted = Salting.saltedJoin(probe, buildDf, "k", buckets = 8, tiebreak = "v")
+    assert(salted.count() == rows)
+    assert(joined.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(joined).count() == 0)
+    // vacuity guard: with the skew handler off, the same join's final
+    // plan must NOT carry the marker — proving the assertion above
+    // detects the split, not some always-present plan text
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val unmitigated = probe.join(buildDf, Seq("k"))
+    val unmitigatedPlan = unmitigated.queryExecution.executedPlan
+    unmitigated.count()
+    val off = unmitigatedPlan.toString
+    assert(!(off.contains("skew=true") || off.contains("isSkew=true")
+        || off.toLowerCase.contains("skewed")),
+      s"skew marker present with the handler disabled — the positive assertion is vacuous:\n$off")
+  }
+
   test("two-phase aggregate equals direct aggregate") {
     val df = ((1 to 500).map(i => (1L, i.toLong)) ++ (1 to 50).map(i => (2L, i.toLong)))
       .toDF("k", "v")
