@@ -102,7 +102,7 @@ class GraphSpec extends SparkSpec {
     // flips to reliable checkpoint files. This certifies the flip is
     // a pure deployment decision: vector and iteration count are
     // identical, and the reliable path really wrote checkpoint files.
-    val eps = 5000000L // above the integer-rounding delta floor here
+    val eps = 6000000000L // the catalog pin: 6 rounds at sf0.001
     def runWith(mode: Option[String]): (Map[Long, Long], Int) = {
       mode.foreach(sys.props("graft.loop.checkpoint") = _)
       try {
@@ -112,8 +112,15 @@ class GraphSpec extends SparkSpec {
     }
     val ckptDir = java.nio.file.Files
       .createTempDirectory("graft-test-ckpt").toString
-    sys.props("graft.checkpoint.dir") = ckptDir
-    try {
+    // pin the CONTEXT dir directly: LoopState's lazy fallback only
+    // fires while the shared context has no checkpoint dir yet, and
+    // another suite's reliable run may have installed one already
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    // the dial is a JVM-global sysprop and suites run concurrently:
+    // serialize the two dial tests (this and PropertySpec's) on the
+    // dial object so one test's cleanup can't flip the other's loop
+    // back to local mid-run
+    graft.operators.LoopState.synchronized {
       val (defaultVec, defaultIters) = runWith(None)
       val (reliableVec, reliableIters) = runWith(Some("reliable"))
       assert(defaultVec.nonEmpty)
@@ -126,7 +133,7 @@ class GraphSpec extends SparkSpec {
         .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
       assert(wrote >= defaultIters.toLong,
         s"expected >= $defaultIters reliable checkpoints under $ckptDir, found $wrote")
-    } finally sys.props.remove("graft.checkpoint.dir")
+    }
   }
 
   test("directed pagerank: planted dangling node redistributes its mass") {

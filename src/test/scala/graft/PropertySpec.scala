@@ -164,8 +164,12 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       finally sys.props.remove("graft.loop.checkpoint")
     }
-    val default = runWith(None)
-    val reliable = runWith(Some("reliable"))
+    // serialized with GraphSpec's dial test: the dial is a JVM-global
+    // sysprop and suites run concurrently — one test's cleanup must
+    // not flip the other's loop back to local mid-run
+    val (default, reliable) = graft.operators.LoopState.synchronized {
+      (runWith(None), runWith(Some("reliable")))
+    }
     edges.unpersist()
     assert(default.nonEmpty)
     assert(reliable == default,
