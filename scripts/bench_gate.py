@@ -146,12 +146,38 @@ def selftest():
     print("SELFTEST PASS (3 checks)")
 
 
+def min_merge(docs):
+    """Min-per-query across samples — the committed estimator on this
+    box (BASELINE.md: single samples spread up to 2x; compare
+    min-over-runs only). NEW may be given as comma-separated sample
+    paths; a spike present in one sample but absent in another is
+    window noise by the same rule the baseline itself was minted by."""
+    if len(docs) == 1:
+        return docs[0]
+    out = dict(docs[0])
+    for field in ("queries", "steady"):
+        merged = {}
+        for d in docs:
+            for k, v in d.get(field, {}).items():
+                if v is not None and (k not in merged or v < merged[k]):
+                    merged[k] = v
+        out[field] = merged
+    out["value"] = sum(out["queries"].values())
+    out["steady_total"] = sum(out["steady"].values())
+    out["failed"] = max(d.get("failed", 0) for d in docs)
+    return out
+
+
 def main():
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         return selftest()
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
+    old = load_bench(sys.argv[1])
+    news = [load_bench(p) for p in sys.argv[2].split(",")]
+    if len(news) > 1:
+        print(f"min-per-query over {len(news)} new samples")
+    new = min_merge(news)
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     sys.exit(compare(old, new, threshold))
 

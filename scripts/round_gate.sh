@@ -12,6 +12,11 @@
 # The baseline is min-per-query over a multi-sample campaign (see the
 # provenance field inside the JSON); regenerate it the same way after
 # intentional performance work, never from a single sample.
+# The NEW side may be comma-separated sample paths — bench_gate then
+# min-merges them per query first (the same estimator the baseline
+# was minted by); single contended samples spike random sub-second
+# queries 2-5x on this box, so gate on >= 2 samples when a single
+# sample flags an untouched query.
 # The round close also requires scaling COVERAGE: every catalog query
 # must have a committed row or below-floor entry in SCALING.md
 # (r11 verdict item 5 — a query added in a round must ship with its
