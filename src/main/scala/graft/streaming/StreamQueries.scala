@@ -306,8 +306,10 @@ object StreamQueries extends graft.QueryModule {
         // a drain that emitted nothing writes no files — return an
         // empty frame of the stream's schema instead of failing
         // schema inference on an empty directory
-        val hasFiles = java.nio.file.Files.list(outDir)
-          .anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        val listing = java.nio.file.Files.list(outDir)
+        val hasFiles =
+          try listing.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+          finally listing.close()
         if (hasFiles) session.read.schema(df.schema).parquet(outDir.toString)
         else session.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)

@@ -129,8 +129,10 @@ class GraphSpec extends SparkSpec {
       assert(reliableIters == defaultIters)
       // the dial actually took the reliable path: per-round RDD
       // checkpoint files exist under the pinned dir
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      val wrote =
+        try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+        finally walk.close()
       assert(wrote >= defaultIters.toLong,
         s"expected >= $defaultIters reliable checkpoints under $ckptDir, found $wrote")
     }
