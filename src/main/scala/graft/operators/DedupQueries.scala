@@ -1176,7 +1176,8 @@ object DedupQueries extends graft.QueryModule {
     // (executor loss kills the loop), GRAFT_LOOP_CHECKPOINT=reliable
     // writes each round to reliable checkpoint storage instead (see
     // LoopState's scaladoc for the measured cost).
-    var labels = LoopState.truncate(
+    val loop = LoopState.loop() // bounds reliable-mode storage to the latest round
+    var labels = loop.truncate(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id"))
         .repartition(parts, col("doc_id")))
@@ -1199,7 +1200,7 @@ object DedupQueries extends graft.QueryModule {
         .agg(min(col("cluster_id")).as("n_min"))
       // old label rides along so the convergence check is a filter over
       // the materialized frame, not another join
-      val propagated = LoopState.truncate(labels
+      val propagated = loop.truncate(labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
@@ -1218,7 +1219,7 @@ object DedupQueries extends graft.QueryModule {
         // difference between 20 and 10^6 shuffles on a path-shaped
         // component at corpus scale. Both join sides read propagated's
         // checkpointed partitions.
-        labels = LoopState.truncate(propagated.alias("v")
+        labels = loop.truncate(propagated.alias("v")
           .join(propagated.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label")).alias("p"),
             col("v.cluster_id") === col("p_id"), "left")
           .select(col("v.doc_id").as("doc_id"),

@@ -125,7 +125,8 @@ object GraphQueries extends graft.QueryModule {
   private[graft] def pagerankConverged(spark: SparkSession, dir: String,
       epsNano: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
     val edges = edgesWithDeg(spark, dir)
-    var ranks = LoopState.truncate(
+    val loop = LoopState.loop() // bounds reliable-mode storage to the latest round
+    var ranks = loop.truncate(
       nodes(spark, dir).withColumn("r", lit(R0)))
     // Precondition: a stable node set (here: nodes are edge sources
     // of a symmetric graph, so every node has in-degree >= 1 in every
@@ -149,7 +150,7 @@ object GraphQueries extends graft.QueryModule {
       // fixture graph is small (~16k nodes), so round cost is job
       // overhead; at a corpus-scale edge list the removed per-round
       // exchange of the full rank vector is the term that matters.
-      val withPrev = LoopState.truncate(
+      val withPrev = loop.truncate(
         pagerankStep(edges, ranks).alias("n")
           .join(ranks.alias("o"), col("n.node") === col("o.node"))
           .select(col("n.node").as("node"), col("n.r").as("r"),

@@ -42,9 +42,11 @@ object LoopState {
     sys.props.get("graft.loop.checkpoint")
       .orElse(sys.env.get("GRAFT_LOOP_CHECKPOINT")).getOrElse("local")
 
+  private def reliable: Boolean = mode == "reliable"
+
   /** Truncate `df`'s lineage eagerly per the dial. */
   def truncate(df: DataFrame): DataFrame =
-    if (mode == "reliable") {
+    if (reliable) {
       val sc = df.sparkSession.sparkContext
       // setCheckpointDir is idempotent enough for our use (last call
       // wins); only set it when unset so callers/tests can pin it.
@@ -57,4 +59,54 @@ object LoopState {
       }
       df.checkpoint()
     } else df.localCheckpoint()
+
+  /** Per-loop truncator that BOUNDS reliable-checkpoint storage: a
+    * synchronous loop only ever restarts from its latest materialized
+    * rounds, so old rounds' checkpoint files are dead weight — an
+    * unbounded O(rounds × state) directory on a long-running loop
+    * otherwise. Each [[Loop.truncate]] keeps the TWO most recent
+    * truncations and deletes anything older, only after the new round
+    * has fully materialized (checkpoint() here is eager), so every
+    * instant has a complete restart point on storage. Two, not one:
+    * a convergence exit may return the frame truncated one step
+    * before the last (the components loop's changed==0 round returns
+    * the PREVIOUS labels, not the just-materialized propagate), and
+    * deleting it would leave the returned result reading deleted
+    * files. No-op bookkeeping in local mode (executor block cleanup
+    * is the ContextCleaner's job there).
+    */
+  def loop(): Loop = new Loop
+
+  final class Loop private[LoopState] () {
+    private var recent: List[String] = Nil // newest first, max 2 kept
+
+    def truncate(df: DataFrame): DataFrame = {
+      val out = LoopState.truncate(df)
+      if (reliable) {
+        checkpointFile(out).foreach { current =>
+          val (keep, drop) = (current :: recent.filterNot(_ == current))
+            .splitAt(2)
+          for (stale <- drop) {
+            val p = new org.apache.hadoop.fs.Path(stale)
+            p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+          recent = keep
+        }
+      }
+      out
+    }
+
+    /** The reliable-checkpoint directory backing a just-truncated
+      * frame: Dataset.checkpoint analyzes to a LogicalRDD over the
+      * checkpointed internal RDD. None on an unexpected plan shape —
+      * cleanup is then skipped (files kept; correctness unaffected).
+      */
+    private def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile
+        case _ => None
+      }
+  }
 }

@@ -127,14 +127,17 @@ class GraphSpec extends SparkSpec {
       assert(reliableVec == defaultVec,
         "reliable-checkpoint loop vector differs from the local-checkpoint loop's")
       assert(reliableIters == defaultIters)
-      // the dial actually took the reliable path: per-round RDD
-      // checkpoint files exist under the pinned dir
+      // the dial actually took the reliable path AND bounded its
+      // storage: checkpoint dirs exist under the pinned dir, but only
+      // the keep-two window survives a 6-round loop (LoopState.Loop
+      // deletes older rounds once the new one materializes)
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-      val wrote =
+      val remaining =
         try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
         finally walk.close()
-      assert(wrote >= defaultIters.toLong,
-        s"expected >= $defaultIters reliable checkpoints under $ckptDir, found $wrote")
+      assert(remaining >= 1L && remaining <= 2L,
+        s"expected 1-2 surviving reliable checkpoints (keep-two window) under " +
+          s"$ckptDir after a $defaultIters-round loop, found $remaining")
     }
   }
 
