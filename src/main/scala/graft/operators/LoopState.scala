@@ -87,9 +87,13 @@ object LoopState {
           val (keep, drop) = (current :: recent.filterNot(_ == current))
             .splitAt(2)
           for (stale <- drop) {
-            val p = new org.apache.hadoop.fs.Path(stale)
-            p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration)
-              .delete(p, true)
+            // best-effort: a failed cleanup must never kill a correct
+            // loop — the stale files are storage waste, not state
+            try {
+              val p = new org.apache.hadoop.fs.Path(stale)
+              p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+            } catch { case _: java.io.IOException => () }
           }
           recent = keep
         }
