@@ -123,11 +123,19 @@ object GraphQueries extends graft.QueryModule {
     * bit-for-bit, and the final delta really is <= eps).
     */
   private[graft] def pagerankConverged(spark: SparkSession, dir: String,
-      epsNano: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
+      epsNano: Long = 1000000L, maxIters: Int = 50,
+      resumeDir: Option[String] = None): (DataFrame, Int) = {
     val edges = edgesWithDeg(spark, dir)
     val loop = LoopState.loop() // bounds reliable-mode storage to the latest round
-    var ranks = loop.truncate(
-      nodes(spark, dir).withColumn("r", lit(R0)))
+    // Driver-crash durability (opt-in): with a resume dir, every
+    // round commits its vector + (round, delta) atomically and a
+    // restarted driver continues from the newest committed round —
+    // the durability class the reliable-checkpoint dial can't give
+    // (that one covers executor loss; the round counter and delta
+    // live on the driver). See LoopResume.
+    val resumed = resumeDir.flatMap(LoopResume.latest(spark, _, epsNano, dir))
+    var ranks = loop.truncate(resumed.map(_._3).getOrElse(
+      nodes(spark, dir).withColumn("r", lit(R0))))
     // Precondition: a stable node set (here: nodes are edge sources
     // of a symmetric graph, so every node has in-degree >= 1 in every
     // round). The update joins next INNER prev, so a node leaving the
@@ -135,8 +143,8 @@ object GraphQueries extends graft.QueryModule {
     // intersection — enforced below per round rather than trusted:
     // the count rides the same 1-row aggregate as the delta.
     val nRanks = ranks.count()
-    var iters = 0
-    var delta = Long.MaxValue
+    var iters = resumed.map(_._1).getOrElse(0)
+    var delta = resumed.map(_._2).getOrElse(Long.MaxValue)
     while (delta > epsNano && iters < maxIters) {
       // The convergence test is FUSED into the round's
       // materialization: the previous rank rides through the update
@@ -171,6 +179,7 @@ object GraphQueries extends graft.QueryModule {
       delta = dRow.getLong(0)
       ranks = withPrev.select(col("node"), col("r"))
       iters += 1
+      resumeDir.foreach(LoopResume.commit(ranks, _, iters, delta, epsNano, dir))
     }
     require(delta <= epsNano,
       s"pagerank did not converge to $epsNano nano-units in $maxIters iterations (last delta $delta)")

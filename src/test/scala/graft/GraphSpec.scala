@@ -141,6 +141,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("converged pagerank resumes from the last committed round after a driver crash") {
+    // The durability class the reliable-checkpoint dial can't give:
+    // reliable checkpoints survive EXECUTOR loss, but the round
+    // counter, delta and frame refs live on the driver — a driver
+    // crash restarts a multi-hour loop from round 0 unless rounds
+    // commit durably. With a resume dir, each round commits
+    // (vector, round, delta) via write-then-rename; this crashes a
+    // run mid-loop (iteration budget exhausted after 3 committed
+    // rounds) and proves the resumed run continues from round 3 to
+    // the SAME vector and count as an uninterrupted reference.
+    val eps = 6000000000L // 6 rounds at sf0.001
+    val resume = java.nio.file.Files
+      .createTempDirectory("graft-loop-resume").toString
+    val (refDf, refIters) =
+      GraphQueries.pagerankConverged(spark, sf0001, eps)
+    val ref = refDf.select("node", "r").as[(Long, Long)].collect().toMap
+    assert(refIters > 3, s"fixture converged in $refIters rounds; crash point needs > 3")
+    // run 1 "crashes": budget exhausted after committing rounds 1-3
+    intercept[IllegalArgumentException] {
+      GraphQueries.pagerankConverged(spark, sf0001, eps,
+        maxIters = 3, resumeDir = Some(resume))
+    }
+    // run 2 resumes at round 3 and completes
+    val (df2, iters2) =
+      GraphQueries.pagerankConverged(spark, sf0001, eps, resumeDir = Some(resume))
+    assert(iters2 == refIters)
+    assert(df2.select("node", "r").as[(Long, Long)].collect().toMap == ref,
+      "resumed vector differs from the uninterrupted run's")
+    // committed-round storage is bounded: only the last two rounds remain
+    val dirs = new java.io.File(resume).listFiles()
+      .map(_.getName).filter(_.startsWith("round_")).sorted.toSeq
+    assert(dirs == Seq(s"round_${refIters - 1}", s"round_$refIters"),
+      s"expected the keep-two commit window, found $dirs")
+    // a mismatched eps must refuse to resume, not silently continue
+    val e = intercept[IllegalArgumentException] {
+      GraphQueries.pagerankConverged(spark, sf0001, eps + 1,
+        resumeDir = Some(resume))
+    }
+    assert(e.getMessage.contains("eps"), e.getMessage)
+  }
+
   test("directed pagerank: planted dangling node redistributes its mass") {
     // Graph: 1 -> 2, 3 -> 2; node 2 dangles (no out-edges). N = 3,
     // all ranks start at 1e9. Iteration 1 by hand:
