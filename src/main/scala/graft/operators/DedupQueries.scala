@@ -1127,7 +1127,8 @@ object DedupQueries extends graft.QueryModule {
     * both paths to the same union-find reference and to each other.
     */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      localThreshold: Long = 100000L): DataFrame = {
+      localThreshold: Long = 100000L, maxRounds: Int = 20,
+      resumeDir: Option[String] = None, resumeTag: String = ""): DataFrame = {
     val nPairs = pairs.count() // materialize the (cached) pair input once
     if (nPairs <= localThreshold) {
       import spark.implicits._
@@ -1177,10 +1178,19 @@ object DedupQueries extends graft.QueryModule {
     // writes each round to reliable checkpoint storage instead (see
     // LoopState's scaladoc for the measured cost).
     val loop = LoopState.loop() // bounds reliable-mode storage to the latest round
-    var labels = loop.truncate(
-      edges.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .repartition(parts, col("doc_id")))
+    // Driver-crash durability (opt-in), mirroring pagerankConverged:
+    // each compress round commits its labels atomically under
+    // resumeDir, and a restarted driver continues from the newest
+    // committed round. Min-label propagation is monotone, so any
+    // committed labels state is a valid restart point; resumeTag is
+    // the caller's edge-set identity (LoopResume refuses a tag
+    // mismatch instead of silently resuming another graph's labels).
+    val resumed = resumeDir.flatMap(LoopResume.latest(spark, _, 0L, resumeTag))
+    var labels = loop.truncate(resumed.map(_._3.repartition(parts, col("doc_id")))
+      .getOrElse(
+        edges.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id"))
+          .repartition(parts, col("doc_id"))))
     // AQE off for the iterative loop only (restored below): the loop's
     // state is cached and already partitioned by the |edges|-derived
     // count, so AQE's runtime re-planning can't improve the plan — it
@@ -1190,8 +1200,8 @@ object DedupQueries extends graft.QueryModule {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
+    var rounds = resumed.map(_._1).getOrElse(0)
+    while (!converged && rounds < maxRounds) {
       val t0 = System.nanoTime()
       // (1) propagate: the min label among a vertex and its neighbors
       val neighborMin = edges
@@ -1225,6 +1235,9 @@ object DedupQueries extends graft.QueryModule {
           .select(col("v.doc_id").as("doc_id"),
             coalesce(col("p_label"), col("v.cluster_id")).as("cluster_id"))
           .repartition(parts, col("doc_id")))
+        resumeDir.foreach(d => LoopResume.commit(
+          labels.select(col("doc_id"), col("cluster_id")),
+          d, rounds + 1, changed, 0L, resumeTag))
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $rounds changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -1232,7 +1245,7 @@ object DedupQueries extends graft.QueryModule {
     }
     // never return partially propagated labels — a silent wrong answer
     require(converged,
-      s"label propagation did not converge in $rounds rounds (component diameter > 2^$rounds)")
+      s"label propagation did not converge in $rounds rounds (cap $maxRounds; component diameter > 2^$rounds)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     edges.unpersist() // the pair input stays cached — it's the caller's
     labels.select("doc_id", "cluster_id").orderBy("doc_id")

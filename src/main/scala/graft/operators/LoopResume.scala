@@ -37,10 +37,12 @@ object LoopResume {
 
   /** Newest committed round under `dir`, with its recorded delta and
     * vector; None when no round has committed. Fails loudly when the
-    * recorded eps/src disagree with the caller's — a resume dir is
-    * scoped to one (dataset, eps) loop by contract.
+    * recorded stamp/src disagree with the caller's — a resume dir is
+    * scoped to ONE loop over ONE dataset at ONE convergence setting
+    * by contract (pagerank stamps its eps; components stamp 0 and
+    * identify the edge set via the caller's tag).
     */
-  def latest(spark: SparkSession, dir: String, epsNano: Long,
+  def latest(spark: SparkSession, dir: String, stamp: Long,
       src: String): Option[(Int, Long, DataFrame)] = {
     val (fs, root) = fsOf(spark, dir)
     if (!fs.exists(root)) return None
@@ -54,8 +56,9 @@ object LoopResume {
       val meta = readMeta(fs, new Path(p, "_meta.json"))
       require(meta.getOrElse("round", -1L) == n.toLong,
         s"corrupt loop commit $p: meta round ${meta.get("round")} != dir round $n")
-      require(meta.getOrElse("eps", -1L) == epsNano,
-        s"resume dir $dir was committed at eps ${meta.get("eps")}, caller wants $epsNano")
+      require(meta.getOrElse("stamp", -1L) == stamp,
+        s"resume dir $dir was committed at convergence stamp " +
+          s"${meta.get("stamp")}, caller wants $stamp (e.g. a different eps)")
       require(meta.getOrElse("srcHash", -1L) == srcHash(src),
         s"resume dir $dir was committed for a different source dataset")
       (n, meta("delta"), spark.read.parquet(p.toString))
@@ -64,7 +67,7 @@ object LoopResume {
 
   /** Atomically commit round `n`'s vector + meta; drops rounds < n-1. */
   def commit(vector: DataFrame, dir: String, n: Int, delta: Long,
-      epsNano: Long, src: String): Unit = {
+      stamp: Long, src: String): Unit = {
     val spark = vector.sparkSession
     val (fs, root) = fsOf(spark, dir)
     val tmp = new Path(root, s"_tmp_round_$n")
@@ -74,7 +77,7 @@ object LoopResume {
     vector.write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_meta.json"), true)
     try out.write(
-      s"""{"round":$n,"delta":$delta,"eps":$epsNano,"srcHash":${srcHash(src)}}"""
+      s"""{"round":$n,"delta":$delta,"stamp":$stamp,"srcHash":${srcHash(src)}}"""
         .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, fin))

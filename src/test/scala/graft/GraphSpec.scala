@@ -179,7 +179,7 @@ class GraphSpec extends SparkSpec {
       GraphQueries.pagerankConverged(spark, sf0001, eps + 1,
         resumeDir = Some(resume))
     }
-    assert(e.getMessage.contains("eps"), e.getMessage)
+    assert(e.getMessage.contains("stamp"), e.getMessage)
   }
 
   test("directed pagerank: planted dangling node redistributes its mass") {

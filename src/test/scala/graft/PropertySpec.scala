@@ -176,6 +176,38 @@ class PropertySpec extends SparkSpec {
       "reliable-checkpoint components differ from the local-checkpoint loop's")
   }
 
+  test("distributed components resume from the last committed round after a driver crash") {
+    // pagerank's LoopResume recovery, proven for the label-propagation
+    // loop: min-label propagation is monotone, so any committed labels
+    // state is a valid restart point — a run crashed by round budget
+    // after 2 committed compress rounds resumes to the same labels as
+    // an uninterrupted reference, and a wrong edge-set tag refuses.
+    import spark.implicits._
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L))).toDF("doc_a", "doc_b").cache()
+    val resume = java.nio.file.Files
+      .createTempDirectory("graft-cc-resume").toString
+    val ref = graft.operators.DedupQueries
+      .connectedComponents(spark, edges, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    intercept[IllegalArgumentException] {
+      graft.operators.DedupQueries.connectedComponents(spark, edges,
+        localThreshold = 0L, maxRounds = 2,
+        resumeDir = Some(resume), resumeTag = "path30")
+    }
+    val resumed = graft.operators.DedupQueries.connectedComponents(spark, edges,
+        localThreshold = 0L, resumeDir = Some(resume), resumeTag = "path30")
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == ref,
+      "resumed labels differ from the uninterrupted run's")
+    val tagErr = intercept[IllegalArgumentException] {
+      graft.operators.DedupQueries.connectedComponents(spark, edges,
+        localThreshold = 0L, resumeDir = Some(resume), resumeTag = "other-graph")
+    }
+    assert(tagErr.getMessage.contains("different source"), tagErr.getMessage)
+    edges.unpersist()
+  }
+
   test("connected components handle a path graph (pointer-halving depth stress)") {
     // diameter 49 (reversed chain + duplicate edges): plain
     // min-propagation would need 49 rounds — more than the loop's
