@@ -443,6 +443,29 @@ object Dev {
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
         return
+      case "resumebench" :: dir :: Nil =>
+        // Cost of the driver-crash resume dial: pagerankConverged
+        // with and without a resume dir (per-round vector commit =
+        // one parquet write of O(nodes) rows + a rename). Steady =
+        // second run in the same JVM.
+        import graft.operators.GraphQueries
+        val eps = 6000000000L
+        for (label <- Seq("cold", "steady")) {
+          val t0 = System.nanoTime()
+          val (r0, i0) = GraphQueries.pagerankConverged(spark, dir, eps)
+          r0.count()
+          val base = (System.nanoTime() - t0) / 1e9
+          val rd = java.nio.file.Files.createTempDirectory("resumebench").toString
+          val t1 = System.nanoTime()
+          val (r1, i1) = GraphQueries.pagerankConverged(spark, dir, eps,
+            resumeDir = Some(rd))
+          r1.count()
+          val committed = (System.nanoTime() - t1) / 1e9
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rd))
+          println(f"[resumebench] $label%6s: plain $base%6.2f s ($i0 rounds)  " +
+            f"with per-round commit $committed%6.2f s ($i1 rounds)")
+        }
+        return
       case "stream" :: op :: dir :: Nil =>
         import graft.streaming.StreamingOps
         val events = StreamingOps.eventStream(spark, dir)
