@@ -92,6 +92,22 @@ class SaltingSpec extends SparkSpec {
     assert(salted.count() == rows)
     assert(joined.exceptAll(salted).count() == 0 &&
       salted.exceptAll(joined).count() == 0)
+    // the REUSE case, pinned empirically rather than cited: when the
+    // join's output partitioning is REUSED by a downstream aggregation
+    // on the join key, AQE declines to skew-split (splitting would
+    // break the hash-distribution contract the agg depends on and
+    // force an extra exchange) — the identical fixture that split
+    // above emerges unsplit here. This is exactly half of manual
+    // salting's remit: here only Salting's (key,salt) rewrite (or
+    // twoPhaseAgg on the hot agg itself) spreads the straggler.
+    val reused = probe.join(buildDf, Seq("k")).groupBy("k").agg(sum("v").as("s"))
+    val reusedExec = reused.queryExecution.executedPlan
+    reused.count()
+    val reusedPlan = reusedExec.toString
+    assert(!(reusedPlan.contains("skew=true")
+        || reusedPlan.toLowerCase.contains("skewed")),
+      "AQE skew-split fired despite downstream partitioning reuse — " +
+        s"the documented salting remit needs rewording:\n$reusedPlan")
     // vacuity guard: with the skew handler off, the same join's final
     // plan must NOT carry the marker — proving the assertion above
     // detects the split, not some always-present plan text
