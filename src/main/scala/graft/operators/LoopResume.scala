@@ -25,6 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * GraphSpec proves it by crashing a run mid-loop (iteration budget
   * exhausted after 3 committed rounds) and resuming to the same
   * vector and count as the uninterrupted reference.
+  *
+  * Orthogonal to `GRAFT_LOOP_CHECKPOINT=reliable`, and combining them
+  * double-writes the state per round (reliable checkpoint + this
+  * commit; pagerank additionally truncates the 3-column withPrev
+  * frame while committing the 2-column vector, so the two artifacts
+  * aren't interchangeable). A deployment typically picks ONE per
+  * failure domain: reliable checkpoints if executor churn dominates,
+  * resume commits if driver restarts do — measured ~0.1 s/round each
+  * at harness scales (`Dev resumebench`, SCALING.md round-14).
   */
 object LoopResume {
 
