@@ -195,6 +195,13 @@ class PropertySpec extends SparkSpec {
         localThreshold = 0L, maxRounds = 2,
         resumeDir = Some(resume), resumeTag = "path30")
     }
+    // atomicity: a crash BETWEEN the staging write and the rename
+    // leaves only a _tmp_round_* dir — resume must ignore it and
+    // continue from the newest RENAMED round, never read staged state
+    val staleTmp = java.nio.file.Paths.get(resume, "_tmp_round_9")
+    java.nio.file.Files.createDirectory(staleTmp)
+    java.nio.file.Files.write(staleTmp.resolve("garbage.txt"),
+      "not a committed round".getBytes("UTF-8"))
     val resumed = graft.operators.DedupQueries.connectedComponents(spark, edges,
         localThreshold = 0L, resumeDir = Some(resume), resumeTag = "path30")
       .as[(Long, Long)].collect().toMap
