@@ -52,8 +52,15 @@ def load_bench(path):
         f"target/bench.json instead")
 
 
-def compare(old, new, threshold):
-    """Run the gate logic; returns the exit code (0 pass, 1 fail)."""
+def compare(old, new, threshold, n_samples=1):
+    """Run the gate logic; returns the exit code (0 pass, 1 fail).
+
+    n_samples is how many NEW samples were min-merged: the
+    within-spread excusal is only trusted when >= 2, because a single
+    contended sample plus a wide historical spread could green-light a
+    real regression with no second opinion (r14 advisor). A flagged
+    reading from one sample exits nonzero asking for a rerun instead
+    of passing."""
     # Prefer steady-state numbers when both artifacts carry them (r5+):
     # cold numbers attribute shared one-time builds to whichever query
     # alphabetically-first consumes them, which is attribution, not
@@ -78,7 +85,7 @@ def compare(old, new, threshold):
     missing = sorted(set(oq) - set(nq))
     for name in missing:
         print(f"  MISSING: {name} present in old bench but absent in new")
-    failures, improved, within = [], [], []
+    failures, improved, within, resample = [], [], [], []
     for name in sorted(set(oq) & set(nq)):
         o, n = oq[name], nq[name]
         if o is None or n is None:  # failed query: reported elsewhere
@@ -87,8 +94,16 @@ def compare(old, new, threshold):
             continue
         if o > 0 and n > o * threshold:
             sp = spreads.get(name)
-            if sp and n <= sp["max"]:
-                within.append((name, o, n, n / o, sp))
+            # Noise bound: the pool's p90 when the baseline records one
+            # (r15+ mints); all-time max for older baselines. max/min
+            # ratios reach 6x, so "worst ever seen" alone would excuse
+            # 3-6x genuine regressions on the widest-spread queries.
+            bound = sp.get("p90", sp["max"]) if sp else None
+            if sp and n <= bound:
+                if n_samples >= 2:
+                    within.append((name, o, n, n / o, sp, bound))
+                else:
+                    resample.append((name, o, n, n / o, sp, bound))
             else:
                 failures.append((name, o, n, n / o, sp))
         elif n > 0 and o > n * threshold:
@@ -99,18 +114,24 @@ def compare(old, new, threshold):
           f"({n_total / o_total:.2f}x), failed queries: {new_failed}")
     for name, o, n, x in sorted(improved, key=lambda t: -t[3]):
         print(f"  improved {x:5.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}")
-    for name, o, n, x, sp in sorted(within, key=lambda t: -t[3]):
+    for name, o, n, x, sp, bound in sorted(within, key=lambda t: -t[3]):
         print(f"  within-spread {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name} "
-              f"(window noise: max seen {sp['max']:.2f}s, med {sp['med']:.2f}s "
+              f"(window noise: bound {bound:.2f}s, med {sp['med']:.2f}s "
               f"over {sp['n']} samples)")
+    for name, o, n, x, sp, bound in sorted(resample, key=lambda t: -t[3]):
+        print(f"  NEEDS RESAMPLE {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name} "
+              f"(within spread bound {bound:.2f}s, but only 1 new sample — "
+              f"rerun with 2+ samples, comma-separated)")
     for name, o, n, x, sp in sorted(failures, key=lambda t: -t[3]):
-        cite = (f" (beyond max ever seen {sp['max']:.2f}s over {sp['n']} samples)"
-                if sp else "")
+        cite = (f" (beyond noise bound {sp.get('p90', sp['max']):.2f}s "
+                f"over {sp['n']} samples)" if sp else "")
         print(f"  REGRESSED {x:4.1f}x  {o:7.2f}s -> {n:7.2f}s  {name}{cite}")
 
-    if failures or new_failed or missing:
+    if failures or new_failed or missing or resample:
         print(f"GATE FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
-              f"regressed >{threshold}x, {new_failed} failed, {len(missing)} missing")
+              f"regressed >{threshold}x, {new_failed} failed, {len(missing)} missing"
+              + (f", {len(resample)} flagged on a single sample — rerun with "
+                 f"2+ samples" if resample else ""))
         return 1
     print("GATE PASS")
     return 0
@@ -118,9 +139,11 @@ def compare(old, new, threshold):
 
 def selftest():
     """Synthetic-regression self-test of the spread logic: a 4x reading
-    within the recorded spread passes (window noise); the same reading
-    beyond the spread fails; a query with no spread keeps the old
-    strict behavior."""
+    within the recorded spread passes when min-merged over 2+ samples
+    (window noise); the same reading on a SINGLE sample demands a
+    rerun; a reading beyond the spread fails; the noise bound is p90
+    when recorded (r15+), max for legacy baselines; a query with no
+    spread keeps the old strict behavior."""
     base = {
         "steady": {"q_loop": 2.0, "q_flat": 3.0},
         "steady_total": 5.0,
@@ -133,17 +156,28 @@ def selftest():
     noisy = {"steady": {"q_loop": 8.0, "q_flat": 3.2}, "steady_total": 11.2}
     regressed = {"steady": {"q_loop": 9.5, "q_flat": 3.2}, "steady_total": 12.7}
     legacy_base = {"steady": base["steady"], "steady_total": 5.0}
+    # p90-aware baseline: same max, but p90 says routine noise tops out
+    # at 6.0s — the 8.0s reading that the max would excuse now fails.
+    p90_base = json.loads(json.dumps(base))
+    p90_base["steady_spread"]["q_loop"]["p90"] = 6.0
     checks = [
-        ("within-spread 4x passes", compare(base, noisy, 2.0), 0),
-        ("beyond-spread 4.75x fails", compare(base, regressed, 2.0), 1),
-        ("no-spread baseline stays strict", compare(legacy_base, noisy, 2.0), 1),
+        ("within-spread 4x passes (2 samples)",
+         compare(base, noisy, 2.0, n_samples=2), 0),
+        ("within-spread on 1 sample demands rerun",
+         compare(base, noisy, 2.0, n_samples=1), 1),
+        ("beyond-spread 4.75x fails",
+         compare(base, regressed, 2.0, n_samples=2), 1),
+        ("no-spread baseline stays strict",
+         compare(legacy_base, noisy, 2.0, n_samples=2), 1),
+        ("p90 bound beats all-time max",
+         compare(p90_base, noisy, 2.0, n_samples=2), 1),
     ]
     bad = [(lbl, got, want) for lbl, got, want in checks if got != want]
     for lbl, got, want in bad:
         print(f"SELFTEST FAIL: {lbl}: exit {got}, wanted {want}")
     if bad:
         sys.exit(1)
-    print("SELFTEST PASS (3 checks)")
+    print(f"SELFTEST PASS ({len(checks)} checks)")
 
 
 def min_merge(docs):
@@ -179,7 +213,7 @@ def main():
         print(f"min-per-query over {len(news)} new samples")
     new = min_merge(news)
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    sys.exit(compare(old, new, threshold))
+    sys.exit(compare(old, new, threshold, n_samples=len(news)))
 
 
 if __name__ == "__main__":

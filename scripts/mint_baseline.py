@@ -38,10 +38,14 @@ def main():
         with open(p) as f:
             samples.append(json.load(f))
     keys = set(samples[0]["queries"])
+    sf = samples[0].get("sf", "")
     for p, s in zip(paths, samples):
         if set(s["queries"]) != keys:
             sys.exit(f"{p}: query set differs from {paths[0]} — "
                      "stale sample for this catalog")
+        if s.get("sf", "") != sf:
+            sys.exit(f"{p}: sf {s.get('sf', '')!r} differs from "
+                     f"{paths[0]}'s {sf!r} — mixed-scale samples")
         if s.get("failed", 0):
             sys.exit(f"{p}: has failed queries — not baseline material")
 
@@ -58,12 +62,22 @@ def main():
     # spread pool: the passed samples plus every same-query-set history
     # entry (contended windows included — that's the point: the spread
     # records what pure window noise has ever done to each query)
+    # Pool membership requires the same query set AND the same sf: a
+    # same-catalog entry at a different scale factor is a different
+    # workload and would poison the noise model (found by the r14
+    # advisor — history held one sf0.01 entry). The gate's noise bound
+    # is the pool's p90, not the all-time max: recorded max/min ratios
+    # reach 6x, so bounding at "worst ever observed" would excuse 3-6x
+    # genuine regressions; p90 still absorbs the routine window spikes
+    # (which are single-sample events in a 20+-entry pool) while a
+    # reverted optimization lands beyond it.
     pool = list(samples)
     if history:
         with open(history) as f:
             for line in f:
                 e = json.loads(line)
                 if (set(e.get("steady", {})) == keys
+                        and e.get("sf", "") == sf
                         and not e.get("failed", 0)):
                     pool.append(e)
     spread = {}
@@ -72,6 +86,8 @@ def main():
                       if s["steady"].get(k) is not None)
         if vals:
             spread[k] = {"min": vals[0], "med": vals[len(vals) // 2],
+                         "p90": vals[min(len(vals) - 1,
+                                         int(0.9 * (len(vals) - 1) + 0.999))],
                          "max": vals[-1], "n": len(vals)}
 
     doc = {

@@ -15,8 +15,9 @@
 # The NEW side may be comma-separated sample paths — bench_gate then
 # min-merges them per query first (the same estimator the baseline
 # was minted by); single contended samples spike random sub-second
-# queries 2-5x on this box, so gate on >= 2 samples when a single
-# sample flags an untouched query.
+# queries 2-5x on this box. ENFORCED since r15: a within-spread
+# excusal on a single new sample exits nonzero asking for a rerun
+# with 2+ samples — the spread alone cannot green-light a flag.
 # The round close also requires scaling COVERAGE: every catalog query
 # must have a committed row or below-floor entry in SCALING.md
 # (r11 verdict item 5 — a query added in a round must ship with its
