@@ -1129,6 +1129,14 @@ object DedupQueries extends graft.QueryModule {
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
       localThreshold: Long = 100000L, maxRounds: Int = 20,
       resumeDir: Option[String] = None, resumeTag: String = ""): DataFrame = {
+    // A resume dir without an edge-set tag would stamp srcHash("") —
+    // identical for every untagged loop — so two different graphs
+    // sharing a dir would silently resume each other's labels, the
+    // exact confusion LoopResume's stamp guard exists to refuse.
+    require(resumeDir.isEmpty || resumeTag.nonEmpty,
+      "connectedComponents with resumeDir requires a non-empty resumeTag " +
+        "identifying the edge set (e.g. the pair-table path or a content " +
+        "hash): an empty tag matches every other untagged loop in the dir.")
     val nPairs = pairs.count() // materialize the (cached) pair input once
     if (nPairs <= localThreshold) {
       import spark.implicits._

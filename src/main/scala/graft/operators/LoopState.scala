@@ -22,12 +22,18 @@ import org.apache.spark.sql.DataFrame
   *    executor loss mid-loop kills the whole multi-round job.
   *  - `reliable`: `checkpoint()` to the SparkContext checkpoint dir
   *    (set lazily from `graft.checkpoint.dir` /
-  *    `GRAFT_CHECKPOINT_DIR`, else a temp dir — in production point
-  *    it at HDFS/S3). Each round's state is a file an executor loss
-  *    can re-read, so the loop survives executor churn at the cost
-  *    of one write+read of the state per round (measured in
-  *    SCALING.md; the state is the O(nodes) vector, not the edge
-  *    list, so the write is the small term of a round).
+  *    `GRAFT_CHECKPOINT_DIR`). Each round's state is a file an
+  *    executor loss can re-read, so the loop survives executor churn
+  *    at the cost of one write+read of the state per round (measured
+  *    in SCALING.md; the state is the O(nodes) vector, not the edge
+  *    list, so the write is the small term of a round). On a LOCAL
+  *    master only, an unset dir falls back to a driver temp dir (the
+  *    dev/test convenience); on any other master the dial REFUSES to
+  *    start rather than silently checkpointing to driver-local disk —
+  *    a temp dir on the driver is not reliable storage on a cluster
+  *    (executors cannot re-read it after loss), so the fallback would
+  *    sell durability it does not deliver. Point the dir at
+  *    HDFS/S3/NFS visible to every executor.
   *
   * Every round truncates eagerly regardless of mode: loop state has
   * multiple consumers per round (the convergence scan plus the next
@@ -44,6 +50,28 @@ object LoopState {
 
   private def reliable: Boolean = mode == "reliable"
 
+  /** Checkpoint-dir decision for the reliable dial, factored pure so
+    * the cluster refusal is unit-testable without a non-local
+    * SparkContext. An explicit dir always wins; with none configured,
+    * a local master gets a driver temp dir (tests, dev), and any
+    * other master fails loudly naming both config keys — driver-local
+    * temp masquerading as cluster-durable storage is the footgun this
+    * guard exists for.
+    */
+  private[graft] def resolveCheckpointDir(
+      master: String, explicit: Option[String]): String =
+    explicit.getOrElse {
+      require(
+        master.startsWith("local"),
+        s"GRAFT_LOOP_CHECKPOINT=reliable on master '$master' requires an " +
+          "explicit checkpoint dir visible to every executor (HDFS/S3/NFS): " +
+          "set the graft.checkpoint.dir sysprop or the GRAFT_CHECKPOINT_DIR " +
+          "env var. Refusing the driver-local temp-dir fallback: executors " +
+          "cannot re-read driver-local files after a loss, so it is not " +
+          "reliable storage on a cluster.")
+      java.nio.file.Files.createTempDirectory("graft-loop-ckpt").toString
+    }
+
   /** Truncate `df`'s lineage eagerly per the dial. */
   def truncate(df: DataFrame): DataFrame =
     if (reliable) {
@@ -51,11 +79,10 @@ object LoopState {
       // setCheckpointDir is idempotent enough for our use (last call
       // wins); only set it when unset so callers/tests can pin it.
       if (sc.getCheckpointDir.isEmpty) {
-        val dir = sys.props.get("graft.checkpoint.dir")
-          .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))
-          .getOrElse(java.nio.file.Files
-            .createTempDirectory("graft-loop-ckpt").toString)
-        sc.setCheckpointDir(dir)
+        sc.setCheckpointDir(resolveCheckpointDir(
+          sc.master,
+          sys.props.get("graft.checkpoint.dir")
+            .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))))
       }
       df.checkpoint()
     } else df.localCheckpoint()

@@ -14,6 +14,33 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("q_pagerank_eps oracle unroll depth covers the schedule-derived worst case") {
+    // r14 verdict item 3: the oracle unrolls the recurrence to a
+    // fixed depth, and a depth below the loop's actual convergence
+    // count at the Verify scale would mis-report a CORRECT loop as a
+    // 0-row hash mismatch. The needed depth is derivable, not
+    // guessed: the round-1 delta is SF-invariant on this generator
+    // (hub in-degree, measured 1.2-1.4e10 at sf0.001-0.1 by
+    // scripts/eps_probe.py) and contracts by exactly the 0.85
+    // damping factor per round, so convergence at eps needs
+    // ceil(1 + ln(delta1/eps) / ln(1/0.85)) rounds at ANY scale.
+    // This pin trips on a future eps tightening or generator change
+    // BEFORE the gate does, with a message that says what to extend.
+    val sql = SparkEntry.oracleSql("q_pagerank_eps")
+    val depth = "\\br(\\d+) AS".r.findAllMatchIn(sql).map(_.group(1).toInt).max
+    val delta1Max = 1.4e10 // measured upper bound, SF-invariant
+    val eps = 6e9          // the catalog EpsNano pin
+    val worst = math.ceil(1 + math.log(delta1Max / eps) / math.log(1 / 0.85)).toInt
+    assert(worst == 7, s"schedule arithmetic drifted: worst=$worst (expected 7, " +
+      "the measured convergence round at sf0.1)")
+    assert(depth >= worst,
+      s"q_pagerank_eps oracle unrolls only r1..r$depth but the measured " +
+        s"0.85-contraction schedule needs up to $worst rounds — extend the " +
+        "unroll (rN/dN CTEs + it CASE + vec UNION) before any Verify scale bump")
+    // depth must also cover the sf0.01 gate scale's measured count (6)
+    assert(depth >= 6)
+  }
+
   test("entry (flagship) returns rows at smoke scale with both segments ranked from 1") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()

@@ -246,4 +246,30 @@ class GraphSpec extends SparkSpec {
     val got = GraphQueries.trianglesOf(spark, e0).collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((4L, 4L, 0L)))
   }
+
+  test("reliable dial refuses the driver-local temp fallback on a non-local master") {
+    // r14 verdict item 4: with GRAFT_LOOP_CHECKPOINT=reliable and NO
+    // explicit checkpoint dir, the old fallback silently pointed
+    // setCheckpointDir at a driver-local temp dir — on a cluster that
+    // is not reliable storage (executors cannot re-read driver-local
+    // files after a loss), so the operator believed they bought
+    // executor-loss durability and did not. The decision is factored
+    // pure (LoopState.resolveCheckpointDir) so the refusal is
+    // testable without standing up a non-local SparkContext.
+    import graft.operators.LoopState
+    for (master <- Seq("spark://cluster:7077", "yarn", "k8s://https://api:6443")) {
+      val err = intercept[IllegalArgumentException] {
+        LoopState.resolveCheckpointDir(master, None)
+      }
+      // the message must name BOTH config keys the operator can set
+      assert(err.getMessage.contains("graft.checkpoint.dir"), err.getMessage)
+      assert(err.getMessage.contains("GRAFT_CHECKPOINT_DIR"), err.getMessage)
+    }
+    // an explicit dir always wins, on any master
+    assert(LoopState.resolveCheckpointDir("spark://cluster:7077",
+      Some("hdfs:///graft/ckpt")) == "hdfs:///graft/ckpt")
+    // local masters keep the dev/test temp-dir convenience
+    val tmp = LoopState.resolveCheckpointDir("local[32]", None)
+    assert(new java.io.File(tmp).isDirectory)
+  }
 }

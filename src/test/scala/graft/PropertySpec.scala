@@ -215,6 +215,23 @@ class PropertySpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("connected components refuse a resume dir without an edge-set tag") {
+    // r14 advisor: resumeTag defaulted to "" — srcHash("") matches
+    // every other untagged loop, so two different edge sets sharing a
+    // resume dir would silently resume each other's labels, defeating
+    // the exact mismatch guard LoopResume exists for. The refusal
+    // fires before any Spark work.
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-notag").toString
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.DedupQueries.connectedComponents(
+        spark, edges, resumeDir = Some(dir))
+    }
+    assert(err.getMessage.contains("resumeTag"), err.getMessage)
+  }
+
   test("connected components handle a path graph (pointer-halving depth stress)") {
     // diameter 49 (reversed chain + duplicate edges): plain
     // min-propagation would need 49 rounds — more than the loop's
