@@ -77,16 +77,43 @@ class SaltingSpec extends SparkSpec {
       col("id").as("v"))
     val buildDf = s.range(1000L).select(
       col("id").as("k"), concat(lit("dim"), col("id")).as("name"))
+    // Structural skew detection (r14 advisor: the old plan-STRING
+    // markers 'skew=true'/'skewed' were Spark-version-coupled and
+    // could flip silently on an upgrade): count the skew-split
+    // sub-partitions — PartialReducerPartitionSpec entries inside the
+    // final adaptive plan's AQEShuffleReadExec nodes. A skew-split
+    // hot partition is read as >1 partial-reducer spec; an unsplit
+    // plan has zero. A future Spark relocating these classes fails
+    // the COMPILE loudly instead of silently flipping an assertion.
+    import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+    // QueryStageExec nodes are LEAVES of the adaptive tree (their
+    // materialized subtree hangs off `.plan`, not `.children`), so a
+    // plain plan.collect never reaches the AQEShuffleReads inside a
+    // ResultQueryStage — descend through stages explicitly.
+    def expand(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => expand(q.plan)
+      case other => other.children.flatMap(expand)
+    })
+    def skewSplits(df: org.apache.spark.sql.DataFrame): Int = {
+      val fin = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      expand(fin).map {
+        case r: AQEShuffleReadExec =>
+          r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+        case _ => 0
+      }.sum
+    }
     val joined = probe.join(buildDf, Seq("k"))
     val rows = joined.count()
     assert(rows > 0)
-    // inspect the FINAL adaptive plan of an executed run
-    val executed = joined.queryExecution.executedPlan
-    joined.collect()
-    val plan = executed.toString
-    assert(plan.contains("skew=true") || plan.contains("isSkew=true")
-        || plan.toLowerCase.contains("skewed"),
-      s"AQE did not split the hot partition; final plan:\n$plan")
+    joined.collect() // finalize the adaptive plan before inspecting it
+    val splits = skewSplits(joined)
+    assert(splits > 0,
+      s"AQE did not split the hot partition (0 partial-reducer specs); " +
+        s"final plan:\n${joined.queryExecution.executedPlan}")
     // and the mitigated plain join agrees with the manual salted rewrite
     val salted = Salting.saltedJoin(probe, buildDf, "k", buckets = 8, tiebreak = "v")
     assert(salted.count() == rows)
@@ -101,24 +128,19 @@ class SaltingSpec extends SparkSpec {
     // salting's remit: here only Salting's (key,salt) rewrite (or
     // twoPhaseAgg on the hot agg itself) spreads the straggler.
     val reused = probe.join(buildDf, Seq("k")).groupBy("k").agg(sum("v").as("s"))
-    val reusedExec = reused.queryExecution.executedPlan
-    reused.count()
-    val reusedPlan = reusedExec.toString
-    assert(!(reusedPlan.contains("skew=true")
-        || reusedPlan.toLowerCase.contains("skewed")),
+    reused.count() // finalize the adaptive plan
+    assert(skewSplits(reused) == 0,
       "AQE skew-split fired despite downstream partitioning reuse — " +
-        s"the documented salting remit needs rewording:\n$reusedPlan")
-    // vacuity guard: with the skew handler off, the same join's final
-    // plan must NOT carry the marker — proving the assertion above
-    // detects the split, not some always-present plan text
+        s"the documented salting remit needs rewording:\n${reused.queryExecution.executedPlan}")
+    // vacuity guard: with the skew handler off, the same join must
+    // read ZERO partial-reducer specs — proving the counter above
+    // detects the split, not some always-present plan structure
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     val unmitigated = probe.join(buildDf, Seq("k"))
-    val unmitigatedPlan = unmitigated.queryExecution.executedPlan
     unmitigated.count()
-    val off = unmitigatedPlan.toString
-    assert(!(off.contains("skew=true") || off.contains("isSkew=true")
-        || off.toLowerCase.contains("skewed")),
-      s"skew marker present with the handler disabled — the positive assertion is vacuous:\n$off")
+    assert(skewSplits(unmitigated) == 0,
+      "partial-reducer specs present with the handler disabled — " +
+        s"the positive assertion is vacuous:\n${unmitigated.queryExecution.executedPlan}")
   }
 
   test("two-phase aggregate equals direct aggregate") {
