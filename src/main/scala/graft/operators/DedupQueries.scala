@@ -33,7 +33,7 @@ object DedupQueries extends graft.QueryModule {
     * exploded struct column — the duplicate-class INTRA pair expansion
     * shared by the collapse-first dedup paths.
     */
-  private def memberPairs(fieldA: String, fieldB: String): Column =
+  private[graft] def memberPairs(fieldA: String, fieldB: String): Column =
     explode(expr(
       s"""flatten(transform(members, (x, i) ->
          |  transform(slice(members, i + 2, size(members)), y ->
@@ -46,7 +46,7 @@ object DedupQueries extends graft.QueryModule {
     * `carry` value columns ride along unchanged — shared by every
     * collapse-first dedup path.
     */
-  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+  private[graft] def expandPairs(repPairs: DataFrame, groups: DataFrame,
       keyA: String, keyB: String, carry: Seq[String]): DataFrame = {
     val carryCols = carry.map(col)
     repPairs
