@@ -992,40 +992,33 @@ object DedupQueries extends graft.QueryModule {
 
   /** Incremental near-dedup — the production shape: an ARRIVING batch
     * (doc_id % 10 = 0 stands in for it) is deduped against the
-    * existing corpus without ever re-pairing the corpus with itself.
-    * Band keys are computed for both sides, but the candidate join is
-    * strictly batch x corpus, so per-ingest cost tracks the batch
-    * size; at scale the corpus band index is a persisted table the
-    * batch probes. Same 9 KM double-hash orders of one md5 per
-    * shingle / banding / exact-verify arithmetic as [[dedupMinhash]].
+    * existing corpus without ever re-pairing the corpus with itself,
+    * and — like every minhash consumer — on the collapse-first
+    * backbone: text-identical docs share signatures and band keys, so
+    * a (batch, corpus) pair proposes and verifies exactly as its class
+    * representatives do, and the batch x corpus band join over all
+    * members equals the symmetric member pair set of [[minhashReps]]
+    * (same 0.8 threshold) filtered to pairs with exactly one side
+    * arriving. The per-member formulation paid the full md5 + minhash
+    * chain and the pairwise intersects once per COPY (measured 20.9 s
+    * vs the batch twin's 3.1 s at the 30x duplicate-clique stress);
+    * the oracle keeps the member-level formulation, so the
+    * equivalence is hash-checked. At scale the class index is the
+    * persisted table an ingest probes.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sh = sharedShingles(spark, dir)
-      .select("doc_id", "sh_arr").filter(size(col("sh_arr")) > 0)
-    // memoized + cached: both split sides of the batch-x-corpus join
-    // read the band index
-    val bands = graft.SharedBuilds.getOrBuild[DataFrame](
-        "dedup.incrBands", spark, dir) { scope =>
-      scope.cached(bandKeys(minhashSig(sh, "doc_id"), "doc_id"))
-    }
-
-    val cand = bands.filter(col("doc_id") % 10 === 0).alias("x")
-      .join(bands.filter(col("doc_id") % 10 =!= 0).alias("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_key") === col("y.band_key"))
-      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
-      .distinct()
-
-    cand
-      .join(sh.select(col("doc_id").as("new_id"), col("sh_arr").as("sa")), Seq("new_id"))
-      .join(sh.select(col("doc_id").as("corpus_id"), col("sh_arr").as("sb")), Seq("corpus_id"))
+    val (groups, repPairs) = minhashReps(spark, dir)
+    val intra = groups
+      .filter(col("has_sh") && size(col("members")) >= 2)
+      .select(memberPairs("doc_a", "doc_b").as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    val cross = expandPairs(repPairs, groups, "doc_a", "doc_b", Seq("jaccard"))
+    intra.unionByName(cross)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
       .select(
-        col("new_id"), col("corpus_id"),
-        size(array_intersect(col("sa"), col("sb"))).as("c"),
-        size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
-      .filter(lit(9) * col("c") >= lit(4) * (col("n_a") + col("n_b")))
-      .select(col("new_id"), col("corpus_id"),
-        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
-          .as("jaccard"))
+        when(col("doc_a") % 10 === 0, col("doc_a")).otherwise(col("doc_b")).as("new_id"),
+        when(col("doc_a") % 10 === 0, col("doc_b")).otherwise(col("doc_a")).as("corpus_id"),
+        col("jaccard"))
   }
 
   /** The deduplicated corpus — the end product a pipeline consumer
