@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   *  - `documents.text`: copied verbatim, every doc would acquire
   *    factor−1 exact duplicates and the dedup families would measure
   *    a pathological corpus (every cluster ×factor). Instead copy c
-  *    applies a caesar rotation by c on [a-z] — a bijection on
+  *    applies a copy-keyed substitution permutation of [a-z] — a bijection on
   *    strings, so the INTRA-copy duplicate/near-duplicate structure
   *    (exact groups, shingle Jaccard, edit distances, lengths, token
   *    boundaries) is preserved isomorphically, while cross-copy token
@@ -73,13 +73,31 @@ object ScaleGen {
       acc.when(c === i, build(i))
     }
 
-  /** Caesar-rotate [a-z] by k — bijective on the fixture's
-    * lowercase+space corpus, so dup structure per copy is isomorphic.
+  /** Copy-keyed substitution permutation of [a-z]: the 26 letters
+    * ordered by md5("c:letter") — deterministic, and a full
+    * permutation (26! keys) rather than the caesar rotation (26 keys)
+    * this replaces. Rotations wrap: at factor > 26, copies c and c+26
+    * carried IDENTICAL text, planting cross-copy exact-dup cliques
+    * that superlinearly densified the duplicate structure (the r15
+    * sf1→sf10 leg measured 320× pair growth at ×10 data from exactly
+    * this artifact — see SCALING.md round-15 addendum). Any bijection
+    * on the alphabet preserves the intra-copy structure isomorphically
+    * (string equality, shingle identity, token boundaries, lengths,
+    * edit distances), so the generator's contract — dup RATE invariant,
+    * corpus size ×factor — now holds at any factor. Distinct copies
+    * collide only if two keyed orderings coincide (~factor²/26!).
     */
-  private def rotText(text: Column, k: Int): Column = {
-    val r = k % 26
-    if (r == 0) text else translate(text, Lower, Lower.drop(r) + Lower.take(r))
+  private[graft] def permFor(c: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(ch: Char): String = {
+      md.reset()
+      md.digest(s"$c:$ch".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    Lower.toSeq.sortBy(h).mkString
   }
+
+  private def permText(text: Column, c: Int): Column =
+    if (c == 0) text else translate(text, Lower, permFor(c))
 
   /** Copy-c sign mask for dimension d: a fixed ±1 pattern per copy
     * (Knuth multiplicative hash parity), identity for copy 0.
@@ -126,7 +144,7 @@ object ScaleGen {
       out
         .withColumn("doc_id", offset(col("c"), col("doc_id"), dK))
         .withColumn("text",
-          byCopy(col("c"), factor, col("text"))(i => rotText(col("text"), i)))
+          byCopy(col("c"), factor, col("text"))(i => permText(col("text"), i)))
         .select(doc.columns.map(col): _*)
     }
 

@@ -45,8 +45,8 @@ class ScaleGenSpec extends SparkSpec {
   }
 
   test("document dup structure is isomorphic per copy, not shared across copies") {
-    // rotation is a bijection on strings: the multiset of exact-dup
-    // group sizes must replicate exactly `factor` times
+    // the substitution is a bijection on strings: the multiset of
+    // exact-dup group sizes must replicate exactly `factor` times
     def groupSizes(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("text").count().groupBy("count").agg(count("*").as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -57,6 +57,28 @@ class ScaleGenSpec extends SparkSpec {
     val badLen = t("documents").where(length(col("text")) =!= col("n_chars")).count()
     val badLenSrc = src("documents").where(length(col("text")) =!= col("n_chars")).count()
     assert(badLen === badLenSrc * factor)
+  }
+
+  test("cross-copy decorrelation survives factor > 26 (no alphabet wraparound)") {
+    // The caesar rotation this generator previously used wraps at 26:
+    // copies c and c+26 carried IDENTICAL text, merging exact-dup
+    // groups across copies and superlinearly densifying the duplicate
+    // structure the scaling certification measures (the r15 sf10 leg
+    // read 320x pair growth at x10 data from exactly this). The keyed
+    // substitution must keep the group-size multiset an exact xfactor
+    // replica at a factor the rotation could not survive.
+    val f = 30
+    def groupSizes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("text").count().groupBy("count").agg(count("*").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = groupSizes(src("documents"))
+    val big = groupSizes(ScaleGen.scaled(spark, sf0001, f)("documents"))
+    assert(big === base.map { case (k, v) => k -> v * f })
+    // every copy's permutation is distinct, and distinct from identity
+    val perms = (1 until f).map(ScaleGen.permFor)
+    assert((perms :+ "abcdefghijklmnopqrstuvwxyz").distinct.size === f)
+    // each is a true permutation of the alphabet
+    assert(perms.forall(_.sorted == "abcdefghijklmnopqrstuvwxyz"))
   }
 
   test("embedding copies preserve intra-copy inner products exactly") {
