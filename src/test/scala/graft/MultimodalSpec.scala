@@ -69,6 +69,59 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("class-collapsed recall audit equals the member-level formulation") {
+    // mediaRecall runs its pair arithmetic on payload-identical
+    // classes with multiplicity weights (anchors x distinct payloads
+    // instead of anchors x members). This reference rebuilds the
+    // member-level grid from scratch — member grams, anchors by the
+    // same md5 order, full anchors x members intersects, band-caught
+    // per member pair — and the weighted result must match it row for
+    // row. Pins the weight arithmetic (|B| minus the anchor's own
+    // class, zero-weight self-singletons dropped, same-class pairs
+    // caught by identity) against the formulation the DuckDB oracle
+    // uses, independent of fixture scale.
+    import graft.operators.DedupQueries
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val g = media
+      .select(col("media_id").as("doc_id"),
+        array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+    val anchorIds = g.select(col("doc_id"))
+      .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(64)
+    val anchors = g.join(anchorIds, Seq("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
+    val truth = broadcast(anchors)
+      .crossJoin(g.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("c"))
+      .filter(lit(3) * col("c") >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast((10 * c) div (n_a + n_b - c) as int)").as("bucket"))
+    val bands = DedupQueries.bandKeys(DedupQueries.minhashSig(g, "doc_id"), "doc_id")
+    val proposed = bands.join(anchorIds, Seq("doc_id")).alias("x")
+      .join(bands.alias("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    val reference = truth.join(proposed, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val collapsed = graft.multimodal.MultimodalQueries.mediaRecall(spark, sf0001)
+      .select("bucket", "n_true", "n_caught")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reference.nonEmpty)
+    assert(collapsed === reference)
+  }
+
   test("frame sampling emits every Nth frame with sliced payload") {
     val media = Multimodal.mediaTable(spark, sf0001)
     val frames = Multimodal.frameSample(media, everyN = 4)
