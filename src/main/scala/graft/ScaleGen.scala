@@ -99,15 +99,26 @@ object ScaleGen {
   private def permText(text: Column, c: Int): Column =
     if (c == 0) text else translate(text, Lower, permFor(c))
 
-  /** Copy-c sign mask for dimension d: a fixed ±1 pattern per copy
-    * (Knuth multiplicative hash parity), identity for copy 0.
+  /** Copy-c sign mask for dimension d: a fixed ±1 pattern per copy,
+    * identity for copy 0. Keyed by the FULL copy index via md5 parity
+    * (the same keying scheme as [[permFor]]) — the earlier Knuth-hash
+    * form folded only `c % 26` into the hash input, so at factor > 26
+    * copies c and c+26 carried identical masks (and mask(26) even
+    * reproduced the identity), planting cross-copy exact-duplicate
+    * embedding cliques: the same wraparound artifact class the text
+    * substitution fix removed for `documents.text`. Distinct copies
+    * now collide only at ~factor²/2^dim probability.
     */
   private[graft] def signMask(c: Int, dim: Int): Array[Float] =
-    (0 until dim).map { d =>
-      if (c == 0) 1f
-      else if ((((d * 26 + (c % 26)) * 2654435761L) >>> 16 & 1L) == 0L) -1f
-      else 1f
-    }.toArray
+    if (c == 0) Array.fill(dim)(1f)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until dim).map { d =>
+        md.reset()
+        val h = md.digest(s"$c:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) -1f else 1f
+      }.toArray
+    }
 
   /** All scaled tables as lazy DataFrames keyed by name. */
   def scaled(spark: SparkSession, srcDir: String, factor: Int): Map[String, DataFrame] = {

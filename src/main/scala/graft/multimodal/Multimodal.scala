@@ -219,22 +219,33 @@ object MultimodalQueries extends graft.QueryModule {
     * they can propose nothing and the gram-driven oracle never pairs
     * them.
     */
-  private def classIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import graft.operators.DedupQueries
+  private def classIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
         "media.classIndex", spark, dir) { scope =>
-      val idx = scope.cached(Multimodal.mediaTable(spark, dir)
-        .groupBy(col("payload"))
-        .agg(sort_array(collect_list(col("media_id"))).as("members"),
-          min(col("media_id")).as("rep"))
-        .select(col("rep"), col("members"),
-          array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
-        .filter(size(col("sh_arr")) > 0))
-      val repBands = scope.cached(DedupQueries.bandKeys(
-        DedupQueries.minhashSig(idx.select(col("rep").as("doc_id"), col("sh_arr")), "doc_id"),
-        "doc_id"))
-      (idx, repBands)
+      classIndexOf(Multimodal.mediaTable(spark, dir), scope.cached)
     }
+
+  /** The class-index build on an explicit media frame (uncached unless
+    * the caller supplies a caching hook) — split out so MultimodalSpec
+    * can exercise the collapse arithmetic on a corpus with PLANTED
+    * multi-member payload classes, not just whatever duplicate rate a
+    * fixture happens to carry.
+    */
+  private[graft] def classIndexOf(
+      media: DataFrame,
+      cached: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
+    import graft.operators.DedupQueries
+    val idx = cached(media
+      .groupBy(col("payload"))
+      .agg(sort_array(collect_list(col("media_id"))).as("members"),
+        min(col("media_id")).as("rep"))
+      .select(col("rep"), col("members"),
+        array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0))
+    val repBands = cached(DedupQueries.bandKeys(
+      DedupQueries.minhashSig(idx.select(col("rep").as("doc_id"), col("sh_arr")), "doc_id"),
+      "doc_id"))
+    (idx, repBands)
   }
 
 
@@ -356,10 +367,17 @@ object MultimodalQueries extends graft.QueryModule {
     * intersects to O(anchors × distinct payloads): 50.9 s → ~3 s at
     * the 30× duplicate-clique stress.
     */
-  private val MEDIA_ANCHORS = 64
+  private[graft] val MEDIA_ANCHORS = 64
 
   def mediaRecall(spark: SparkSession, dir: String): DataFrame = {
     val (idx, repBands) = classIndex(spark, dir)
+    mediaRecallOn(idx, repBands)
+  }
+
+  /** The recall-audit arithmetic on an explicit class index — see
+    * [[classIndexOf]] for why this is split out.
+    */
+  private[graft] def mediaRecallOn(idx: DataFrame, repBands: DataFrame): DataFrame = {
     val memberIds = idx.select(explode(col("members")).as("doc_id"), col("rep"))
     val anchorIds = memberIds.select("doc_id")
       .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))

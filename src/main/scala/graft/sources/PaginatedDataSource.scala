@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,7 +88,8 @@ private class PagedTable extends Table with SupportsRead {
 }
 
 private class PagedScan(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownLimit with SupportsPushDownFilters {
   import scala.jdk.CollectionConverters._
   private val opts: Map[String, String] =
     options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
@@ -96,10 +97,74 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   private val maxPartitions = opts.getOrElse("maxpartitions", "8").toInt
   private val retry = RetryOpts(opts)
 
+  // Pushdown state, set by Catalyst before build()/planning. A page is
+  // the scan's natural pruning unit (pageSize records each), so a LIMIT
+  // needs only ceil(limit/pageSize) pages and a predicate on the `page`
+  // column needs only the matching page range — every other query shape
+  // still fetches all pages, but a `.limit(5)` probe or a
+  // page-targeted re-read stops paying for the whole source.
+  private var limitPages: Option[Int] = None
+  private var pageLo = 1
+  private var pageHi = Int.MaxValue
+  // In-with-gaps prunes to [min,max] but keeps non-matching pages in
+  // range; the LIMIT page cap is only sound when every kept page
+  // survives the residual filter, so gaps disable it.
+  private var rangeExact = true
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushLimit(limit: Int): Boolean = {
+    limitPages = Some(math.max(1, (limit + pageSize - 1) / pageSize))
+    true
+  }
+  // a page may out-produce the limit (and gaps may under-select): Spark
+  // must keep its own Limit on top — pruning is an optimization only
+  override def isPartiallyPushed: Boolean = true
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asInt(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+      case s: Short => Some(s.toInt)
+      case _ => None
+    }
+    pushed = filters.filter {
+      case EqualTo("page", v) => asInt(v).exists { i =>
+        pageLo = math.max(pageLo, i); pageHi = math.min(pageHi, i); true
+      }
+      case GreaterThan("page", v) => asInt(v).exists { i =>
+        pageLo = math.max(pageLo, i + 1); true
+      }
+      case GreaterThanOrEqual("page", v) => asInt(v).exists { i =>
+        pageLo = math.max(pageLo, i); true
+      }
+      case LessThan("page", v) => asInt(v).exists { i =>
+        pageHi = math.min(pageHi, i - 1); true
+      }
+      case LessThanOrEqual("page", v) => asInt(v).exists { i =>
+        pageHi = math.min(pageHi, i); true
+      }
+      case In("page", vs) if vs.nonEmpty && vs.forall(asInt(_).isDefined) =>
+        val ints = vs.map(asInt(_).get)
+        pageLo = math.max(pageLo, ints.min); pageHi = math.min(pageHi, ints.max)
+        rangeExact = false
+        true
+      case _ => false
+    }
+    // everything stays a residual: the page column is emitted, so Spark
+    // re-applies each predicate post-scan — pruning can only skip
+    // fetches, never change results
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = this
   override def readSchema(): StructType = PaginatedDataSource.SCHEMA
   override def toBatch: Batch = this
-  override def description(): String = s"graft-pages(pageSize=$pageSize)"
+  override def description(): String = {
+    val lim = limitPages.fold("")(lp => s", limitPages=$lp")
+    val rng = if (pageLo > 1 || pageHi < Int.MaxValue) s", pages=[$pageLo,$pageHi]" else ""
+    s"graft-pages(pageSize=$pageSize$lim$rng)"
+  }
 
   // memoized: Spark may call planInputPartitions several times on one
   // scan (planning + execution); the probe must not re-fire each time
@@ -108,24 +173,34 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   private lazy val plannedPartitions: Array[InputPartition] = {
     // count discovery: ONE driver-side probe per scan (the inherently
     // sequential part of offset pagination); its payload is not wasted
-    // — it seeds the first partition
+    // — it seeds the first partition when page 1 survives pruning
     val (firstRecords, totalCount) =
       retry(PaginatedDataSource.makeTransport(opts).fetch(1))
     if (firstRecords.isEmpty) Array.empty
     else {
       val numPages = math.max(1L, (totalCount + pageSize - 1) / pageSize).toInt
-      val targetParts = math.min(numPages, math.max(1, maxPartitions))
-      // contiguous page ranges, remainder spread over the first ranges
-      val base = numPages / targetParts
-      val extra = numPages % targetParts
-      var start = 1
-      (0 until targetParts).map { i =>
-        val len = base + (if (i < extra) 1 else 0)
-        val p = PagePartition(start, start + len - 1,
-          if (start == 1) firstRecords else Seq.empty)
-        start += len
-        p
-      }.toArray
+      val lo = math.max(1, pageLo)
+      val hi0 = math.min(numPages, pageHi)
+      val hi = limitPages match {
+        case Some(lp) if rangeExact => math.min(hi0, lo.toLong + lp - 1).toInt
+        case _ => hi0
+      }
+      if (lo > hi) Array.empty
+      else {
+        val planned = hi - lo + 1
+        val targetParts = math.min(planned, math.max(1, maxPartitions))
+        // contiguous page ranges, remainder spread over the first ranges
+        val base = planned / targetParts
+        val extra = planned % targetParts
+        var start = lo
+        (0 until targetParts).map { i =>
+          val len = base + (if (i < extra) 1 else 0)
+          val p = PagePartition(start, start + len - 1,
+            if (start == 1) firstRecords else Seq.empty)
+          start += len
+          p
+        }.toArray
+      }
     }
   }
 

@@ -80,15 +80,29 @@ class MultimodalSpec extends SparkSpec {
     // class, zero-weight self-singletons dropped, same-class pairs
     // caught by identity) against the formulation the DuckDB oracle
     // uses, independent of fixture scale.
+    //
+    // The corpus is the sf0001 fixture PLUS planted byte-identical
+    // copies (two extra members for every media_id % 5 == 0): the raw
+    // fixture's duplicate rate is too thin to guarantee the
+    // multi-member weight arithmetic is exercised, and a hardcoded
+    // anchor count would silently diverge from the implementation —
+    // both the reference grid and the collapsed path below run on the
+    // same planted frame with the shared MEDIA_ANCHORS budget.
     import graft.operators.DedupQueries
-    val media = Multimodal.mediaTable(spark, sf0001)
+    import graft.multimodal.MultimodalQueries
+    val base = Multimodal.mediaTable(spark, sf0001)
+    val planted = base.filter(col("media_id") % 5 === 0)
+      .withColumn("k", explode(lit(Array(1, 2))))
+      .withColumn("media_id", col("media_id") + col("k").cast("long") * lit(100000L))
+      .drop("k")
+    val media = base.unionByName(planted)
     val g = media
       .select(col("media_id").as("doc_id"),
         array_distinct(Multimodal.byteGrams(col("payload"))).as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
     val anchorIds = g.select(col("doc_id"))
       .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
-      .limit(64)
+      .limit(MultimodalQueries.MEDIA_ANCHORS)
     val anchors = g.join(anchorIds, Seq("doc_id"))
       .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
     val truth = broadcast(anchors)
@@ -115,9 +129,18 @@ class MultimodalSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    val collapsed = graft.multimodal.MultimodalQueries.mediaRecall(spark, sf0001)
+    val (idx, repBands) = MultimodalQueries.classIndexOf(media, _.cache())
+    // the planted corpus must actually exercise the collapse's weight
+    // arithmetic: multi-member classes exist, and at least one ANCHOR
+    // sits inside one (the |B|−1 own-class decrement path)
+    assert(idx.filter(size(col("members")) >= 3).count() >= 50)
+    val anchorsInMulti = idx.select(explode(col("members")).as("doc_id"), size(col("members")).as("sz"))
+      .join(anchorIds, Seq("doc_id")).filter(col("sz") >= 2).count()
+    assert(anchorsInMulti > 0)
+    val collapsed = MultimodalQueries.mediaRecallOn(idx, repBands)
       .select("bucket", "n_true", "n_caught")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    idx.unpersist(); repBands.unpersist()
     assert(reference.nonEmpty)
     assert(collapsed === reference)
   }

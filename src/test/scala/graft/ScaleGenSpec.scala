@@ -114,4 +114,18 @@ class ScaleGenSpec extends SparkSpec {
     // correlation of the planted transform)
     assert(ScaleGen.signMask(1, 64).toSeq !== ScaleGen.signMask(2, 64).toSeq)
   }
+
+  test("sign masks keyed by the full copy index: no wraparound at factor > 26") {
+    // The Knuth-hash mask this replaces folded only c % 26: mask(26)
+    // reproduced mask(0) (the identity — copy 26's embeddings came out
+    // byte-identical to the ORIGINALS) and generally mask(c) == mask(c+26),
+    // planting cross-copy exact-dup embedding cliques at factor > 26 —
+    // the embeddings-table twin of the text wraparound control above.
+    assert(ScaleGen.signMask(26, 64).exists(_ == -1f)) // not the identity
+    for (c <- 1 to 8)
+      assert(ScaleGen.signMask(c, 64).toSeq !== ScaleGen.signMask(c + 26, 64).toSeq, s"c=$c")
+    // a factor-60 run's masks are pairwise distinct (incl. identity)
+    val masks = (0 until 60).map(c => ScaleGen.signMask(c, 64).toSeq)
+    assert(masks.distinct.size === 60)
+  }
 }

@@ -140,6 +140,48 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("DSv2 paginated source: LIMIT pushes down to a page cap (fewer pages fetched)") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    // 10 records / pageSize 3 -> 4 pages; LIMIT 3 needs ceil(3/3) = 1
+    // page, which the driver probe already fetched and seeded — the
+    // scan must fetch NOTHING beyond the probe
+    val rows = df.limit(3).collect()
+    assert(rows.length == 3)
+    assert(FakePagesTransport.fetchCalls.get() == 1,
+      s"expected probe-only (1 fetch), got ${FakePagesTransport.fetchCalls.get()}")
+  }
+
+  test("DSv2 paginated source: page-range predicate prunes fetched pages") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    // pages 3..4 of 4: probe (1) + two data fetches = 3 calls, and the
+    // residual filter still applies on the emitted page column
+    val rows = df.filter(org.apache.spark.sql.functions.col("page") >= 3).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(3, 4))
+    assert(rows.length == 4) // records 6..8 on page 3, record 9 on page 4
+    assert(FakePagesTransport.fetchCalls.get() == 3,
+      s"expected 3 fetches (probe + pages 3,4), got ${FakePagesTransport.fetchCalls.get()}")
+  }
+
+  test("DSv2 paginated source: page equality fetches exactly that page") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    val rows = df.filter(org.apache.spark.sql.functions.col("page") === 2).collect()
+    assert(rows.length == 3 && rows.forall(_.getInt(0) == 2))
+    assert(FakePagesTransport.fetchCalls.get() == 2,
+      s"expected 2 fetches (probe + page 2), got ${FakePagesTransport.fetchCalls.get()}")
+  }
+
   test("end-to-end stage: fetch -> parse -> upsert (etl.py per-brand dataflow)") {
     val json = (id: Long) =>
       s"""{"data": [{"id": "$id", "attributes": {"name": "R$id", "website": "r$id.com"}}],
