@@ -11,8 +11,22 @@ object Verify {
     // Default to every core; SPARK_GRAFT_CPUS overrides for experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the default local[cpus]: set it to
+    // local-cluster[n,cores,mem] to run the same Verify+oracle gate
+    // under a REAL multi-JVM master — separate executor processes,
+    // real exchange/broadcast serialization, worker-side classloading —
+    // the failure modes a single-JVM local master cannot express. The
+    // graft classes ride to the executors via extraClassPath (Spark's
+    // own jars come from SPARK_HOME on the worker side); shuffle
+    // partitions stay at the session's thread/core count either way.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder().master(master)
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath",
+          getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
