@@ -374,10 +374,32 @@ object MultimodalQueries extends graft.QueryModule {
     mediaRecallOn(idx, repBands)
   }
 
+  /** [[mediaRecall]] with the corpus side restricted to the
+    * deterministic md5 sample tier
+    * ([[graft.operators.DedupQueries.corpusSampled]]) — the 100 TB
+    * form of the audit. The unsampled audit's truth sweep is
+    * O(anchors × distinct payload classes) full gram intersects; on a
+    * re-upload-heavy petabyte media corpus that sweep is a real bill
+    * per audit run. Sampling the MEMBER side at the fixed rate turns
+    * each class's weight into its SAMPLED member count (the anchor's
+    * own membership decremented only when the anchor itself is
+    * sampled), and classes with no sampled member skip the intersect
+    * entirely — cost drops to rate × the full audit. recall is a
+    * ratio, so the estimate is unbiased; per-bucket standard error ≈
+    * sqrt(recall·(1−recall)/n_true_sampled). Sampled counts are
+    * reported as-is (no 1/rate scale-up): the DuckDB oracle replays
+    * the identical deterministic member draw, so the compare is exact.
+    */
+  def mediaRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, repBands) = classIndex(spark, dir)
+    mediaRecallOn(idx, repBands, sampled = true)
+  }
+
   /** The recall-audit arithmetic on an explicit class index — see
     * [[classIndexOf]] for why this is split out.
     */
-  private[graft] def mediaRecallOn(idx: DataFrame, repBands: DataFrame): DataFrame = {
+  private[graft] def mediaRecallOn(idx: DataFrame, repBands: DataFrame,
+      sampled: Boolean = false): DataFrame = {
     val memberIds = idx.select(explode(col("members")).as("doc_id"), col("rep"))
     val anchorIds = memberIds.select("doc_id")
       .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
@@ -393,7 +415,17 @@ object MultimodalQueries extends graft.QueryModule {
       .crossJoin(idx.select(col("rep").as("rep_b"), col("members").as("__mb"),
         col("sh_arr").as("__sb")))
       .select(col("doc_a"), col("rep_a"), col("rep_b"), col("__sa"), col("__sb"),
-        (size(col("__mb")) - when(col("rep_a") === col("rep_b"), 1).otherwise(0))
+        // sampled tier: a class weighs its SAMPLED member count, and
+        // the anchor's own-class decrement applies only when the
+        // anchor member itself is in the sample (it is the only member
+        // the doc_a ≠ doc_b exclusion can remove from the draw)
+        (if (sampled)
+          size(filter(col("__mb"),
+            m => graft.operators.DedupQueries.corpusSampled(m))) -
+            when(col("rep_a") === col("rep_b") &&
+              graft.operators.DedupQueries.corpusSampled(col("doc_a")), 1).otherwise(0)
+        else
+          size(col("__mb")) - when(col("rep_a") === col("rep_b"), 1).otherwise(0))
           .cast("long").as("w"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
@@ -425,6 +457,7 @@ object MultimodalQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_recall" -> mediaRecall,
+    "q_media_recall_sampled" -> mediaRecallSampled,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSampleQ,
     "q_resize_features" -> resizeFeatures,
@@ -523,6 +556,45 @@ object MultimodalQueries extends graft.QueryModule {
         |  FROM sh sa
         |  JOIN anc ON anc.doc_id = sa.doc_id
         |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
+        |  FROM inter
+        |  JOIN sizes za ON za.doc_id = doc_a
+        |  JOIN sizes zb ON zb.doc_id = doc_b
+        |  WHERE 3 * c >= za.n_sh + zb.n_sh
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x
+        |  JOIN anc ON anc.doc_id = x.doc_id
+        |  JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.doc_id <> y.doc_id
+        |)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
+        |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
+        |GROUP BY bucket""".stripMargin,
+    // the q_media_recall formulation with the corpus (b) side
+    // restricted to the deterministic md5 member sample — the same
+    // draw the Spark side folds into its class weights, so the
+    // sampled counts compare exactly
+    "q_media_recall_sampled" ->
+      s"""WITH $mediaBandsCte,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |anc AS (
+        |  SELECT doc_id FROM sh GROUP BY doc_id
+        |  ORDER BY md5('anc:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+        |), inter AS (
+        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
+        |  FROM sh sa
+        |  JOIN anc ON anc.doc_id = sa.doc_id
+        |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id
+        |   AND ${graft.operators.DedupQueries.corpusSampledSql("sb.doc_id")}
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT doc_a, doc_b,

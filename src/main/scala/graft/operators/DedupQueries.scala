@@ -684,6 +684,25 @@ object DedupQueries extends graft.QueryModule {
   private val EMB_DIM = 64 // fixture embedding dimension (TESTDATA.md)
   // constant audit budget for q_emb_recall (see embRecall doc)
   private val EMB_ANCHORS = 64
+
+  /** Deterministic corpus-side sample tier shared by the `*_sampled`
+    * recall audits (embedding and media): keep ids whose
+    * md5("cor:" || id) falls in the lowest half of hex space
+    * (prefix < '8'— half, not a thinner slice, so the sampled audit
+    * stays non-degenerate at the sf0.01 correctness gate where the
+    * media truth set is only a handful of pairs; at corpus scale any
+    * rate works and the constant is one hex digit). A pure function
+    * of the id — Spark and the DuckDB
+    * oracle replay the identical draw, an id's membership never
+    * changes across runs or corpus scales, and the draw is independent
+    * of the "anc:"-keyed anchor draw by the usual hash-independence of
+    * distinct salts.
+    */
+  private[graft] val CORPUS_SAMPLE_RATE = 0.5
+  private[graft] def corpusSampled(id: Column): Column =
+    md5(concat(lit("cor:"), id.cast("string"))) < "8"
+  private[graft] def corpusSampledSql(idExpr: String): String =
+    s"md5('cor:' || CAST($idExpr AS VARCHAR)) < '8'"
   /** Largest representative count served by the tier-0 (6 band × 3
     * bit) scheme — the tier the DuckDB oracle replays from literal
     * hyperplanes. 3-bit bands mean 8 buckets per band, so candidate
@@ -861,7 +880,29 @@ object DedupQueries extends graft.QueryModule {
     * falls off below cosine ~0.6, and this query makes that measured,
     * gated data instead of a design-comment estimate.
     */
-  def embRecall(spark: SparkSession, dir: String): DataFrame = {
+  def embRecall(spark: SparkSession, dir: String): DataFrame =
+    embRecallWith(spark, dir, corpusSample = false)
+
+  /** [[embRecall]] with the corpus side optionally restricted to the
+    * deterministic sample tier ([[corpusSampled]]) — the 100 TB form:
+    * the unsampled audit's truth sweep is O(anchors × corpus) exact
+    * kernels, a real bill when "corpus" is 10^10 vectors, and recall
+    * is a RATIO, so scoring the anchors against a fixed-rate corpus
+    * sample estimates the same per-decile number at
+    * [[CORPUS_SAMPLE_RATE]] × the sweep. Estimator error: each bucket's sampled n_true is
+    * Binomial(N_true, rate), so the recall estimate carries standard
+    * error ≈ sqrt(recall·(1−recall)/n_true_sampled) — at 1000 sampled
+    * true pairs that is ±1.6% at recall 0.5, tighter near the 0.9+
+    * region the audit actually gates. The SAMPLED counts are reported
+    * as-is (no 1/rate scale-up): the oracle replays the identical
+    * deterministic sample, so the compare is exact, and a reader
+    * scaling to corpus totals multiplies by 1/[[CORPUS_SAMPLE_RATE]].
+    */
+  def embRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    embRecallWith(spark, dir, corpusSample = true)
+
+  private def embRecallWith(spark: SparkSession, dir: String,
+      corpusSample: Boolean): DataFrame = {
     import graft.functions.VectorFunctions._
     val (vecs, keys) = graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
         "dedup.embRecallAudit", spark, dir) { scope =>
@@ -886,8 +927,12 @@ object DedupQueries extends graft.QueryModule {
     val anchors = vecs.join(anchorIds, Seq("vec_id"))
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
 
+    // the sample prunes the corpus side BEFORE the exact kernel: the
+    // dropped 1−rate of the corpus never pays qdot at all
+    val corpus = if (corpusSample)
+      vecs.filter(corpusSampled(col("vec_id"))) else vecs
     val truth = broadcast(anchors)
-      .crossJoin(vecs.select(
+      .crossJoin(corpus.select(
         col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb")))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
@@ -1488,7 +1533,8 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_embedding" -> dedupEmbedding,
-    "q_emb_recall" -> embRecall
+    "q_emb_recall" -> embRecall,
+    "q_emb_recall_sampled" -> embRecallSampled
   )
 
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
@@ -1837,6 +1883,45 @@ object DedupQueries extends graft.QueryModule {
         |  FROM q qa
         |  JOIN anc ON anc.vec_id = qa.vec_id
         |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT vec_a, vec_b,
+        |         CAST(floor((CAST(dot AS DOUBLE) /
+        |              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 10) AS INT) AS bucket
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = vec_a
+        |  JOIN norms nb ON nb.vec_id = vec_b
+        |  WHERE CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
+        |), prop AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM keys x
+        |  JOIN anc ON anc.vec_id = x.vec_id
+        |  JOIN keys y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+        |   AND x.vec_id <> y.vec_id
+        |)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(count(p.vec_a) AS BIGINT) AS n_caught,
+        |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+        |GROUP BY bucket""".stripMargin,
+    // the q_emb_recall formulation with the corpus (b) side restricted
+    // to the deterministic md5 sample tier — the same draw the Spark
+    // side computes, so the sampled counts compare exactly
+    "q_emb_recall_sampled" ->
+      s"""WITH $embOracleCte, anc AS (
+        |  SELECT vec_id FROM embeddings
+        |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
+        |), dots AS (
+        |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
+        |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
+        |  FROM q qa
+        |  JOIN anc ON anc.vec_id = qa.vec_id
+        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id
+        |   AND ${corpusSampledSql("qb.vec_id")}
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT vec_a, vec_b,

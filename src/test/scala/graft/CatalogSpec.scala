@@ -113,10 +113,13 @@ class CatalogSpec extends SparkSpec {
     // pick into the vocabulary fold; q_pagerank_directed crossJoins
     // the broadcast 1-row dangling-mass and node-count scalars into
     // each iteration's rank update)
+    // the *_sampled audit tiers plan the identical broadcast-anchor
+    // shape as their unsampled parents, with the corpus side thinned
     val nestedLoopOk = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_bm25",
       "q_tfidf", "q_semdedup", "q_semdedup_incremental", "q_knn_sq",
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
       "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall",
+      "q_emb_recall_sampled", "q_media_recall_sampled",
       "q_hybrid_rank", "q_surprisal", "q_triplets", "q_gapfill",
       "q_copurchase", "q_bpe_merges", "q_bpe_encode", "q_pagerank_directed",
       "q_triangles") // 1-row node/edge/triangle count scalars
