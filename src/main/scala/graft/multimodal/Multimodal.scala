@@ -407,25 +407,39 @@ object MultimodalQueries extends graft.QueryModule {
     val anchors = memberIds.join(anchorIds, Seq("doc_id"))
       .join(idx.select(col("rep"), col("sh_arr").as("__sa")), Seq("rep"))
       .select(col("doc_id").as("doc_a"), col("rep").as("rep_a"), col("__sa"))
+    // The class weight's corpus-side factor — member count, or SAMPLED
+    // member count under the sample tier — depends only on the class,
+    // so it is computed (and, for the sampled tier, zero-weight
+    // classes are PRUNED) before the join: the anchors × classes grid
+    // never materializes a row, let alone pays a gram intersect, for a
+    // class with no sampled member. Pruning in the join condition
+    // instead would run the conjunction left-to-right and evaluate the
+    // intersect first. Neither variant carries the members array
+    // through the join — only the precomputed weight rides along.
+    val corpus = {
+      val base = idx.select(col("rep").as("rep_b"), col("members").as("__mb"),
+        col("sh_arr").as("__sb"))
+      val withW =
+        if (sampled)
+          base.withColumn("__ws", size(filter(col("__mb"),
+              m => graft.operators.DedupQueries.corpusSampled(m))).cast("long"))
+            .filter(col("__ws") > 0)
+        else base.withColumn("__ws", size(col("__mb")).cast("long"))
+      withW.drop("__mb")
+    }
     // size bound BEFORE the intersect: J >= 1/2 requires
     // 3*min(n_a,n_b) >= n_a+n_b (c <= min), so length-divergent pairs
     // never pay the array_intersect — uniform-length fixtures prune
     // nothing, real corpora prune most of the |anchors| x class grid
     val truth = broadcast(anchors)
-      .crossJoin(idx.select(col("rep").as("rep_b"), col("members").as("__mb"),
-        col("sh_arr").as("__sb")))
+      .crossJoin(corpus)
       .select(col("doc_a"), col("rep_a"), col("rep_b"), col("__sa"), col("__sb"),
-        // sampled tier: a class weighs its SAMPLED member count, and
-        // the anchor's own-class decrement applies only when the
-        // anchor member itself is in the sample (it is the only member
-        // the doc_a ≠ doc_b exclusion can remove from the draw)
-        (if (sampled)
-          size(filter(col("__mb"),
-            m => graft.operators.DedupQueries.corpusSampled(m))) -
-            when(col("rep_a") === col("rep_b") &&
-              graft.operators.DedupQueries.corpusSampled(col("doc_a")), 1).otherwise(0)
-        else
-          size(col("__mb")) - when(col("rep_a") === col("rep_b"), 1).otherwise(0))
+        // the anchor's own-class decrement: the doc_a ≠ doc_b member
+        // exclusion removes exactly the anchor member itself — under
+        // the sample tier only when the anchor is in the sample
+        (col("__ws") - when(col("rep_a") === col("rep_b") &&
+            (if (sampled) graft.operators.DedupQueries.corpusSampled(col("doc_a"))
+             else lit(true)), 1).otherwise(0))
           .cast("long").as("w"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
