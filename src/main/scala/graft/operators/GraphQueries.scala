@@ -469,22 +469,22 @@ object GraphQueries extends graft.QueryModule {
         |SELECT src AS node, min(dst) AS component
         |FROM reach GROUP BY src ORDER BY node""".stripMargin,
     "q_triangles" ->
-      """WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |li AS (
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |li AS MATERIALIZED (
         |  SELECT ok, pk FROM li0
         |  WHERE ok IN (SELECT ok FROM li0 GROUP BY ok HAVING count(*) <= 200)
         |),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT a.pk AS u, b.pk AS v
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING count(*) >= 2
         |),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT n, CAST(count(*) AS BIGINT) AS d
         |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) t
         |  GROUP BY n
         |),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst,
         |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS ddst
@@ -556,60 +556,60 @@ object GraphQueries extends graft.QueryModule {
     // the schedule-derived worst case so a future eps or generator
     // change trips a spec, not a confusing 0-row gate mismatch.
     "q_pagerank_eps" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL
         |  SELECT s AS src, c AS dst FROM pairs
         |),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
-        |r1 AS (
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r2 AS (
+        |r2 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r3 AS (
+        |r3 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r4 AS (
+        |r4 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r3 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r5 AS (
+        |r5 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r4 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r6 AS (
+        |r6 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r5 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r7 AS (
+        |r7 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r6 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r8 AS (
+        |r8 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r7 r ON r.node = e.src
