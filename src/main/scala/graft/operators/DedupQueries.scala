@@ -1621,10 +1621,22 @@ object DedupQueries extends graft.QueryModule {
       .map { case (row, k) => s"($k, [${row.mkString(",")}])" }
       .mkString(",\n    ")
 
+  /** Every hyperplane any tier can select (16 bands × 16 bits max) —
+    * the adaptive oracle carries them all and filters to the active
+    * prefix, so the tier choice lives in SQL, not in which literal
+    * was baked.
+    */
+  private lazy val planesSqlValuesAll: String =
+    Array.tabulate(16 * 16)(embPlaneRow).zipWithIndex
+      .map { case (row, k) => s"($k, [${row.mkString(",")}])" }
+      .mkString(",\n    ")
+
   /** Shared embedding-oracle prelude: quantized components, integer
-    * norms, hyperplane sign bits, band keys — one definition read by
-    * the q_dedup_embedding and q_emb_recall oracles so the
-    * quantization/banding scheme cannot diverge between them.
+    * norms, hyperplane sign bits, band keys — the FIXED tier-0 form,
+    * used by the q_stream_emb oracle whose Spark side pins tier 0 by
+    * design (dedup-at-ingest bands at a fixed scheme; see
+    * [[graft.streaming.StreamingOps]]). The batch oracles use
+    * [[embOracleCteAdaptive]].
     */
   private[graft] lazy val embOracleCte: String =
     s"""q AS (
@@ -1646,6 +1658,51 @@ object DedupQueries extends graft.QueryModule {
       |  SELECT vec_id, k // $EMB_BITS AS band_id,
       |         CAST(sum(b * (1 << (k % $EMB_BITS))) AS INT) AS band_key
       |  FROM bits GROUP BY vec_id, k // $EMB_BITS
+      |)""".stripMargin
+
+  /** Tier-AWARE embedding-oracle prelude: re-derives the (bands, bits)
+    * selection of [[embTier]] in SQL — integer-exactly, as the least
+    * k in [4,16] with 2^k >= max(1, n/32) (COALESCE clamps the
+    * beyond-2M-vector case to 16), never a floating log2 whose
+    * rounding at exact powers of two could drift — from the
+    * caller-supplied corpus-count expression (`count(*)` for the
+    * audit oracles, which run doc-level; `count(DISTINCT embedding)`
+    * for q_dedup_embedding, whose Spark side selects the tier from
+    * the exact-duplicate-collapsed representative count). The planes
+    * VALUES literal carries all 256 possible hyperplanes; `pl.k <
+    * bands*bits` activates the selected prefix, so below
+    * EMB_TIER0_MAX this reduces to exactly the fixed CTE. CTEs are
+    * MATERIALIZED: DuckDB 1.0 inlines per reference and `q`/`keys`
+    * are referenced several times downstream.
+    */
+  private[graft] def embOracleCteAdaptive(countSql: String): String =
+    s"""q AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         generate_subscripts(embedding, 1) AS p,
+      |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
+      |  FROM embeddings
+      |), norms AS MATERIALIZED (
+      |  SELECT vec_id, CAST(sum(qc * qc) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+      |), tier AS MATERIALIZED (
+      |  SELECT CASE WHEN n <= $EMB_TIER0_MAX THEN $EMB_BANDS ELSE 16 END AS bands,
+      |         CASE WHEN n <= $EMB_TIER0_MAX THEN $EMB_BITS
+      |              ELSE COALESCE((SELECT min(k) FROM range(4, 17) t(k)
+      |                             WHERE (CAST(1 AS BIGINT) << k) >= GREATEST(n // 32, 1)), 16)
+      |         END AS bits
+      |  FROM (SELECT ($countSql) AS n FROM embeddings) c
+      |), planes AS MATERIALIZED (
+      |  SELECT k, generate_subscripts(sv, 1) AS p, unnest(sv) AS s
+      |  FROM (VALUES $planesSqlValuesAll) t(k, sv)
+      |), sbits AS MATERIALIZED (
+      |  SELECT q.vec_id, pl.k,
+      |         CASE WHEN sum(q.qc * pl.s) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM q JOIN planes pl ON q.p = pl.p
+      |  WHERE pl.k < (SELECT bands * bits FROM tier)
+      |  GROUP BY q.vec_id, pl.k
+      |), keys AS MATERIALIZED (
+      |  SELECT vec_id, k // (SELECT bits FROM tier) AS band_id,
+      |         CAST(sum(b * (1 << (k % (SELECT bits FROM tier)))) AS INT) AS band_key
+      |  FROM sbits GROUP BY vec_id, k // (SELECT bits FROM tier)
       |)""".stripMargin
 
   def oracles: Map[String, String] = oraclesBase ++ Map(
@@ -1854,7 +1911,7 @@ object DedupQueries extends graft.QueryModule {
     // literals (embedded below), so the candidate set — not just the
     // verified pairs — is cross-checked
     "q_dedup_embedding" ->
-      s"""WITH $embOracleCte, cand AS (
+      s"""WITH ${embOracleCteAdaptive("count(DISTINCT embedding)")}, cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM keys a JOIN keys b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
@@ -1874,7 +1931,7 @@ object DedupQueries extends graft.QueryModule {
     // anchors-vs-corpus exact cosine truth beside the hyperplane band
     // candidate set — the semantic modality's propose-recall audit
     "q_emb_recall" ->
-      s"""WITH $embOracleCte, anc AS (
+      s"""WITH ${embOracleCteAdaptive("count(*)")}, anc AS (
         |  SELECT vec_id FROM embeddings
         |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
         |), dots AS (
@@ -1912,7 +1969,7 @@ object DedupQueries extends graft.QueryModule {
     // to the deterministic md5 sample tier — the same draw the Spark
     // side computes, so the sampled counts compare exactly
     "q_emb_recall_sampled" ->
-      s"""WITH $embOracleCte, anc AS (
+      s"""WITH ${embOracleCteAdaptive("count(*)")}, anc AS (
         |  SELECT vec_id FROM embeddings
         |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
         |), dots AS (
