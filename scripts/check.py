@@ -29,7 +29,11 @@ def main():
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            # Spark-written table (ScaleGen output): a directory of parts
+            # Spark-written table (ScaleGen output): a directory of parts.
+            # An empty write leaves only _SUCCESS — skip it like a
+            # missing single-file table instead of erroring at CREATE VIEW.
+            if not glob.glob(f"{p}/*.parquet"):
+                continue
             p = f"{p}/*.parquet"
         elif not os.path.exists(p):
             continue

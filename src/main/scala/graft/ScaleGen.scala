@@ -107,7 +107,12 @@ object ScaleGen {
     * reproduced the identity), planting cross-copy exact-duplicate
     * embedding cliques: the same wraparound artifact class the text
     * substitution fix removed for `documents.text`. Distinct copies
-    * now collide only at ~factor²/2^dim probability.
+    * now collide only at ~factor²/2^dim probability. The "sgn:" salt
+    * keeps the generator's hash domain DISJOINT from the LSH
+    * hyperplane domain (DedupQueries.embPlaneRow hashes md5("k:p")
+    * over the same small-int grid): generator/LSH independence is
+    * structural — different md5 inputs — not an accident of which bit
+    * of a shared digest each side reads.
     */
   private[graft] def signMask(c: Int, dim: Int): Array[Float] =
     if (c == 0) Array.fill(dim)(1f)
@@ -115,7 +120,7 @@ object ScaleGen {
       val md = java.security.MessageDigest.getInstance("MD5")
       (0 until dim).map { d =>
         md.reset()
-        val h = md.digest(s"$c:$d".getBytes("UTF-8"))
+        val h = md.digest(s"sgn:$c:$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) -1f else 1f
       }.toArray
     }

@@ -23,8 +23,11 @@ object Verify {
     val builder0 = SparkSession.builder().master(master)
     val builder =
       if (master.startsWith("local-cluster"))
+        // decode via toURI: getPath is percent-encoded, so a checkout
+        // path with spaces would yield a classpath executors can't read
         builder0.config("spark.executor.extraClassPath",
-          getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+          java.nio.file.Paths.get(
+            getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString)
       else builder0
     val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)

@@ -392,14 +392,30 @@ object MultimodalQueries extends graft.QueryModule {
     */
   def mediaRecallSampled(spark: SparkSession, dir: String): DataFrame = {
     val (idx, repBands) = classIndex(spark, dir)
-    mediaRecallOn(idx, repBands, sampled = true)
+    mediaRecallOn(idx, repBands,
+      sampleThresh = Some(graft.operators.DedupQueries.CORPUS_SAMPLE_THRESH))
+  }
+
+  /** [[mediaRecallSampled]] at the aggressive 1/16 rate
+    * ([[graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH]]): the
+    * sparse-member regime the tier exists for — most payload classes
+    * carry zero sampled members, so the zero-weight pruning before the
+    * anchors × classes grid and the sampled own-class decrement do
+    * real work. Same unbiased ratio estimator with SE widened by
+    * √8× vs the 1/2 tier at equal corpus size (see the threshold doc);
+    * the oracle replays the identical deterministic member draw.
+    */
+  def mediaRecallLowRate(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, repBands) = classIndex(spark, dir)
+    mediaRecallOn(idx, repBands,
+      sampleThresh = Some(graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH))
   }
 
   /** The recall-audit arithmetic on an explicit class index — see
     * [[classIndexOf]] for why this is split out.
     */
   private[graft] def mediaRecallOn(idx: DataFrame, repBands: DataFrame,
-      sampled: Boolean = false): DataFrame = {
+      sampleThresh: Option[String] = None): DataFrame = {
     val memberIds = idx.select(explode(col("members")).as("doc_id"), col("rep"))
     val anchorIds = memberIds.select("doc_id")
       .orderBy(md5(concat(lit("anc:"), col("doc_id").cast("string"))), col("doc_id"))
@@ -419,12 +435,13 @@ object MultimodalQueries extends graft.QueryModule {
     val corpus = {
       val base = idx.select(col("rep").as("rep_b"), col("members").as("__mb"),
         col("sh_arr").as("__sb"))
-      val withW =
-        if (sampled)
+      val withW = sampleThresh match {
+        case Some(t) =>
           base.withColumn("__ws", size(filter(col("__mb"),
-              m => graft.operators.DedupQueries.corpusSampled(m))).cast("long"))
+              m => graft.operators.DedupQueries.corpusSampled(m, t))).cast("long"))
             .filter(col("__ws") > 0)
-        else base.withColumn("__ws", size(col("__mb")).cast("long"))
+        case None => base.withColumn("__ws", size(col("__mb")).cast("long"))
+      }
       withW.drop("__mb")
     }
     // size bound BEFORE the intersect: J >= 1/2 requires
@@ -438,8 +455,9 @@ object MultimodalQueries extends graft.QueryModule {
         // exclusion removes exactly the anchor member itself — under
         // the sample tier only when the anchor is in the sample
         (col("__ws") - when(col("rep_a") === col("rep_b") &&
-            (if (sampled) graft.operators.DedupQueries.corpusSampled(col("doc_a"))
-             else lit(true)), 1).otherwise(0))
+            sampleThresh.fold(lit(true))(t =>
+              graft.operators.DedupQueries.corpusSampled(col("doc_a"), t)),
+            1).otherwise(0))
           .cast("long").as("w"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
@@ -472,6 +490,7 @@ object MultimodalQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_recall" -> mediaRecall,
     "q_media_recall_sampled" -> mediaRecallSampled,
+    "q_media_recall_lowrate" -> mediaRecallLowRate,
     "q_media_features" -> mediaFeatures,
     "q_frame_sample" -> frameSampleQ,
     "q_resize_features" -> resizeFeatures,
@@ -558,81 +577,63 @@ object MultimodalQueries extends graft.QueryModule {
         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0""".stripMargin,
       "new_media", "corpus_media"),
     // plain ANCHORED all-pairs gram truth at t=0.5 beside the band
-    // candidate set — the embedding-audit formulation on the gram basis
-    "q_media_recall" ->
-      s"""WITH $mediaBandsCte,
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |anc AS (
-        |  SELECT doc_id FROM sh GROUP BY doc_id
-        |  ORDER BY md5('anc:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
-        |), inter AS (
-        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
-        |  FROM sh sa
-        |  JOIN anc ON anc.doc_id = sa.doc_id
-        |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id
-        |  GROUP BY 1, 2
-        |), truth AS (
-        |  SELECT doc_a, doc_b,
-        |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
-        |  FROM inter
-        |  JOIN sizes za ON za.doc_id = doc_a
-        |  JOIN sizes zb ON zb.doc_id = doc_b
-        |  WHERE 3 * c >= za.n_sh + zb.n_sh
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x
-        |  JOIN anc ON anc.doc_id = x.doc_id
-        |  JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.doc_id <> y.doc_id
-        |)
-        |SELECT bucket,
-        |       CAST(count(*) AS BIGINT) AS n_true,
-        |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
-        |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-        |FROM truth t
-        |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
-        |GROUP BY bucket""".stripMargin,
-    // the q_media_recall formulation with the corpus (b) side
-    // restricted to the deterministic md5 member sample — the same
-    // draw the Spark side folds into its class weights, so the
-    // sampled counts compare exactly
-    "q_media_recall_sampled" ->
-      s"""WITH $mediaBandsCte,
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |anc AS (
-        |  SELECT doc_id FROM sh GROUP BY doc_id
-        |  ORDER BY md5('anc:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
-        |), inter AS (
-        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
-        |  FROM sh sa
-        |  JOIN anc ON anc.doc_id = sa.doc_id
-        |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id
-        |   AND ${graft.operators.DedupQueries.corpusSampledSql("sb.doc_id")}
-        |  GROUP BY 1, 2
-        |), truth AS (
-        |  SELECT doc_a, doc_b,
-        |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
-        |  FROM inter
-        |  JOIN sizes za ON za.doc_id = doc_a
-        |  JOIN sizes zb ON zb.doc_id = doc_b
-        |  WHERE 3 * c >= za.n_sh + zb.n_sh
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x
-        |  JOIN anc ON anc.doc_id = x.doc_id
-        |  JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.doc_id <> y.doc_id
-        |)
-        |SELECT bucket,
-        |       CAST(count(*) AS BIGINT) AS n_true,
-        |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
-        |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-        |FROM truth t
-        |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
-        |GROUP BY bucket""".stripMargin
+    // candidate set — the embedding-audit formulation on the gram
+    // basis. Sampled tiers restrict the corpus (b) side to the
+    // deterministic md5 member draw the Spark side folds into its
+    // class weights, so sampled counts compare exactly: rate 1/2, and
+    // the aggressive 1/16 sparse-member regime.
+    "q_media_recall" -> mediaRecallOracleSql(None),
+    "q_media_recall_sampled" -> mediaRecallOracleSql(
+      Some(graft.operators.DedupQueries.corpusSampledSql("sb.doc_id"))),
+    "q_media_recall_lowrate" -> mediaRecallOracleSql(
+      Some(graft.operators.DedupQueries.corpusSampledSql("sb.doc_id",
+        graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH)))
   )
+
+  /** One rendering of the media recall-audit oracle — anchors drawn by
+    * the "anc:" md5 order (LIMIT interpolated from [[MEDIA_ANCHORS]],
+    * never a drifting literal), gram-Jaccard truth at 0.5 beside the
+    * band candidate set, the corpus (b) side optionally restricted by
+    * a member-sample predicate. Shared by the full, 1/2-rate, and
+    * 1/16-rate variants so the audit SQL can never diverge between
+    * tiers.
+    */
+  private def mediaRecallOracleSql(samplePred: Option[String]): String = {
+    val pred = samplePred.fold("")(p => s"\n   AND $p")
+    s"""WITH $mediaBandsCte,
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |anc AS (
+      |  SELECT doc_id FROM sh GROUP BY doc_id
+      |  ORDER BY md5('anc:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT $MEDIA_ANCHORS
+      |), inter AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS c
+      |  FROM sh sa
+      |  JOIN anc ON anc.doc_id = sa.doc_id
+      |  JOIN sh sb ON sa.s = sb.s AND sa.doc_id <> sb.doc_id$pred
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST((10 * c) // (za.n_sh + zb.n_sh - c) AS INT) AS bucket
+      |  FROM inter
+      |  JOIN sizes za ON za.doc_id = doc_a
+      |  JOIN sizes zb ON zb.doc_id = doc_b
+      |  WHERE 3 * c >= za.n_sh + zb.n_sh
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x
+      |  JOIN anc ON anc.doc_id = x.doc_id
+      |  JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+      |   AND x.doc_id <> y.doc_id
+      |)
+      |SELECT bucket,
+      |       CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(count(cd.doc_a) AS BIGINT) AS n_caught,
+      |       CAST(count(cd.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      |FROM truth t
+      |LEFT JOIN cand cd ON cd.doc_a = t.doc_a AND cd.doc_b = t.doc_b
+      |GROUP BY bucket""".stripMargin
+  }
 
   /** Shared CTE prelude mirroring the member-level index (grams ->
     * signature

@@ -699,10 +699,30 @@ object DedupQueries extends graft.QueryModule {
     * distinct salts.
     */
   private[graft] val CORPUS_SAMPLE_RATE = 0.5
-  private[graft] def corpusSampled(id: Column): Column =
-    md5(concat(lit("cor:"), id.cast("string"))) < "8"
-  private[graft] def corpusSampledSql(idExpr: String): String =
-    s"md5('cor:' || CAST($idExpr AS VARCHAR)) < '8'"
+  private[graft] val CORPUS_SAMPLE_THRESH = "8" // rate 1/2: first hex digit < 8
+  /** Aggressive-rate tier: the operative regime at a 10^10-document
+    * corpus is rates of 10^-2..10^-3, where per-class sampled
+    * membership is SPARSE — most classes carry zero sampled members
+    * and the zero-weight pruning / own-class-decrement arithmetic does
+    * real work instead of being exercised vacuously at rate 0.5. The
+    * hex-prefix threshold is already rate-shaped: rate =
+    * value(thresh)/16^len(thresh), so "1" = 1/16, "01" = 1/256. The
+    * `*_lowrate` audits run at 1/16 — sparse at every gate scale (a
+    * 500-doc corpus keeps ~31 ids) while still non-degenerate — and
+    * their per-bucket standard error widens by the same arithmetic as
+    * the 0.5 tier: SE ≈ sqrt(recall·(1−recall)/n_true_sampled), i.e.
+    * √8× fewer sampled true pairs than rate 0.5 → ~2.8× the SE at
+    * equal corpus size. At the corpus scales the tier exists for,
+    * n_true_sampled is restored by corpus volume, not the rate.
+    */
+  private[graft] val CORPUS_LOWRATE_THRESH = "1" // rate 1/16
+  private[graft] val CORPUS_LOWRATE = 1.0 / 16
+  private[graft] def corpusSampled(id: Column,
+      thresh: String = CORPUS_SAMPLE_THRESH): Column =
+    md5(concat(lit("cor:"), id.cast("string"))) < thresh
+  private[graft] def corpusSampledSql(idExpr: String,
+      thresh: String = CORPUS_SAMPLE_THRESH): String =
+    s"md5('cor:' || CAST($idExpr AS VARCHAR)) < '$thresh'"
   /** Largest representative count served by the tier-0 (6 band × 3
     * bit) scheme — the tier the DuckDB oracle replays from literal
     * hyperplanes. 3-bit bands mean 8 buckets per band, so candidate
@@ -881,7 +901,7 @@ object DedupQueries extends graft.QueryModule {
     * gated data instead of a design-comment estimate.
     */
   def embRecall(spark: SparkSession, dir: String): DataFrame =
-    embRecallWith(spark, dir, corpusSample = false)
+    embRecallWith(spark, dir, sampleThresh = None)
 
   /** [[embRecall]] with the corpus side optionally restricted to the
     * deterministic sample tier ([[corpusSampled]]) — the 100 TB form:
@@ -899,10 +919,20 @@ object DedupQueries extends graft.QueryModule {
     * scaling to corpus totals multiplies by 1/[[CORPUS_SAMPLE_RATE]].
     */
   def embRecallSampled(spark: SparkSession, dir: String): DataFrame =
-    embRecallWith(spark, dir, corpusSample = true)
+    embRecallWith(spark, dir, sampleThresh = Some(CORPUS_SAMPLE_THRESH))
+
+  /** [[embRecallSampled]] at the aggressive 1/16 rate
+    * ([[CORPUS_LOWRATE_THRESH]]) — the sparse-sample regime a
+    * 100 TB-corpus audit actually runs at (see the threshold doc for
+    * the widened-SE arithmetic). Same estimator, same oracle-replayed
+    * deterministic draw; cost ≈ 1/16 of the full sweep's exact
+    * kernels.
+    */
+  def embRecallLowRate(spark: SparkSession, dir: String): DataFrame =
+    embRecallWith(spark, dir, sampleThresh = Some(CORPUS_LOWRATE_THRESH))
 
   private def embRecallWith(spark: SparkSession, dir: String,
-      corpusSample: Boolean): DataFrame = {
+      sampleThresh: Option[String]): DataFrame = {
     import graft.functions.VectorFunctions._
     val (vecs, keys) = graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
         "dedup.embRecallAudit", spark, dir) { scope =>
@@ -929,8 +959,8 @@ object DedupQueries extends graft.QueryModule {
 
     // the sample prunes the corpus side BEFORE the exact kernel: the
     // dropped 1−rate of the corpus never pays qdot at all
-    val corpus = if (corpusSample)
-      vecs.filter(corpusSampled(col("vec_id"))) else vecs
+    val corpus = sampleThresh.fold(vecs)(t =>
+      vecs.filter(corpusSampled(col("vec_id"), t)))
     val truth = broadcast(anchors)
       .crossJoin(corpus.select(
         col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb")))
@@ -1534,7 +1564,8 @@ object DedupQueries extends graft.QueryModule {
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_emb_recall" -> embRecall,
-    "q_emb_recall_sampled" -> embRecallSampled
+    "q_emb_recall_sampled" -> embRecallSampled,
+    "q_emb_recall_lowrate" -> embRecallLowRate
   )
 
   /** Shared CTE: distinct word-3-shingles, lead-window construction —
@@ -1704,6 +1735,50 @@ object DedupQueries extends graft.QueryModule {
       |         CAST(sum(b * (1 << (k % (SELECT bits FROM tier)))) AS INT) AS band_key
       |  FROM sbits GROUP BY vec_id, k // (SELECT bits FROM tier)
       |)""".stripMargin
+
+  /** One rendering of the anchors-vs-corpus recall-audit oracle:
+    * exact integer-cosine truth beside the adaptive-tier band
+    * candidate set, with the corpus (b) side optionally restricted by
+    * a sample predicate. Shared by the full, 1/2-rate, and 1/16-rate
+    * variants so the audit SQL can never diverge between tiers.
+    */
+  private def embRecallOracleSql(samplePred: Option[String]): String = {
+    val pred = samplePred.fold("")(p => s"\n   AND $p")
+    s"""WITH ${embOracleCteAdaptive("count(*)")}, anc AS (
+      |  SELECT vec_id FROM embeddings
+      |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
+      |), dots AS (
+      |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
+      |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
+      |  FROM q qa
+      |  JOIN anc ON anc.vec_id = qa.vec_id
+      |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id$pred
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT vec_a, vec_b,
+      |         CAST(floor((CAST(dot AS DOUBLE) /
+      |              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 10) AS INT) AS bucket
+      |  FROM dots
+      |  JOIN norms na ON na.vec_id = vec_a
+      |  JOIN norms nb ON nb.vec_id = vec_b
+      |  WHERE CAST(dot AS DOUBLE) /
+      |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
+      |), prop AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM keys x
+      |  JOIN anc ON anc.vec_id = x.vec_id
+      |  JOIN keys y
+      |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+      |   AND x.vec_id <> y.vec_id
+      |)
+      |SELECT bucket,
+      |       CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(count(p.vec_a) AS BIGINT) AS n_caught,
+      |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      |FROM truth t
+      |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+      |GROUP BY bucket""".stripMargin
+  }
 
   def oracles: Map[String, String] = oraclesBase ++ Map(
     // one source of truth for the transitive closure: the clusters
@@ -1929,81 +2004,15 @@ object DedupQueries extends graft.QueryModule {
         |JOIN norms nb ON nb.vec_id = vec_b
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40""".stripMargin,
     // anchors-vs-corpus exact cosine truth beside the hyperplane band
-    // candidate set — the semantic modality's propose-recall audit
-    "q_emb_recall" ->
-      s"""WITH ${embOracleCteAdaptive("count(*)")}, anc AS (
-        |  SELECT vec_id FROM embeddings
-        |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
-        |), dots AS (
-        |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
-        |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
-        |  FROM q qa
-        |  JOIN anc ON anc.vec_id = qa.vec_id
-        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id
-        |  GROUP BY 1, 2
-        |), truth AS (
-        |  SELECT vec_a, vec_b,
-        |         CAST(floor((CAST(dot AS DOUBLE) /
-        |              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 10) AS INT) AS bucket
-        |  FROM dots
-        |  JOIN norms na ON na.vec_id = vec_a
-        |  JOIN norms nb ON nb.vec_id = vec_b
-        |  WHERE CAST(dot AS DOUBLE) /
-        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
-        |), prop AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM keys x
-        |  JOIN anc ON anc.vec_id = x.vec_id
-        |  JOIN keys y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.vec_id <> y.vec_id
-        |)
-        |SELECT bucket,
-        |       CAST(count(*) AS BIGINT) AS n_true,
-        |       CAST(count(p.vec_a) AS BIGINT) AS n_caught,
-        |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-        |FROM truth t
-        |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
-        |GROUP BY bucket""".stripMargin,
-    // the q_emb_recall formulation with the corpus (b) side restricted
-    // to the deterministic md5 sample tier — the same draw the Spark
-    // side computes, so the sampled counts compare exactly
+    // candidate set — the semantic modality's propose-recall audit.
+    // Sampled tiers restrict the corpus (b) side to the deterministic
+    // md5 draw the Spark side computes, so sampled counts compare
+    // exactly: rate 1/2, and the aggressive 1/16 sparse-sample regime.
+    "q_emb_recall" -> embRecallOracleSql(None),
     "q_emb_recall_sampled" ->
-      s"""WITH ${embOracleCteAdaptive("count(*)")}, anc AS (
-        |  SELECT vec_id FROM embeddings
-        |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
-        |), dots AS (
-        |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
-        |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
-        |  FROM q qa
-        |  JOIN anc ON anc.vec_id = qa.vec_id
-        |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id
-        |   AND ${corpusSampledSql("qb.vec_id")}
-        |  GROUP BY 1, 2
-        |), truth AS (
-        |  SELECT vec_a, vec_b,
-        |         CAST(floor((CAST(dot AS DOUBLE) /
-        |              (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 10) AS INT) AS bucket
-        |  FROM dots
-        |  JOIN norms na ON na.vec_id = vec_a
-        |  JOIN norms nb ON nb.vec_id = vec_b
-        |  WHERE CAST(dot AS DOUBLE) /
-        |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.40
-        |), prop AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM keys x
-        |  JOIN anc ON anc.vec_id = x.vec_id
-        |  JOIN keys y
-        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-        |   AND x.vec_id <> y.vec_id
-        |)
-        |SELECT bucket,
-        |       CAST(count(*) AS BIGINT) AS n_true,
-        |       CAST(count(p.vec_a) AS BIGINT) AS n_caught,
-        |       CAST(count(p.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
-        |FROM truth t
-        |LEFT JOIN prop p ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
-        |GROUP BY bucket""".stripMargin,
+      embRecallOracleSql(Some(corpusSampledSql("qb.vec_id"))),
+    "q_emb_recall_lowrate" ->
+      embRecallOracleSql(Some(corpusSampledSql("qb.vec_id", CORPUS_LOWRATE_THRESH))),
     // same W, same md5-of-joined-span hashing, same gaps-and-islands
     // interval merge — spelled with unnest + window SQL
     "q_dup_spans" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,7 +89,8 @@ private class PagedTable extends Table with SupportsRead {
 
 private class PagedScan(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   import scala.jdk.CollectionConverters._
   private val opts: Map[String, String] =
     options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
@@ -131,14 +132,16 @@ private class PagedScan(options: CaseInsensitiveStringMap)
       case EqualTo("page", v) => asInt(v).exists { i =>
         pageLo = math.max(pageLo, i); pageHi = math.min(pageHi, i); true
       }
+      // strict bounds clamp through Long: i+1 at Int.MaxValue (or i-1 at
+      // MinValue) would wrap and silently disable pruning
       case GreaterThan("page", v) => asInt(v).exists { i =>
-        pageLo = math.max(pageLo, i + 1); true
+        pageLo = math.max(pageLo, math.min(Int.MaxValue.toLong, i.toLong + 1).toInt); true
       }
       case GreaterThanOrEqual("page", v) => asInt(v).exists { i =>
         pageLo = math.max(pageLo, i); true
       }
       case LessThan("page", v) => asInt(v).exists { i =>
-        pageHi = math.min(pageHi, i - 1); true
+        pageHi = math.min(pageHi, math.max(Int.MinValue.toLong, i.toLong - 1).toInt); true
       }
       case LessThanOrEqual("page", v) => asInt(v).exists { i =>
         pageHi = math.min(pageHi, i); true
@@ -157,20 +160,38 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  // Column pruning: a projection that drops `payload` (e.g. a count or
+  // a page-range probe) must not materialize every record string into
+  // rows — the reader emits only the requested fields, in the
+  // requested order. Pages are still FETCHED (the transport is the row
+  // source, records are the row count), but the per-row payload
+  // allocation and the bytes carried through the rest of the plan are
+  // gone. Spark hands us a subset of SCHEMA; empty (count(*)) is legal.
+  private var requiredSchema: StructType = PaginatedDataSource.SCHEMA
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PaginatedDataSource.SCHEMA
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = limitPages.fold("")(lp => s", limitPages=$lp")
     val rng = if (pageLo > 1 || pageHi < Int.MaxValue) s", pages=[$pageLo,$pageHi]" else ""
-    s"graft-pages(pageSize=$pageSize$lim$rng)"
+    val cols = requiredSchema.fieldNames.mkString(",")
+    s"graft-pages(pageSize=$pageSize$lim$rng, cols=[$cols])"
   }
 
   // memoized: Spark may call planInputPartitions several times on one
   // scan (planning + execution); the probe must not re-fire each time
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
-  private lazy val plannedPartitions: Array[InputPartition] = {
+  // a provably-empty pushed range (pageHi < pageLo, or the whole range
+  // below page 1) needs no count discovery at all — skip the driver
+  // probe, not just the executor fetches
+  private lazy val plannedPartitions: Array[InputPartition] =
+    if (pageHi < math.max(1, pageLo)) Array.empty else plannedNonEmpty
+
+  private lazy val plannedNonEmpty: Array[InputPartition] = {
     // count discovery: ONE driver-side probe per scan (the inherently
     // sequential part of offset pagination); its payload is not wasted
     // — it seeds the first partition when page 1 survives pruning
@@ -205,7 +226,7 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(opts)
+    new PagedReaderFactory(opts, requiredSchema.fieldNames)
 }
 
 /** A contiguous range of 1-based pages; `seeded` carries the driver
@@ -228,13 +249,14 @@ private object RetryOpts {
     opts.getOrElse("retrydelayms", "1000").toLong)
 }
 
-private class PagedReaderFactory(opts: Map[String, String])
+private class PagedReaderFactory(opts: Map[String, String], cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(partition.asInstanceOf[PagePartition], opts)
+    new PagedReader(partition.asInstanceOf[PagePartition], opts, cols)
 }
 
-private class PagedReader(part: PagePartition, opts: Map[String, String])
+private class PagedReader(part: PagePartition, opts: Map[String, String],
+    cols: Array[String])
     extends PartitionReader[InternalRow] {
   private lazy val transport = PaginatedDataSource.makeTransport(opts)
   private val retry = RetryOpts(opts)
@@ -266,8 +288,17 @@ private class PagedReader(part: PagePartition, opts: Map[String, String])
     buffer.hasNext
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](page - 1, UTF8String.fromString(buffer.next())))
+  override def get(): InternalRow = {
+    // emit exactly the pruned projection, in its order; the record is
+    // always consumed (it IS the row), its string only converted when
+    // `payload` survived pruning
+    val rec = buffer.next()
+    new GenericInternalRow(cols.map[Any] {
+      case "page" => page - 1
+      case "payload" => UTF8String.fromString(rec)
+      case other => throw new IllegalStateException(s"unknown column $other")
+    })
+  }
 
   override def close(): Unit = ()
 }

@@ -120,6 +120,7 @@ class CatalogSpec extends SparkSpec {
       "q_heavy_hitters", "q_collocations", "q_weighted_sample", "q_global_rank",
       "q_bloom_prune", "q_ks_drift", "q_emb_recall", "q_media_recall",
       "q_emb_recall_sampled", "q_media_recall_sampled",
+      "q_emb_recall_lowrate", "q_media_recall_lowrate",
       "q_hybrid_rank", "q_surprisal", "q_triplets", "q_gapfill",
       "q_copurchase", "q_bpe_merges", "q_bpe_encode", "q_pagerank_directed",
       "q_triangles") // 1-row node/edge/triangle count scalars

@@ -70,24 +70,41 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("class-collapsed recall audit equals the member-level formulation") {
-    // mediaRecall runs its pair arithmetic on payload-identical
-    // classes with multiplicity weights (anchors x distinct payloads
-    // instead of anchors x members). This reference rebuilds the
-    // member-level grid from scratch — member grams, anchors by the
-    // same md5 order, full anchors x members intersects, band-caught
-    // per member pair — and the weighted result must match it row for
-    // row. Pins the weight arithmetic (|B| minus the anchor's own
-    // class, zero-weight self-singletons dropped, same-class pairs
-    // caught by identity) against the formulation the DuckDB oracle
-    // uses, independent of fixture scale.
-    //
-    // The corpus is the sf0001 fixture PLUS planted byte-identical
-    // copies (two extra members for every media_id % 5 == 0): the raw
-    // fixture's duplicate rate is too thin to guarantee the
-    // multi-member weight arithmetic is exercised, and a hardcoded
-    // anchor count would silently diverge from the implementation —
-    // both the reference grid and the collapsed path below run on the
-    // same planted frame with the shared MEDIA_ANCHORS budget.
+    plantedRecallCollapseCheck(sampleThresh = None)
+  }
+
+  test("lowrate (1/16) member-sampled collapse equals the member-level sampled formulation") {
+    // the aggressive-rate tier's weight arithmetic — sampled member
+    // counts, zero-weight class pruning, own-class decrement only when
+    // the anchor itself is sampled — checked non-vacuously against the
+    // member-level grid on the same planted classes (the testdata gate
+    // scales leave the lowrate truth empty, so this is where the
+    // sparse-sample path is actually exercised)
+    plantedRecallCollapseCheck(sampleThresh =
+      Some(graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH))
+  }
+
+  /** Shared check: mediaRecall runs its pair arithmetic on
+    * payload-identical classes with multiplicity weights (anchors x
+    * distinct payloads instead of anchors x members). The reference
+    * rebuilds the member-level grid from scratch — member grams,
+    * anchors by the same md5 order, full anchors x members intersects
+    * (the member side restricted to the deterministic sample when a
+    * threshold is given), band-caught per member pair — and the
+    * weighted result must match it row for row. Pins the weight
+    * arithmetic (|B| minus the anchor's own class, zero-weight classes
+    * dropped, same-class pairs caught by identity) against the
+    * formulation the DuckDB oracle uses, independent of fixture scale.
+    *
+    * The corpus is the sf0001 fixture PLUS planted byte-identical
+    * copies (two extra members for every media_id % 5 == 0): the raw
+    * fixture's duplicate rate is too thin to guarantee the
+    * multi-member weight arithmetic is exercised, and a hardcoded
+    * anchor count would silently diverge from the implementation —
+    * both the reference grid and the collapsed path below run on the
+    * same planted frame with the shared MEDIA_ANCHORS budget.
+    */
+  private def plantedRecallCollapseCheck(sampleThresh: Option[String]): Unit = {
     import graft.operators.DedupQueries
     import graft.multimodal.MultimodalQueries
     val base = Multimodal.mediaTable(spark, sf0001)
@@ -105,8 +122,10 @@ class MultimodalSpec extends SparkSpec {
       .limit(MultimodalQueries.MEDIA_ANCHORS)
     val anchors = g.join(anchorIds, Seq("doc_id"))
       .select(col("doc_id").as("doc_a"), col("sh_arr").as("__sa"))
+    val corpusSide = sampleThresh.fold(g)(t =>
+      g.filter(DedupQueries.corpusSampled(col("doc_id"), t)))
     val truth = broadcast(anchors)
-      .crossJoin(g.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
+      .crossJoin(corpusSide.select(col("doc_id").as("doc_b"), col("sh_arr").as("__sb")))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(col("__sa")).cast("long").as("n_a"),
@@ -137,10 +156,12 @@ class MultimodalSpec extends SparkSpec {
     val anchorsInMulti = idx.select(explode(col("members")).as("doc_id"), size(col("members")).as("sz"))
       .join(anchorIds, Seq("doc_id")).filter(col("sz") >= 2).count()
     assert(anchorsInMulti > 0)
-    val collapsed = MultimodalQueries.mediaRecallOn(idx, repBands)
+    val collapsed = MultimodalQueries.mediaRecallOn(idx, repBands, sampleThresh)
       .select("bucket", "n_true", "n_caught")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     idx.unpersist(); repBands.unpersist()
+    // non-vacuous even under the sparse tier: the planted classes must
+    // put SOME sampled member into some anchor's truth set
     assert(reference.nonEmpty)
     assert(collapsed === reference)
   }

@@ -182,6 +182,49 @@ class SourcesSpec extends SparkSpec {
       s"expected 2 fetches (probe + page 2), got ${FakePagesTransport.fetchCalls.get()}")
   }
 
+  test("DSv2 paginated source: column pruning reaches the scan (pruned read schema)") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    val proj = df.select(org.apache.spark.sql.functions.col("page"))
+    // the scan itself must carry the pruned schema, not prune post-scan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[page]"), s"scan not pruned:\n$plan")
+    assert(proj.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3, 4))
+    // an empty projection (count) is legal too, and row counts survive
+    assert(df.count() == 10)
+  }
+
+  test("DSv2 paginated source: page bound at Int.MaxValue clamps instead of wrapping") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    // page > Int.MaxValue: the old i+1 wrapped to Int.MinValue and
+    // silently disabled pruning (all 4 data pages fetched, residual
+    // saved the result); clamped arithmetic prunes to probe-only
+    val rows = df.filter(org.apache.spark.sql.functions.col("page") > Int.MaxValue).collect()
+    assert(rows.isEmpty)
+    assert(FakePagesTransport.fetchCalls.get() == 1,
+      s"expected probe-only (1 fetch), got ${FakePagesTransport.fetchCalls.get()}")
+  }
+
+  test("DSv2 paginated source: provably-empty pushed range skips even the driver probe") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    // page < 1 is empty BEFORE count discovery: zero transport calls
+    val rows = df.filter(org.apache.spark.sql.functions.col("page") < 1).collect()
+    assert(rows.isEmpty)
+    assert(FakePagesTransport.fetchCalls.get() == 0,
+      s"expected zero fetches, got ${FakePagesTransport.fetchCalls.get()}")
+  }
+
   test("end-to-end stage: fetch -> parse -> upsert (etl.py per-brand dataflow)") {
     val json = (id: Long) =>
       s"""{"data": [{"id": "$id", "attributes": {"name": "R$id", "website": "r$id.com"}}],
