@@ -7,8 +7,11 @@ object Bench {
     // 32-cpu box); SPARK_GRAFT_CPUS overrides for local experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER dials the same bench onto a multi-JVM
+    // local-cluster master (real exchange serialization, executor-side
+    // broadcast hydration) — a perf PROFILE, not the committed-baseline
+    // configuration, which stays local[32] per the driver contract.
+    val spark = SessionEnv.builder(cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -148,7 +151,10 @@ object Bench {
         f"${100.0 * (s1 - s0) / (t1 - t0)}%.2f"
       case _ => "-1"
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$steadyRuns,"loadavg":${jstr(loadavg)},"steal_pct":$stealPct,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    // the master is stamped into the artifact so a multi-JVM profile
+    // run can never masquerade as a contract local[32] sample
+    val masterStr = SessionEnv.master(cpus)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$steadyRuns,"loadavg":${jstr(loadavg)},"steal_pct":$stealPct,"failed":$failed,"errors":$errs,"master":${jstr(masterStr)},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was
     // a truncated stdout tail and the regression gate had nothing to
@@ -164,8 +170,13 @@ object Bench {
     // SPARK_GRAFT_HIST redirects the append-only log: off-sf runs
     // (sf1 scaling certification) and subset runs must not land in the
     // committed sf0.1 history the regression gate min-composites over.
+    // ... and subset or non-default-master runs (multi-JVM profiles)
+    // must not land in the committed sf0.1 local[32] history the
+    // regression gate min-composites over.
     val hist = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_HIST",
-      if (only.isDefined) "target/bench_subset.jsonl" else "bench_history.jsonl"))
+      if (only.isDefined) "target/bench_subset.jsonl"
+      else if (masterStr.startsWith("local-cluster")) "target/bench_cluster.jsonl"
+      else "bench_history.jsonl"))
     java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()

@@ -11,25 +11,10 @@ object Verify {
     // Default to every core; SPARK_GRAFT_CPUS overrides for experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    // SPARK_GRAFT_MASTER overrides the default local[cpus]: set it to
-    // local-cluster[n,cores,mem] to run the same Verify+oracle gate
-    // under a REAL multi-JVM master — separate executor processes,
-    // real exchange/broadcast serialization, worker-side classloading —
-    // the failure modes a single-JVM local master cannot express. The
-    // graft classes ride to the executors via extraClassPath (Spark's
-    // own jars come from SPARK_HOME on the worker side); shuffle
+    // SPARK_GRAFT_MASTER overrides the default local[cpus] — see
+    // SessionEnv for the local-cluster (multi-JVM) wiring; shuffle
     // partitions stay at the session's thread/core count either way.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder0 = SparkSession.builder().master(master)
-    val builder =
-      if (master.startsWith("local-cluster"))
-        // decode via toURI: getPath is percent-encoded, so a checkout
-        // path with spaces would yield a classpath executors can't read
-        builder0.config("spark.executor.extraClassPath",
-          java.nio.file.Paths.get(
-            getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString)
-      else builder0
-    val spark = builder
+    val spark = SessionEnv.builder(cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
