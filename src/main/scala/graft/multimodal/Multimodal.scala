@@ -647,6 +647,11 @@ object MultimodalQueries extends graft.QueryModule {
     * SQL rendering.
     */
   private[graft] lazy val mediaBandsCte: String =
+    // sh / sig / bands are multiply-referenced (sh: sizes + sig + both
+    // inter sides; sig: three band projections; bands: both candidate
+    // sides) and DuckDB 1.0 re-inlines CTEs per reference — at sf10
+    // (500k docs, ~250M gram rows) the re-evaluated gram explode
+    // exhausted >40 GB of spill. MATERIALIZED evaluates each once.
     s"""hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents
       |), g0 AS (
@@ -654,12 +659,12 @@ object MultimodalQueries extends graft.QueryModule {
       |  FROM hx, LATERAL (SELECT unnest(range(0,
       |    (length(h) - ${2 * Multimodal.GRAM_BYTES}) // 2 + 1)) AS i) t
       |  WHERE length(h) >= ${2 * Multimodal.GRAM_BYTES}
-      |), sh AS (SELECT DISTINCT doc_id, s FROM g0),
-      |sig AS (
+      |), sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM g0),
+      |sig AS MATERIALIZED (
       |  SELECT doc_id,
       |         ${graft.operators.DedupQueries.sigSqlItems}
       |  FROM sh GROUP BY doc_id
-      |), bands AS (
+      |), bands AS MATERIALIZED (
       |  SELECT doc_id, 0 AS band_id, m0 || '_' || m1 || '_' || m2 AS band_key FROM sig
       |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
       |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig

@@ -1703,17 +1703,25 @@ object DedupQueries extends graft.QueryModule {
     * VALUES literal carries all 256 possible hyperplanes; `pl.k <
     * bands*bits` activates the selected prefix, so below
     * EMB_TIER0_MAX this reduces to exactly the fixed CTE. CTEs are
-    * MATERIALIZED: DuckDB 1.0 inlines per reference and `q`/`keys`
-    * are referenced several times downstream.
+    * MATERIALIZED: DuckDB 1.0 inlines per reference and `qv`/`keys`
+    * are referenced several times downstream. Vectors stay LISTS and
+    * dots are `list_dot_product` — the earlier unnest-to-rows
+    * formulation joined 12.8M component rows against 208 active
+    * planes (~2.7G intermediate rows at 200k vectors) and exhausted
+    * >40 GB of DuckDB spill at sf10; per-pair list kernels keep the
+    * oracle linear in pairs. Exactness holds: quantized components
+    * are |q| <= ~2000, so every product/sum is an integer far below
+    * 2^53 and the DOUBLE-returning kernel is bit-exact to the
+    * engine's integer arithmetic.
     */
   private[graft] def embOracleCteAdaptive(countSql: String): String =
-    s"""q AS MATERIALIZED (
+    s"""qv AS MATERIALIZED (
       |  SELECT vec_id,
-      |         generate_subscripts(embedding, 1) AS p,
-      |         CAST(round(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS qc
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings
       |), norms AS MATERIALIZED (
-      |  SELECT vec_id, CAST(sum(qc * qc) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+      |  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM qv
       |), tier AS MATERIALIZED (
       |  SELECT CASE WHEN n <= $EMB_TIER0_MAX THEN $EMB_BANDS ELSE 16 END AS bands,
       |         CASE WHEN n <= $EMB_TIER0_MAX THEN $EMB_BITS
@@ -1722,18 +1730,16 @@ object DedupQueries extends graft.QueryModule {
       |         END AS bits
       |  FROM (SELECT ($countSql) AS n FROM embeddings) c
       |), planes AS MATERIALIZED (
-      |  SELECT k, generate_subscripts(sv, 1) AS p, unnest(sv) AS s
-      |  FROM (VALUES $planesSqlValuesAll) t(k, sv)
-      |), sbits AS MATERIALIZED (
-      |  SELECT q.vec_id, pl.k,
-      |         CASE WHEN sum(q.qc * pl.s) >= 0 THEN 1 ELSE 0 END AS b
-      |  FROM q JOIN planes pl ON q.p = pl.p
-      |  WHERE pl.k < (SELECT bands * bits FROM tier)
-      |  GROUP BY q.vec_id, pl.k
+      |  SELECT k, sv FROM (VALUES $planesSqlValuesAll) t(k, sv)
       |), keys AS MATERIALIZED (
       |  SELECT vec_id, k // (SELECT bits FROM tier) AS band_id,
       |         CAST(sum(b * (1 << (k % (SELECT bits FROM tier)))) AS INT) AS band_key
-      |  FROM sbits GROUP BY vec_id, k // (SELECT bits FROM tier)
+      |  FROM (
+      |    SELECT q.vec_id, pl.k,
+      |           CASE WHEN list_dot_product(q.qv, pl.sv) >= 0 THEN 1 ELSE 0 END AS b
+      |    FROM qv q, planes pl
+      |    WHERE pl.k < (SELECT bands * bits FROM tier)
+      |  ) GROUP BY vec_id, k // (SELECT bits FROM tier)
       |)""".stripMargin
 
   /** One rendering of the anchors-vs-corpus recall-audit oracle:
@@ -1749,11 +1755,10 @@ object DedupQueries extends graft.QueryModule {
       |  ORDER BY md5('anc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $EMB_ANCHORS
       |), dots AS (
       |  SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b,
-      |         CAST(sum(qa.qc * qb.qc) AS BIGINT) AS dot
-      |  FROM q qa
+      |         CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) AS dot
+      |  FROM qv qa
       |  JOIN anc ON anc.vec_id = qa.vec_id
-      |  JOIN q qb ON qa.p = qb.p AND qa.vec_id <> qb.vec_id$pred
-      |  GROUP BY 1, 2
+      |  JOIN qv qb ON qa.vec_id <> qb.vec_id$pred
       |), truth AS (
       |  SELECT vec_a, vec_b,
       |         CAST(floor((CAST(dot AS DOUBLE) /
@@ -1991,11 +1996,11 @@ object DedupQueries extends graft.QueryModule {
         |  FROM keys a JOIN keys b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
         |), dots AS (
-        |  SELECT c.vec_a, c.vec_b, CAST(sum(a.qc * b.qc) AS BIGINT) AS dot
+        |  SELECT c.vec_a, c.vec_b,
+        |         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
         |  FROM cand c
-        |  JOIN q a ON a.vec_id = c.vec_a
-        |  JOIN q b ON b.vec_id = c.vec_b AND a.p = b.p
-        |  GROUP BY 1, 2
+        |  JOIN qv a ON a.vec_id = c.vec_a
+        |  JOIN qv b ON b.vec_id = c.vec_b
         |)
         |SELECT vec_a, vec_b,
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
