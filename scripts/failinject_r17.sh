@@ -75,15 +75,18 @@ leg_a() {
 leg_b() {
   note "=== LEG B: executor SIGKILL mid q_stream_media drain (RocksDB state, local-cluster)"
   local out=/tmp/fi_vb
-  rm -rf "$out" /tmp/temporary-*   # stale stream checkpoints would fool the trigger
+  # stale checkpoint roots would fool the trigger (live runs keep
+  # theirs via the owner.pid liveness sweep — none is running here)
+  rm -rf "$out" /dev/shm/graft-drain-ckpt*
   SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' SPARK_GRAFT_CPUS=8 \
     GRAFT_STATE_PROVIDER=rocksdb \
     scripts/run.sh graft.Verify "$SF" "$out" q_stream_media \
     > "$OUT/b_driver.out" 2>&1 &
   local vpid=$!
-  # the drain's streaming checkpoint carries a state/ dir once the
-  # stateful stage is running
-  if wait_file "/tmp/temporary-*/state/0/*" 240; then
+  # the drain's RAM-backed streaming checkpoint lives at
+  # <ckptRoot>/<queryName>/ (StreamQueries.drain resolves the query
+  # name under the root) and grows state/ once the stateful stage runs
+  if wait_file "/dev/shm/graft-drain-ckpt*/*/state/0/*" 240; then
     sleep 1
     local victim
     victim=$(executor_pids | head -1)
@@ -127,11 +130,34 @@ leg_c() {
   kdir="$resume/round_$kmax"
   kmtime=$(stat -c %Y "$kdir/_meta.json")
   note "leg C: after kill, newest committed round = $kmax (meta mtime $kmtime)"
-  # rerun with the same resume dir: must CONTINUE, not restart
+  # rerun with the same resume dir: must CONTINUE, not restart. The
+  # end state is identical either way (that is the point), so the
+  # discriminator is OBSERVATIONAL: a watcher polls the resume dir and
+  # records every round/_tmp_round name that ever appears — a
+  # restart-from-0 would recommit round_1/round_2, a resume's first
+  # new commit is round_$((kmax+1)).
+  : > "$OUT/c_seen.txt"
+  ( while :; do ls "$resume" >> "$OUT/c_seen.txt" 2>/dev/null; sleep 0.05; done ) &
+  local wpid=$!
   GRAFT_LOOP_RESUME_DIR="$resume" SPARK_GRAFT_CPUS=8 \
     scripts/run.sh graft.Verify "$SF" "$out2" q_pagerank_eps \
     > "$OUT/c_driver2.out" 2>&1
   note "leg C: rerun rc=$?"
+  kill "$wpid" 2>/dev/null; wait "$wpid" 2>/dev/null
+  # pre-kill survivors (round_kmax-1, round_kmax) legitimately appear
+  # in listings — only _tmp_round_N names mark commits the RERUN made
+  local seen mincommit
+  seen=$(sort -u "$OUT/c_seen.txt" | tr '\n' ' ')
+  note "leg C: rounds observed during rerun: $seen"
+  mincommit=$(grep -o '_tmp_round_[0-9]*' "$OUT/c_seen.txt" \
+    | grep -o '[0-9]*$' | sort -n | head -1)
+  if [ -z "$mincommit" ]; then
+    note "leg C: WARN — watcher saw no _tmp commit (poll too coarse?)"
+  elif [ "$mincommit" -le "$kmax" ]; then
+    note "leg C: FAIL — rerun recommitted round_$mincommit <= committed $kmax (restart-from-0)"
+  else
+    note "leg C: RESUMED — rerun's first commit was round_$mincommit (= committed+1: $kmax+1)"
+  fi
   local kmtime2
   if [ -d "$kdir" ]; then
     kmtime2=$(stat -c %Y "$kdir/_meta.json")
@@ -149,7 +175,6 @@ leg_c() {
   python3 scripts/check.py "$SF" "$out2" q_pagerank_eps | tee -a "$OUT/log.txt"
 }
 
-leg_a
-leg_b
-leg_c
+# FI_LEGS selects a subset (e.g. FI_LEGS="b c" to re-drive two legs)
+for leg in ${FI_LEGS:-a b c}; do "leg_$leg"; done
 note "=== all legs done"
