@@ -22,7 +22,7 @@
 # must have a committed row or below-floor entry in SCALING.md
 # (r11 verdict item 5 — a query added in a round must ship with its
 # scaling evidence; measure new queries via scripts/scaling_run.sh).
-BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_169q.json}
+BASE=${ROUND_GATE_BASELINE:-baselines/bench_sf0.1_171q.json}
 NEW=${1:-target/bench.json}
 python3 "$(dirname "$0")/count_gate.py" || exit 1
 python3 "$(dirname "$0")/scaling_gate.py" || exit 1
