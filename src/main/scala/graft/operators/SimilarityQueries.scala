@@ -409,24 +409,43 @@ object SimilarityQueries extends graft.QueryModule {
     * full corpus and the corpus is never self-paired.
     *
     * Scale: the candidate join is batch-probes x corpus-assignment on
-    * list_id — per-ingest cost is |batch| x NPROBE x list-size, and
-    * list size is bounded because the list count grows with the corpus
-    * (see [[SEM_CAP]]; at 100 TB the assignment table is a persisted
-    * index partitioned by list_id that each ingest batch probes). The
-    * affinity ranking is read from the shared memoized index — at
-    * scale the centroids are a stable, broadcast-sized artifact that
-    * ingest reuses rather than recomputes.
+    * (list_id, sub) — the SAME [[SEM_CAP]] hash-subsplit that bounds
+    * the batch path's pair join, so per-ingest cost is |batch| x
+    * NPROBE x SEM_CAP exact kernels REGARDLESS of corpus size (the
+    * r17 sf10 run caught the unsubsplit form joining each probe
+    * against whole ~20k-member lists — ~10^9 kernels at 200k vectors,
+    * a GC death that would be terminal at corpus scale). Each probe
+    * compares against the sublist the NEW vector's own md5 selects —
+    * a missed cross-sublist pair is the identical
+    * finer-clustering approximation the batch path documents at
+    * [[SEM_CAP]], with the identical catch probability. At 100 TB the
+    * assignment table is a persisted index partitioned by
+    * (list_id, sub) that each ingest batch point-probes. The affinity
+    * ranking is read from the shared memoized index — at scale the
+    * centroids are a stable, broadcast-sized artifact that ingest
+    * reuses rather than recomputes.
     */
   def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val (vecs, ranked, assigned) = ivfIndex(spark, dir)
     val corpus = assigned.filter(col("vec_id") % 10 =!= 0)
-      .select(col("vec_id").as("corpus_id"), col("list_id"))
+      .select(col("vec_id").as("corpus_id"), col("list_id"), col("sub"))
+    // n_sub per list from the full assignment — the same definition
+    // the batch subsplit used (n_lists rows, always broadcastable)
+    val nsub = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_in_list"))
+      .select(col("list_id"),
+        expr(s"(n_in_list + ${SEM_CAP - 1}) div $SEM_CAP").as("n_sub"))
     // each new vector probes its NPROBE nearest lists (the ranking the
     // index already carries), not just its assignment — a near-dup
-    // sitting across the assignment boundary is still found
+    // sitting across the assignment boundary is still found; within
+    // each probed list it reads ONE sublist, keyed by its own md5
     val probes = ranked.filter(col("vec_id") % 10 === 0 && col("arnk") <= NPROBE)
       .select(col("vec_id").as("new_id"), col("clabel").as("list_id"))
-    val close = probes.join(corpus, Seq("list_id"))
+      .join(broadcast(nsub), Seq("list_id"))
+      .select(col("new_id"), col("list_id"),
+        pmod(conv(substring(md5(concat(lit("sub:"), col("new_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"), col("n_sub")).as("sub"))
+    val close = probes.join(corpus, Seq("list_id", "sub"))
       .join(vecs.select(col("vec_id").as("new_id"), col("qv").as("qa"), col("n2").as("na")),
         Seq("new_id"))
       .join(vecs.select(col("vec_id").as("corpus_id"), col("qv").as("qb"), col("n2").as("nb")),
@@ -686,16 +705,28 @@ object SimilarityQueries extends graft.QueryModule {
     "q_semdedup_incremental" ->
       s"""WITH $compsCte,
         |$ivfAssignCte,
-        |probes AS (
-        |  SELECT vid AS new_id, clabel AS list_id FROM (
-        |    SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS prnk
-        |    FROM aff WHERE vid % 10 = 0
-        |  ) x WHERE prnk <= $NPROBE
+        |nsub AS (
+        |  SELECT list_id, (count(*) + ${SEM_CAP - 1}) // $SEM_CAP AS n_sub
+        |  FROM assigned GROUP BY list_id
+        |), probes AS (
+        |  SELECT x.new_id, x.list_id,
+        |         ('0x' || substr(md5('sub:' || CAST(x.new_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           % CAST(c.n_sub AS UBIGINT) AS sub
+        |  FROM (
+        |    SELECT vid AS new_id, clabel AS list_id FROM (
+        |      SELECT vid, clabel, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY aff DESC, clabel) AS prnk
+        |      FROM aff WHERE vid % 10 = 0
+        |    ) y WHERE prnk <= $NPROBE
+        |  ) x JOIN nsub c USING (list_id)
         |), corpus AS (
-        |  SELECT vec_id AS corpus_id, list_id FROM assigned WHERE vec_id % 10 <> 0
+        |  SELECT a.vec_id AS corpus_id, a.list_id,
+        |         ('0x' || substr(md5('sub:' || CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           % CAST(c.n_sub AS UBIGINT) AS sub
+        |  FROM assigned a JOIN nsub c USING (list_id)
+        |  WHERE a.vec_id % 10 <> 0
         |), cand AS (
         |  SELECT p.new_id, c.corpus_id
-        |  FROM probes p JOIN corpus c ON p.list_id = c.list_id
+        |  FROM probes p JOIN corpus c ON p.list_id = c.list_id AND p.sub = c.sub
         |), dots AS (
         |  SELECT cd.new_id, cd.corpus_id, CAST(sum(x.q * y.q) AS BIGINT) AS dot
         |  FROM cand cd
