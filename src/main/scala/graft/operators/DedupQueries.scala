@@ -366,8 +366,8 @@ object DedupQueries extends graft.QueryModule {
 
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val (groups, _) = minhashReps(spark, dir)
-    val (shArr, prefix, sig) =
-      graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame, DataFrame)](
+    val (truth, proposed) =
+      graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
           "dedup.recallAudit", spark, dir) { scope =>
         // rep shingle arrays: read by the prefix build, the signature
         // build, and both verify-join sides
@@ -378,13 +378,22 @@ object DedupQueries extends graft.QueryModule {
         // same KM signature definition as the dedup pipeline; cached
         // because both sides of the band self-join read it
         val sig = scope.cached(minhashSig(shArr, "doc_id"))
-        (shArr, prefix, sig)
+        // The audit's TRUTH pair set and LSH candidate set are both
+        // deterministic per corpus, so they are staged here too — the
+        // same collapse-first staging [[minhashReps]] applies to its
+        // verified rep pairs. Per-execution work is then the join/
+        // expand/aggregate over two staged pair sets (~5 stages), not
+        // the prefix and band self-joins (~15 stages) — which under a
+        // multi-JVM master is the difference between paying per-stage
+        // scheduling latency 15× or 5× per run (the r17 cluster
+        // profile's one outlier, q_dedup_recall at 4.6× its local
+        // mint, was exactly this).
+        val truth = scope.cached(halfJaccardTruth(prefix, shArr))
+        val proposed = scope.cached(
+          bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
+            .withColumn("caught", lit(1L)))
+        (truth, proposed)
       }
-
-    val truth = halfJaccardTruth(prefix, shArr)
-
-    val proposed = bandCandidates(bandKeys(sig, "doc_id"), "doc_id")
-      .withColumn("caught", lit(1L))
 
     val repAudit = truth.join(proposed, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("bucket"),

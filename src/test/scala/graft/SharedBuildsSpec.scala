@@ -141,6 +141,78 @@ class SharedBuildsSpec extends SparkSpec {
     } finally SharedBuilds.invalidateAll()
   }
 
+  test("parquet persist mode: one scratch materialization, same values, clean invalidate") {
+    // the multi-process substrate (auto-selected under any non-local[*]
+    // master): builds write scratch parquet once and every consumer
+    // reads the files — no per-executor-JVM cache duplication
+    val scratch = java.nio.file.Files.createTempDirectory("spec-shared-scratch")
+    System.setProperty("graft.shared.persist", "parquet")
+    System.setProperty("graft.shared.scratch", scratch.toString)
+    try {
+      var builds = 0
+      def get(): DataFrame =
+        SharedBuilds.getOrBuild[DataFrame]("spec.pq", spark, "/spec/pq") { scope =>
+          builds += 1
+          scope.cached(frame("pq"))
+        }
+      val a = get()
+      a.count()
+      // substrate is scratch files; the read-back is ALSO cached (the
+      // cache-miss recompute path is then a local file scan, not the
+      // build pipeline)
+      assert(a.storageLevel != StorageLevel.NONE)
+      assert(a.queryExecution.analyzed.toString.contains("parquet"))
+      assert(a.select("tag").head().getString(0) == "/spec/pq".takeRight(0) + "pq")
+      assert(get() eq a) // memoized, one build
+      assert(builds == 1)
+      // exactly one scratch build dir with parquet files under it
+      val dirs = scratch.toFile.listFiles()
+      assert(dirs != null && dirs.length == 1 && dirs.head.getName.startsWith("spec.pq-"))
+      assert(new java.io.File(dirs.head, "f1").listFiles()
+        .exists(_.getName.endsWith(".parquet")))
+      SharedBuilds.invalidate("/spec/pq")
+      assert(a.storageLevel == StorageLevel.NONE) // cache dropped...
+      assert(scratch.toFile.listFiles().isEmpty) // ...and files deleted
+      // rebuild after invalidate reads fresh data
+      val b = get()
+      assert(builds == 2 && (b ne a))
+    } finally {
+      System.clearProperty("graft.shared.persist")
+      System.clearProperty("graft.shared.scratch")
+      SharedBuilds.invalidate("/spec/pq")
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
+
+  test("parquet persist mode: nested multi-frame builds round-trip exact values") {
+    // the production shape (minhashReps reads sharedShingles) under the
+    // scratch substrate: eager write-then-read must preserve values and
+    // schemas through the nest, including array columns
+    val scratch = java.nio.file.Files.createTempDirectory("spec-shared-scratch2")
+    System.setProperty("graft.shared.persist", "parquet")
+    System.setProperty("graft.shared.scratch", scratch.toString)
+    try {
+      import spark.implicits._
+      val (x, y) = SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+          "spec.pqnest.outer", spark, "/spec/pqnest") { scope =>
+        val inner = SharedBuilds.getOrBuild[DataFrame](
+            "spec.pqnest.inner", spark, "/spec/pqnest") { s2 =>
+          s2.cached(Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("id", "arr"))
+        }
+        val x = scope.cached(inner.select(col("id"), size(col("arr")).as("n")))
+        (x, scope.cached(x.groupBy().agg(sum(col("n")).as("total"))))
+      }
+      assert(x.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        == Seq((1L, 2), (2L, 1)))
+      assert(y.head().getLong(0) == 3L)
+    } finally {
+      System.clearProperty("graft.shared.persist")
+      System.clearProperty("graft.shared.scratch")
+      SharedBuilds.invalidate("/spec/pqnest")
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
+
   test("production shared builds flow through the registry and invalidate cleanly") {
     // sanity: the dedup/text shared builds are registered under real
     // kinds and invalidate() unpersists them (catches a future memo
