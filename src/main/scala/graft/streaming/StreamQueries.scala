@@ -316,9 +316,17 @@ object StreamQueries extends graft.QueryModule {
       } finally activeDrain.set(null)
     } else
     try {
+      val prof = sys.env.get("GRAFT_DRAIN_PROF").contains("1")
+      var tMark = System.nanoTime()
+      def mark(phase: String): Unit = if (prof) {
+        val now = System.nanoTime()
+        System.err.println(f"[drain-prof] $prefix%-24s $phase%-10s ${(now - tMark) / 1e9}%6.3fs")
+        tMark = now
+      }
       val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
       val ckpt = ckptRoot.map(_.resolve(name))
       val q = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString)).start()
+      mark("start")
       // Failure-isolated cleanup (r10 ADVICE item 1): each step runs
       // whatever the previous ones did — a q.stop() throw must not leak
       // the loaded providers or the tmpfs checkpoint, and a failed
@@ -335,16 +343,29 @@ object StreamQueries extends graft.QueryModule {
             if (primary == null) primary = t else primary.addSuppressed(t)
         }
       step(q.processAllAvailable())
+      mark("process")
+      if (prof) q.recentProgress.foreach { p =>
+        System.err.println(s"[drain-prof] $prefix batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durations=${p.durationMs}")
+        p.stateOperators.foreach { so =>
+          System.err.println(s"[drain-prof]   state op=${so.operatorName} " +
+            s"rowsTotal=${so.numRowsTotal} commitMs=${so.commitTimeMs} " +
+            s"durations=${so.customMetrics}")
+        }
+      }
       val drainFailed = primary != null
       step(q.stop())
+      mark("stop")
       // free the stopped query's keyed-state maps NOW instead of
       // leaving them for the async maintenance task — see
       // GraftStateStoreReset for the measured pathology
       step(org.apache.spark.sql.execution.streaming.state
         .GraftStateStoreReset.unloadAll())
+      mark("unload")
       step(ckpt.foreach { p =>
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
       })
+      mark("ckpt-del")
       if (drainFailed) {
         step(session.catalog.dropTempView(name))
         throw primary
