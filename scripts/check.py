@@ -77,7 +77,12 @@ def main():
                 merged = pd.DataFrame({"spark": a, "duck": b})
                 print(merged[a.astype(str) != b.astype(str)].head(5).to_string())
         if eq:
-            print(f"  OK {name}: rows={len(got)}")
+            # 0-row == 0-row is a hash-green that proves nothing — flag
+            # it so a regression that empties both sides (e.g. a sample
+            # tier draining the truth set) can't hide behind a vacuous
+            # pass (r17 ADVICE: q_media_recall_lowrate did exactly this)
+            vac = " [VACUOUS: 0 rows on both sides]" if len(got) == 0 else ""
+            print(f"  OK {name}: rows={len(got)}{vac}")
             n_pass += 1
         else:
             n_fail += 1

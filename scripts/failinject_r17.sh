@@ -126,9 +126,17 @@ leg_c() {
   # trigger and the leg proved nothing — say so loudly
   note "leg C: killed run rc=$rc1 (137 expected)"
   local kmax kdir kmtime
-  kmax=$(ls "$resume" 2>/dev/null | grep -o 'round_[0-9]*' | grep -o '[0-9]*' | sort -n | tail -1)
+  # COMMITTED dirs only: 'round_[0-9]*' also matches an in-flight
+  # _tmp_round_N left by the kill, which would inflate kmax and point
+  # the mtime probe at a dir with no _meta.json (ADVICE r17)
+  kmax=$(ls "$resume" 2>/dev/null | grep -E '^round_[0-9]+$' | grep -o '[0-9]*' | sort -n | tail -1)
   kdir="$resume/round_$kmax"
-  kmtime=$(stat -c %Y "$kdir/_meta.json")
+  if [ -n "$kmax" ] && [ -f "$kdir/_meta.json" ]; then
+    kmtime=$(stat -c %Y "$kdir/_meta.json")
+  else
+    kmtime=""
+    note "leg C: WARN — no committed round with _meta.json after kill"
+  fi
   note "leg C: after kill, newest committed round = $kmax (meta mtime $kmtime)"
   # rerun with the same resume dir: must CONTINUE, not restart. The
   # end state is identical either way (that is the point), so the
@@ -159,7 +167,7 @@ leg_c() {
     note "leg C: RESUMED — rerun's first commit was round_$mincommit (= committed+1: $kmax+1)"
   fi
   local kmtime2
-  if [ -d "$kdir" ]; then
+  if [ -d "$kdir" ] && [ -f "$kdir/_meta.json" ] && [ -n "$kmtime" ]; then
     kmtime2=$(stat -c %Y "$kdir/_meta.json")
     if [ "$kmtime" = "$kmtime2" ]; then
       note "leg C: RESUMED — round_$kmax meta mtime unchanged ($kmtime)"

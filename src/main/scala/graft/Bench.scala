@@ -173,9 +173,17 @@ object Bench {
     // ... and subset or non-default-master runs (multi-JVM profiles)
     // must not land in the committed sf0.1 local[32] history the
     // regression gate min-composites over.
+    // ANY off-contract master diverts — not just local-cluster: a
+    // local[8] dev run (via SPARK_GRAFT_MASTER or SPARK_GRAFT_CPUS)
+    // must not land in the committed history the regression gate
+    // min-composites over. Contract shape = in-process local at full
+    // box width, with no master override in the environment.
+    val contractMaster = sys.env.get("SPARK_GRAFT_MASTER").isEmpty &&
+      masterStr == s"local[${Runtime.getRuntime.availableProcessors}]"
     val hist = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_HIST",
       if (only.isDefined) "target/bench_subset.jsonl"
       else if (masterStr.startsWith("local-cluster")) "target/bench_cluster.jsonl"
+      else if (!contractMaster) "target/bench_offmaster.jsonl"
       else "bench_history.jsonl"))
     java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

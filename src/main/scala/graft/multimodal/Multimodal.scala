@@ -406,10 +406,43 @@ object MultimodalQueries extends graft.QueryModule {
     * the oracle replays the identical deterministic member draw.
     */
   def mediaRecallLowRate(spark: SparkSession, dir: String): DataFrame = {
-    val (idx, repBands) = classIndex(spark, dir)
+    val (idx, repBands) = plantedClassIndex(spark, dir)
     mediaRecallOn(idx, repBands,
       sampleThresh = Some(graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH))
   }
+
+  /** Planted audit overlay for the 1/16-rate tier: every
+    * [[PLANT_EVERY]]-th media row contributes [[PLANT_COPIES]]
+    * synthetic re-uploads of its payload under negative ids
+    * (`-(media_id·copies + j)` — disjoint from every real id), giving
+    * the audit guaranteed multi-member payload classes at EVERY scale.
+    * Without it the fixture's thin duplicate rate left the 1/16-rate
+    * truth set EMPTY at the sf0.01/sf0.1 gates (r17: hash-green but
+    * vacuous — the sparse-sample arithmetic was only exercised by unit
+    * tests). The plant is a pure function of the corpus, replayed
+    * row-for-row by the DuckDB oracle, and ~16/64 ≈ 25% extra member
+    * rows but only ~1.6% extra payload classes, so the collapse-first
+    * audit cost is unchanged at scale. A production audit does the
+    * same thing for the same reason: planted/canary duplicates are how
+    * a recall meter is kept calibrated when the organic duplicate rate
+    * in a sample window can round to zero.
+    */
+  private[graft] val PLANT_EVERY = 64
+  private[graft] val PLANT_COPIES = 16
+
+  private[graft] def plantedMedia(media: DataFrame): DataFrame =
+    media.filter(col("media_id") % PLANT_EVERY === 0)
+      .select(col("media_id"), col("payload"), col("meta"),
+        explode(sequence(lit(1), lit(PLANT_COPIES))).as("j"))
+      .select((-(col("media_id") * PLANT_COPIES + col("j"))).as("media_id"),
+        col("payload"), col("meta"))
+
+  private def plantedClassIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SharedBuilds.getOrBuild[(DataFrame, DataFrame)](
+        "media.classIndexPlanted", spark, dir) { scope =>
+      val media = Multimodal.mediaTable(spark, dir)
+      classIndexOf(media.unionByName(plantedMedia(media)), scope.cached)
+    }
 
   /** The recall-audit arithmetic on an explicit class index — see
     * [[classIndexOf]] for why this is split out.
@@ -587,7 +620,8 @@ object MultimodalQueries extends graft.QueryModule {
       Some(graft.operators.DedupQueries.corpusSampledSql("sb.doc_id"))),
     "q_media_recall_lowrate" -> mediaRecallOracleSql(
       Some(graft.operators.DedupQueries.corpusSampledSql("sb.doc_id",
-        graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH)))
+        graft.operators.DedupQueries.CORPUS_LOWRATE_THRESH)),
+      planted = true)
   )
 
   /** One rendering of the media recall-audit oracle — anchors drawn by
@@ -598,9 +632,10 @@ object MultimodalQueries extends graft.QueryModule {
     * 1/16-rate variants so the audit SQL can never diverge between
     * tiers.
     */
-  private def mediaRecallOracleSql(samplePred: Option[String]): String = {
+  private def mediaRecallOracleSql(samplePred: Option[String],
+      planted: Boolean = false): String = {
     val pred = samplePred.fold("")(p => s"\n   AND $p")
-    s"""WITH $mediaBandsCte,
+    s"""WITH ${mediaBandsCteWith(planted)},
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |anc AS (
       |  SELECT doc_id FROM sh GROUP BY doc_id
@@ -646,14 +681,29 @@ object MultimodalQueries extends graft.QueryModule {
     * every media oracle, so the gram/banding scheme has exactly one
     * SQL rendering.
     */
-  private[graft] lazy val mediaBandsCte: String =
+  private[graft] lazy val mediaBandsCte: String = mediaBandsCteWith(planted = false)
+
+  /** `planted = true` unions the deterministic audit overlay into the
+    * member set — the SQL replay of [[plantedMedia]]: PLANT_COPIES
+    * negative-id re-uploads of every PLANT_EVERY-th document's
+    * payload. Only the 1/16-rate recall oracle plants.
+    */
+  private[graft] def mediaBandsCteWith(planted: Boolean): String = {
+    val plantUnion =
+      if (!planted) ""
+      else s"""
+      |  UNION ALL
+      |  SELECT -(doc_id * $PLANT_COPIES + j) AS doc_id, hex(encode(text)) AS h
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(1, ${PLANT_COPIES + 1})) AS j) pj
+      |  WHERE doc_id % $PLANT_EVERY = 0""".stripMargin
     // sh / sig / bands are multiply-referenced (sh: sizes + sig + both
     // inter sides; sig: three band projections; bands: both candidate
     // sides) and DuckDB 1.0 re-inlines CTEs per reference — at sf10
     // (500k docs, ~250M gram rows) the re-evaluated gram explode
     // exhausted >40 GB of spill. MATERIALIZED evaluates each once.
     s"""hx AS (
-      |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents$plantUnion
       |), g0 AS (
       |  SELECT doc_id, substr(h, 2 * i + 1, ${2 * Multimodal.GRAM_BYTES}) AS s
       |  FROM hx, LATERAL (SELECT unnest(range(0,
@@ -669,6 +719,7 @@ object MultimodalQueries extends graft.QueryModule {
       |  UNION ALL SELECT doc_id, 1, m3 || '_' || m4 || '_' || m5 FROM sig
       |  UNION ALL SELECT doc_id, 2, m6 || '_' || m7 || '_' || m8 FROM sig
       |)""".stripMargin
+  }
 
   private def mediaVerifySql(candCte: String, aCol: String, bCol: String): String =
     s"""WITH $mediaBandsCte, cand AS (

@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -90,7 +91,7 @@ private class PagedTable extends Table with SupportsRead {
 private class PagedScan(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownLimit with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import scala.jdk.CollectionConverters._
   private val opts: Map[String, String] =
     options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => (k.toLowerCase, v) }
@@ -121,7 +122,31 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   // must keep its own Limit on top — pruning is an optimization only
   override def isPartiallyPushed: Boolean = true
 
+  // COUNT(*) pushdown: the API's probe response carries the exact
+  // total record count (the reference's meta.page.total_count,
+  // wdn_api.py:126), so a plain `count(*)` over the source needs the
+  // ONE driver probe and ZERO page fetches — without this, counting a
+  // 10^6-page source fetched and discarded every payload. Pushed only
+  // for the ungrouped single-CountStar shape with no page pruning in
+  // play: a pushed page range or LIMIT changes which rows survive, and
+  // total_count can't answer for a subset (Spark also only offers the
+  // aggregate when no residual filters remain above the scan).
+  private var countStarPushed = false
+  private var sawFilters = false
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      !sawFilters && limitPages.isEmpty && pageLo == 1 && pageHi == Int.MaxValue
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) false
+    else { countStarPushed = true; true }
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     def asInt(v: Any): Option[Int] = v match {
       case i: Int => Some(i)
       case l: Long if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
@@ -172,13 +197,17 @@ private class PagedScan(options: CaseInsensitiveStringMap)
     requiredSchema = required
 
   override def build(): Scan = this
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (countStarPushed)
+      StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = limitPages.fold("")(lp => s", limitPages=$lp")
     val rng = if (pageLo > 1 || pageHi < Int.MaxValue) s", pages=[$pageLo,$pageHi]" else ""
+    val agg = if (countStarPushed) ", PushedAggregates=[COUNT(*)]" else ""
     val cols = requiredSchema.fieldNames.mkString(",")
-    s"graft-pages(pageSize=$pageSize$lim$rng, cols=[$cols])"
+    s"graft-pages(pageSize=$pageSize$lim$rng$agg, cols=[$cols])"
   }
 
   // memoized: Spark may call planInputPartitions several times on one
@@ -189,7 +218,13 @@ private class PagedScan(options: CaseInsensitiveStringMap)
   // below page 1) needs no count discovery at all — skip the driver
   // probe, not just the executor fetches
   private lazy val plannedPartitions: Array[InputPartition] =
-    if (pageHi < math.max(1, pageLo)) Array.empty else plannedNonEmpty
+    if (countStarPushed) {
+      // one probe for total_count; its record payload is discarded —
+      // no page partition ever reaches an executor
+      val (_, totalCount) =
+        retry(PaginatedDataSource.makeTransport(opts).fetch(1))
+      Array(CountPartition(totalCount))
+    } else if (pageHi < math.max(1, pageLo)) Array.empty else plannedNonEmpty
 
   private lazy val plannedNonEmpty: Array[InputPartition] = {
     // count discovery: ONE driver-side probe per scan (the inherently
@@ -235,6 +270,11 @@ private class PagedScan(options: CaseInsensitiveStringMap)
 private case class PagePartition(startPage: Int, endPage: Int, seeded: Seq[String])
     extends InputPartition
 
+/** The single partition of a completely-pushed COUNT(*): emits one row
+  * carrying the probe's total_count, fetching nothing.
+  */
+private case class CountPartition(totalCount: Long) extends InputPartition
+
 /** The S3 retry policy parameterized through scan options
   * (retryTries / retryDelayMs), applied identically to the driver
   * probe and the executor readers.
@@ -252,7 +292,15 @@ private object RetryOpts {
 private class PagedReaderFactory(opts: Map[String, String], cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(partition.asInstanceOf[PagePartition], opts, cols)
+    partition match {
+      case c: CountPartition => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = new GenericInternalRow(Array[Any](c.totalCount))
+        override def close(): Unit = ()
+      }
+      case p: PagePartition => new PagedReader(p, opts, cols)
+    }
 }
 
 private class PagedReader(part: PagePartition, opts: Map[String, String],
@@ -263,6 +311,17 @@ private class PagedReader(part: PagePartition, opts: Map[String, String],
   private var page = part.startPage
   private var buffer: Iterator[String] = Iterator.empty
   private var exhausted = false
+
+  // Per-column emit plan, resolved ONCE at reader construction: the
+  // pruned projection is fixed for the reader's life, so matching
+  // column-name strings per row per column is avoidable dispatch on
+  // payload-heavy scans (and an unknown column now fails at reader
+  // construction, before any fetch). 0 = page, 1 = payload.
+  private val colPlan: Array[Int] = cols.map {
+    case "page" => 0
+    case "payload" => 1
+    case other => throw new IllegalStateException(s"unknown column $other")
+  }
 
   override def next(): Boolean = {
     while (!buffer.hasNext && !exhausted) {
@@ -293,11 +352,15 @@ private class PagedReader(part: PagePartition, opts: Map[String, String],
     // always consumed (it IS the row), its string only converted when
     // `payload` survived pruning
     val rec = buffer.next()
-    new GenericInternalRow(cols.map[Any] {
-      case "page" => page - 1
-      case "payload" => UTF8String.fromString(rec)
-      case other => throw new IllegalStateException(s"unknown column $other")
-    })
+    val values = new Array[Any](colPlan.length)
+    var i = 0
+    while (i < colPlan.length) {
+      values(i) =
+        if (colPlan(i) == 0) page - 1
+        else UTF8String.fromString(rec)
+      i += 1
+    }
+    new GenericInternalRow(values)
   }
 
   override def close(): Unit = ()

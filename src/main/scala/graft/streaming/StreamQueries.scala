@@ -63,25 +63,53 @@ object StreamQueries extends graft.QueryModule {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String, Int, Boolean, String), SparkSession]()
 
-  /** Corpus-scale state dial: `graft.state.provider=rocksdb` (sysprop,
-    * or GRAFT_STATE_PROVIDER env) switches the drain sessions to
-    * Spark's RocksDB state store, which keeps keyed state OFF-HEAP
+  /** Corpus-scale state dial: `graft.state.provider` (sysprop, or
+    * GRAFT_STATE_PROVIDER env) = `rocksdb` switches the drain sessions
+    * to Spark's RocksDB state store, which keeps keyed state OFF-HEAP
     * with changelog-incremental commits — the production provider
     * once dedup/span state outgrows executor heaps (the 100 TB
     * regime; at harness scales the default HDFSBacked map is faster
     * because the whole state fits in memory and RocksDB's write
-    * amplification buys nothing). StreamingSpec certifies the drained
-    * output is provider-invariant, so flipping the dial is a pure
-    * deployment decision, never a semantics change.
+    * amplification buys nothing). `auto` makes that call from the
+    * corpus size ([[chooseProvider]]); StreamingSpec certifies the
+    * drained output is provider-invariant, so flipping the dial is a
+    * pure deployment decision, never a semantics change.
     */
   private def stateProvider: String =
     sys.props.get("graft.state.provider")
       .orElse(sys.env.get("GRAFT_STATE_PROVIDER")).getOrElse("default")
 
-  private def drainSession(spark: SparkSession, dir: String,
+  /** `auto` resolution for the state-provider dial: in-heap HDFSBacked
+    * while the estimated keyed state fits comfortably, RocksDB once it
+    * would crowd the heap. Estimated state = 16× the largest streamable
+    * table's on-disk parquet bytes — the measured expansion at the
+    * bench scale (sf0.1 events: 2 MB parquet → 35 MB session-window
+    * state, stateOnCurrentVersionSizeBytes) rounded to the conservative
+    * side. Threshold = maxHeap/4: the HDFSBacked provider keeps TWO map
+    * versions per store during a commit, and the query's shuffle/sink
+    * memory lives in the same heap, so keyed state above a quarter of
+    * the heap is where sf10 runs measured GC pressure overtaking
+    * RocksDB's write amplification (SCALING.md r17 comparison). Pure
+    * function of the two sizes so the spec pins the decision boundary
+    * directly.
+    */
+  private[graft] def chooseProvider(estStateBytes: Long, maxHeapBytes: Long): String =
+    if (estStateBytes > maxHeapBytes / 4) "rocksdb" else "default"
+
+  private[graft] def estimatedStateBytes(spark: SparkSession, dir: String): Long =
+    16L * streamBytes(spark, dir)
+
+  private def resolveProvider(spark: SparkSession, dir: String): String =
+    stateProvider match {
+      case "auto" => chooseProvider(
+        estimatedStateBytes(spark, dir), Runtime.getRuntime.maxMemory())
+      case p => p
+    }
+
+  private[graft] def drainSession(spark: SparkSession, dir: String,
       noDataBatches: Boolean = false): SparkSession = {
     val parts = drainPartitions(spark, dir)
-    val provider = stateProvider
+    val provider = resolveProvider(spark, dir)
     drainSessions.keySet().removeIf(k => k._1.isStopped)
     drainSessions.computeIfAbsent(
       (spark.sparkContext, dir, parts, noDataBatches, provider), { _ =>
@@ -139,14 +167,27 @@ object StreamQueries extends graft.QueryModule {
     sys.props.get("graft.drain.parts").orElse(
       sys.env.get("GRAFT_DRAIN_PARTS")).map(_.toInt).getOrElse(
     drainParts.computeIfAbsent(dir, { d =>
-      val fsBytes = Seq("events", "documents", "embeddings").map { t =>
+      Integer.valueOf(
+        math.max(8L, math.min(32L, streamBytes(spark, d) / (512L * 1024))).toInt)
+    }))
+
+  /** Largest streamable table's on-disk bytes for a fixture dir —
+    * the size signal both the drain width and the state-provider
+    * auto-dial derive from. Memoized per dir (one FS metadata probe);
+    * `graft.stream.bytes` sysprop overrides for the dial specs.
+    */
+  private val streamBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def streamBytes(spark: SparkSession, dir: String): Long =
+    sys.props.get("graft.stream.bytes").map(_.toLong).getOrElse(
+    streamBytesMemo.computeIfAbsent(dir, { d =>
+      java.lang.Long.valueOf(Seq("events", "documents", "embeddings").map { t =>
         try {
           val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .getContentSummary(p).getLength
         } catch { case _: Throwable => 0L }
-      }.max
-      Integer.valueOf(math.max(8L, math.min(32L, fsBytes / (512L * 1024))).toInt)
+      }.max)
     }))
 
   /** Run a streaming Dataset to completion into a memory sink and

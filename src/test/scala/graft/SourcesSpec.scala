@@ -225,6 +225,42 @@ class SourcesSpec extends SparkSpec {
       s"expected zero fetches, got ${FakePagesTransport.fetchCalls.get()}")
   }
 
+  test("DSv2 paginated source: plain count(*) pushes down to the probe's total_count") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    val agg = df.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[COUNT(*)]"), s"aggregate not pushed:\n$plan")
+    // rendering the plan above planned one scan (one probe) of its own;
+    // count it separately so the action's fetch bill is exact
+    FakePagesTransport.reset()
+    assert(agg.head().getLong(0) == 10)
+    // ONE driver probe for total_count; no data page ever fetched
+    assert(FakePagesTransport.fetchCalls.get() == 1,
+      s"expected probe-only (1 fetch), got ${FakePagesTransport.fetchCalls.get()}")
+    // df.count() takes the same path
+    FakePagesTransport.reset()
+    assert(df.count() == 10)
+    assert(FakePagesTransport.fetchCalls.get() == 1)
+  }
+
+  test("DSv2 paginated source: count under a page filter does NOT use total_count") {
+    FakePagesTransport.reset()
+    val df = spark.read.format("graft-pages")
+      .option("transportClass", classOf[FakePagesTransport].getName)
+      .option("pageSize", "3")
+      .load()
+    // a pushed page range changes which rows survive — total_count
+    // can't answer for the subset, so the scan must fetch the pages
+    val n = df.filter(org.apache.spark.sql.functions.col("page") >= 3).count()
+    assert(n == 4) // pages 3 (3 records) + 4 (1 record)
+    assert(FakePagesTransport.fetchCalls.get() >= 2,
+      "page-filtered count must fetch the surviving pages, not shortcut via total_count")
+  }
+
   test("end-to-end stage: fetch -> parse -> upsert (etl.py per-brand dataflow)") {
     val json = (id: Long) =>
       s"""{"data": [{"id": "$id", "attributes": {"name": "R$id", "website": "r$id.com"}}],

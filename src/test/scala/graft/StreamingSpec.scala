@@ -1295,4 +1295,49 @@ class StreamingSpec extends SparkSpec {
         s"$q: RocksDB-provider drain differs from the default provider's")
     }
   }
+
+  test("state-provider auto-dial picks in-heap for small state, RocksDB past the heap bound") {
+    import graft.streaming.StreamQueries
+    // the decision boundary itself (estimated state vs maxHeap/4)
+    assert(StreamQueries.chooseProvider(1L << 20, 8L << 30) == "default")
+    assert(StreamQueries.chooseProvider(2L << 30, 8L << 30) == "default") // exactly at the bound stays in-heap
+    assert(StreamQueries.chooseProvider((2L << 30) + 1, 8L << 30) == "rocksdb")
+
+    // wired end-to-end: auto + a forced corpus-size estimate decides
+    // which provider the drain session is built with
+    def providerOf(tableBytes: Long): Option[String] = {
+      sys.props("graft.state.provider") = "auto"
+      sys.props("graft.stream.bytes") = tableBytes.toString
+      try StreamQueries.drainSession(spark, sf0001)
+        .conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      finally {
+        sys.props.remove("graft.state.provider")
+        sys.props.remove("graft.stream.bytes")
+      }
+    }
+    val heap = Runtime.getRuntime.maxMemory()
+    // getOption surfaces the conf DEFAULT (HDFSBacked) when unset —
+    // content, not presence, is the signal
+    assert(providerOf(1024).exists(_.contains("HDFSBackedStateStoreProvider")),
+      "tiny corpus must keep the in-heap default provider")
+    val big = heap / 4 / 16 + (1L << 20) // 16x expansion puts est past heap/4
+    assert(providerOf(big).exists(_.contains("RocksDBStateStoreProvider")),
+      "heap-crowding corpus must dial to RocksDB")
+
+    // and a drain under the auto->rocksdb decision stays hash-identical
+    def drainAuto(tableBytes: Long, q: String): Seq[String] = {
+      sys.props("graft.state.provider") = "auto"
+      sys.props("graft.stream.bytes") = tableBytes.toString
+      try graft.streaming.StreamQueries.queries(q)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      finally {
+        sys.props.remove("graft.state.provider")
+        sys.props.remove("graft.stream.bytes")
+      }
+    }
+    val baseline = graft.streaming.StreamQueries.queries("q_stream_dedup_wm")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(drainAuto(big, "q_stream_dedup_wm") == baseline,
+      "auto->rocksdb drain differs from the default drain")
+  }
 }
