@@ -365,7 +365,19 @@ object StreamQueries extends graft.QueryModule {
         tMark = now
       }
       val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      val ckpt = ckptRoot.map(_.resolve(name))
+      // Failure-injection dial: GRAFT_DRAIN_DURABLE_DIR pins the
+      // checkpoint to a STABLE per-prefix path that survives the JVM
+      // (and is NOT deleted post-drain), so a rerun after a driver
+      // kill resumes from the committed offsets/state instead of
+      // starting a fresh throwaway checkpoint — the recovery contract
+      // a production streaming job runs under, made reachable from
+      // the harness. Combine with GRAFT_DRAIN_MAX_FILES (multi-batch
+      // arrival) and a COMPLETE-mode query (whose final trigger emits
+      // the full restored state) for a resume whose output is
+      // batch-split-invariant and oracle-comparable.
+      val durable = sys.env.get("GRAFT_DRAIN_DURABLE_DIR")
+        .map(d => java.nio.file.Paths.get(d, s"ckpt_$prefix"))
+      val ckpt = durable.orElse(ckptRoot.map(_.resolve(name)))
       val q = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString)).start()
       mark("start")
       // Failure-isolated cleanup (r10 ADVICE item 1): each step runs
@@ -403,7 +415,8 @@ object StreamQueries extends graft.QueryModule {
       step(org.apache.spark.sql.execution.streaming.state
         .GraftStateStoreReset.unloadAll())
       mark("unload")
-      step(ckpt.foreach { p =>
+      // a durable checkpoint is the whole point of the dial — keep it
+      step(if (durable.isEmpty) ckpt.foreach { p =>
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
       })
       mark("ckpt-del")

@@ -60,11 +60,53 @@ object StreamingOps {
     * still-non-empty dir first, fails silently, and leaks a tempdir
     * per JVM exit.
     */
+
+  /** File-source reader with the failure-injection arrival dial:
+    * GRAFT_DRAIN_MAX_FILES (env, or graft.drain.maxfiles sysprop)
+    * caps files per trigger so the staged multi-file fixture arrives
+    * as SEVERAL micro-batches — the shape the driver-kill resume leg
+    * needs (a single-batch drain has no between-batch kill window).
+    * Unset (the contract default), the source takes all files in one
+    * batch as before. NOTE: only batch-split-INVARIANT queries
+    * (complete-mode additive aggregations) stay oracle-comparable
+    * under a multi-batch split; first-anchor keyed state (the dedup
+    * family) picks batch-dependent anchors by design.
+    */
+  private def streamReader(spark: SparkSession, schema: StructType)
+      : org.apache.spark.sql.streaming.DataStreamReader = {
+    val r = spark.readStream.schema(schema)
+    sys.props.get("graft.drain.maxfiles")
+      .orElse(sys.env.get("GRAFT_DRAIN_MAX_FILES"))
+      .fold(r)(n => r.option("maxFilesPerTrigger", n))
+  }
+
   private def stageSingleFile(dir: String, fileName: String, prefix: String,
       split: Option[SparkSession] = None): java.nio.file.Path = {
     val target = java.nio.file.Paths.get(dir, fileName).toAbsolutePath
-    val staged = java.nio.file.Files.createTempDirectory(prefix)
-    staged.toFile.deleteOnExit()
+    // Durable-resume dial: a checkpointed stream's offset log records
+    // the staged FILE PATHS, so a resume in a fresh JVM must see the
+    // IDENTICAL staging dir — a per-JVM tempdir breaks the resume with
+    // "Wrong basePath" (measured). Under GRAFT_DRAIN_DURABLE_DIR the
+    // staging dir is a stable path beside the checkpoint, REUSED as-is
+    // when already populated (a rewrite would mint new random part
+    // names the source log doesn't know), and never swept on exit.
+    val durableStaged = sys.env.get("GRAFT_DRAIN_DURABLE_DIR").map { dr =>
+      java.nio.file.Paths.get(dr,
+        s"staged_${prefix}_${Integer.toHexString(dir.hashCode)}")
+    }
+    durableStaged.foreach { p =>
+      val populated = java.nio.file.Files.isDirectory(p) && {
+        val l = java.nio.file.Files.list(p)
+        try l.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+        finally l.close()
+      }
+      if (populated) return p
+      java.nio.file.Files.createDirectories(p)
+    }
+    val durable = durableStaged.isDefined
+    val staged = durableStaged.getOrElse(
+      java.nio.file.Files.createTempDirectory(prefix))
+    if (!durable) staged.toFile.deleteOnExit()
     // A single-FILE fixture with one row group makes micro-batch 0 a
     // one-task scan — and that task also produces the batch's first
     // shuffle write, so every drain serializes its input on one core
@@ -87,8 +129,9 @@ object StreamingOps {
         // Spark's local committer leaves _SUCCESS/.crc siblings next to
         // the part files (all hidden to source listings); sweep the
         // whole staged tree on exit instead of per-file deleteOnExit
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile): Unit))
+        if (!durable)
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils.deleteQuietly(staged.toFile): Unit))
         return staged
       case _ => ()
     }
@@ -103,7 +146,7 @@ object StreamingOps {
     def linkInto(name: String, src: java.nio.file.Path): Unit = {
       val link = staged.resolve(name)
       java.nio.file.Files.createSymbolicLink(link, src)
-      link.toFile.deleteOnExit()
+      if (!durable) link.toFile.deleteOnExit()
     }
     if (java.nio.file.Files.isDirectory(target)) {
       val parts = java.nio.file.Files.list(target).iterator().asScala
@@ -125,7 +168,7 @@ object StreamingOps {
   def docStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = docStagingDirs.computeIfAbsent(dir,
       stageSingleFile(_, "documents.parquet", "docs_stream", Some(spark)))
-    spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    streamReader(spark, docSchema).parquet(streamDir.toString)
   }
 
   /** Raw parquet schema of `embeddings` (TESTDATA.md). */
@@ -141,7 +184,7 @@ object StreamingOps {
   def vecStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = docStagingDirs.computeIfAbsent(dir + "#embeddings",
       _ => stageSingleFile(dir, "embeddings.parquet", "vecs_stream", Some(spark)))
-    spark.readStream.schema(vecSchema).parquet(streamDir.toString)
+    streamReader(spark, vecSchema).parquet(streamDir.toString)
   }
 
   /** Streaming scan of the events table, normalized to micros
@@ -172,7 +215,7 @@ object StreamingOps {
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = diskTsType) else f))
     graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir.toString))
+      streamReader(spark, schema).parquet(streamDir.toString))
   }
 
   private val tsTypes =
