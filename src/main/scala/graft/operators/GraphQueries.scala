@@ -404,18 +404,18 @@ object GraphQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank_directed" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |),
-        |edges AS (SELECT c AS src, s AS dst FROM pairs),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-        |nodes AS (SELECT c AS node FROM pairs UNION SELECT s AS node FROM pairs),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-        |d0 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r0
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT c AS node FROM pairs UNION SELECT s AS node FROM pairs),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |d0 AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM r0
         |       WHERE node NOT IN (SELECT src FROM deg)),
-        |r1 AS (
+        |r1 AS MATERIALIZED (
         |  SELECT nd.node,
         |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
         |  FROM nodes nd
@@ -424,9 +424,9 @@ object GraphQueries extends graft.QueryModule {
         |             GROUP BY e.dst) s ON s.node = nd.node
         |  CROSS JOIN d0 d CROSS JOIN nn
         |),
-        |d1 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r1
+        |d1 AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM r1
         |       WHERE node NOT IN (SELECT src FROM deg)),
-        |r2 AS (
+        |r2 AS MATERIALIZED (
         |  SELECT nd.node,
         |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
         |  FROM nodes nd
@@ -435,9 +435,9 @@ object GraphQueries extends graft.QueryModule {
         |             GROUP BY e.dst) s ON s.node = nd.node
         |  CROSS JOIN d1 d CROSS JOIN nn
         |),
-        |d2 AS (SELECT COALESCE(sum(r), 0) AS dm FROM r2
+        |d2 AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM r2
         |       WHERE node NOT IN (SELECT src FROM deg)),
-        |r3 AS (
+        |r3 AS MATERIALIZED (
         |  SELECT nd.node,
         |         CAST(150000000 + (85 * (COALESCE(s.sin, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS r
         |  FROM nodes nd
@@ -502,30 +502,30 @@ object GraphQueries extends graft.QueryModule {
         |       n_triangles
         |FROM tri""".stripMargin,
     "q_pagerank" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM pairs
         |  UNION ALL
         |  SELECT s AS src, c AS dst FROM pairs
         |),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
-        |r1 AS (
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r2 AS (
+        |r2 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
         |  GROUP BY e.dst
         |),
-        |r3 AS (
+        |r3 AS MATERIALIZED (
         |  SELECT e.dst AS node,
         |         CAST(150000000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
