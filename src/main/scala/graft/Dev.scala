@@ -397,6 +397,19 @@ object Dev {
           println(s"\n========== $name ==========")
           fn(spark, dir).explain("formatted")
         }
+      // Final (post-AQE) plans: execute the query once, then explain —
+      // AdaptiveSparkPlan re-explains as isFinalPlan=true with the
+      // runtime join strategy / coalesced exchanges, which is what the
+      // static explainAll output cannot show.
+      case "explainExec" :: dir :: names =>
+        val sel = if (names.nonEmpty) names
+          else SparkEntry.queries.keys.toList.sorted
+        sel.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, dir)
+          df.count()
+          println(s"\n========== $name ==========")
+          df.explain("formatted")
+        }
       case "spanscale" :: dir :: rest =>
         // Scale experiment for the span-granularity drain
         // (q_stream_dup_spans): this was the round-13 experiment that

@@ -62,8 +62,32 @@ object SharedBuilds {
       Option[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem)] = None
     private val seq = new java.util.concurrent.atomic.AtomicInteger()
 
-    def cached(df: DataFrame): DataFrame = parquetRoot match {
-      case None => val c = df.cache(); frames += c; c
+    def cached(df: DataFrame): DataFrame = cached(df, Seq.empty)
+
+    /** [[cached]] with a PARTITIONING CONTRACT: the returned frame is
+      * hash-partitioned by `keys` at defaultParallelism in EVERY
+      * persist mode. Pass the join key a consumer self-joins or
+      * re-joins the build on, and that join plans exchange-free
+      * (HashPartitioning(keys) satisfies the join's clustered
+      * distribution). PARQUET MODE ONLY: the scratch read-back is a
+      * plain file scan exposing NO partitioning, so every consumer
+      * join re-exchanges both sides (r18: q_dedup_ngram 2.6x its
+      * local mint under local-cluster for exactly this; the key
+      * repartition replaces the round-robin spread on the write side
+      * — same file count, key-clustered files — and is re-established
+      * once on the read-back, under the cache so the exchange is paid
+      * at fill time, not per consumer). Cache mode IGNORES the hint:
+      * in-process the build's own AQE-planned exchanges (runtime
+      * coalescing, skew splitting) already place the data, and an A/B
+      * this round measured the forced hash(keys)@defaultParallelism
+      * layout SLOWER locally (q_dedup_ngram 1.03 -> 1.47 s steady —
+      * a fixed-width static exchange loses to AQE on a skewed gram
+      * key), so the contract only applies where it removes real
+      * cross-process exchanges.
+      */
+    def cached(df: DataFrame, keys: Seq[String]): DataFrame = parquetRoot match {
+      case None =>
+        val c = df.cache(); frames += c; c
       case Some(root) =>
         val spark = df.sparkSession
         val path = s"$root/f${seq.incrementAndGet()}"
@@ -75,7 +99,10 @@ object SharedBuilds {
         // restore parallelism (measured: q_media_recall's bounded-
         // anchor grid 2.2 s -> 12.4 s on the 1-split read-back).
         val p = spark.sparkContext.defaultParallelism
-        df.repartition(p).write.mode("overwrite").parquet(path)
+        val spread =
+          if (keys.isEmpty) df.repartition(p)
+          else df.repartition(p, keys.map(df.col): _*)
+        spread.write.mode("overwrite").parquet(path)
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (scratch.isEmpty)
@@ -87,14 +114,27 @@ object SharedBuilds {
         // GRAFT_SHARED_SCRATCH at HDFS/S3 gets the same effect from
         // block-sized files; this keeps the harness's small builds
         // wide without mutating session conf in a read path.
+        // PLAN-WIDTH GUARD: one leaf per file is right at harness
+        // widths (tens of files) but a 1000-core cluster would plan a
+        // 1000-leaf union per build — above UnionReadMaxFiles fall
+        // back to the plain multi-file scan (block-sized files on a
+        // real shared FS split naturally; the open-cost packing this
+        // union works around only bites on the harness's tiny files).
         val files = fs.listStatus(hp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
         else {
-          val back = files.map(f => spark.read.schema(df.schema).parquet(f))
-            .reduce(_.unionAll(_))
+          val back0 =
+            if (files.length > UnionReadMaxFiles)
+              spark.read.schema(df.schema).parquet(path)
+            else files.map(f => spark.read.schema(df.schema).parquet(f))
+              .reduce(_.unionAll(_))
+          // re-establish the partitioning contract over the scan (the
+          // exchange sits UNDER the cache, so it is paid once at fill)
+          val back = if (keys.isEmpty) back0
+            else back0.repartition(p, keys.map(back0.col): _*)
           // Cache the read-back ON TOP of the files (default): blocks
           // distribute once across executors (process-local re-reads),
           // and a cache miss now recomputes a cheap local file scan
@@ -113,6 +153,14 @@ object SharedBuilds {
         try fs.delete(p, true) catch { case _: Throwable => () }
       }
   }
+
+  /** Max scratch files read back as a one-scan-per-file union — see
+    * the plan-width guard note at [[CacheScope.cached]]. Sysprop
+    * override (`graft.shared.unionmax`) exists so the spec can pin
+    * BOTH regimes without writing hundreds of files.
+    */
+  private[graft] def UnionReadMaxFiles: Int =
+    sys.props.get("graft.shared.unionmax").map(_.toInt).getOrElse(256)
 
   /** A scope whose frames are NOT memoized or lifecycle-managed —
     * for spec-only builds that must bypass the (session, dir) memo

@@ -491,11 +491,18 @@ object DedupQueries extends graft.QueryModule {
 
       val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-      // rn/n_g ride along for the positional filter in dedupNgram
+      // rn/n_g ride along for the positional filter in dedupNgram.
+      // Partitioning contract "g": the only consumer is dedupNgram's
+      // PPJoin candidate SELF-join keyed (g, bkt) — hash(g) satisfies
+      // that join's clustered distribution on BOTH sides, so with the
+      // contract the join plans exchange-free in cache mode and the
+      // parquet substrate restores the same partitioning on read-back
+      // (r18's one >2x cluster residual: the round-robin scratch
+      // spread lost it and the self-join re-added two exchanges).
       val prefix = scope.cached(grams.join(dfreq, Seq("g"))
         .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <= col("n_g") - expr("(7 * n_g + 9) div 10") + lit(1))
-        .select("doc_id", "n_chars", "g", "rn", "n_g"))
+        .select("doc_id", "n_chars", "g", "rn", "n_g"), Seq("g"))
       (groups, gramArr, prefix)
     }
 

@@ -133,6 +133,17 @@ object GraphQueries extends graft.QueryModule {
     // the durability class the reliable-checkpoint dial can't give
     // (that one covers executor loss; the round counter and delta
     // live on the driver). See LoopResume.
+    //
+    // r19 NOTE (measured, kept as-is): forcing the components-loop
+    // pattern here (edge-volume-derived width + in-loop AQE off +
+    // co-partitioned loop inputs) was A/B'd this round and came out
+    // SLOWER at the bench scale (q_pagerank_eps 4.31 -> 4.96 s
+    // min-of-3 interleaved, same windows) — unlike the components
+    // loop, each round here already reuses the cached edge build's
+    // hash(src) partitioning and the checkpoint's hash(node)
+    // partitioning, so the only per-round exchange is the groupBy,
+    // which AQE sizes at runtime; pinning a static width just removed
+    // that adaptivity. Left on the AQE path deliberately.
     val resumed = resumeDir.flatMap(LoopResume.latest(spark, _, epsNano, dir))
     var ranks = loop.truncate(resumed.map(_._3).getOrElse(
       nodes(spark, dir).withColumn("r", lit(R0))))
@@ -206,15 +217,31 @@ object GraphQueries extends graft.QueryModule {
     */
   private[graft] def pagerankDirectedOf(spark: SparkSession, edges: DataFrame,
       iters: Int): DataFrame = {
-    // edges: (src, dst, deg) with deg = out-degree of src
+    // edges: (src, dst, deg) with deg = out-degree of src.
+    // The node domain (with its dangling flag) is materialized ONCE
+    // via an eager localCheckpoint: it anchors every iteration's
+    // update join AND seeds the rank vector, so leaving it lazy put a
+    // distinct-over-edges subtree into every one of the 2^iters rank
+    // copies below (plan-size, not execution cost — ReuseExchange
+    // dedupes execution, but Catalyst re-analyzes the full tree per
+    // run). The flag also replaces the old per-iteration
+    // LEFT ANTI join against the source list: dangling-ness is a
+    // static node property, so the per-round dangling aggregate is now
+    // a FILTER over the rank vector instead of a join (guide §2.4 —
+    // one fewer join per iteration; dm is unchanged: is_src=false is
+    // exactly "node not in src set").
+    val srcFlag = edges.select(col("src").as("node")).distinct()
+      .withColumn("is_src", lit(true))
     val nodesDf = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val srcs = edges.select(col("src").as("node")).distinct()
+      .join(srcFlag, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_src"), lit(false)).as("is_src"))
+      .localCheckpoint()
     val nTotal = nodesDf.agg(count(lit(1)).as("n"))
     val zero = lit(0).cast(DecimalType(38, 0))
     var ranks = nodesDf.withColumn("r", lit(R0))
     for (_ <- 1 to iters) {
-      val dang = ranks.join(srcs, Seq("node"), "left_anti")
+      val dang = ranks.filter(!col("is_src"))
         .agg(coalesce(sum(col("r").cast(DecimalType(38, 0))), zero).as("dm"))
       val sums = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("r div deg").as("w"))
@@ -227,19 +254,21 @@ object GraphQueries extends graft.QueryModule {
       // ReuseExchange dedupes at execution — measured 2.6 s lazy vs
       // 4.5 s with per-iteration localCheckpoint at sf0.1 (the
       // checkpoint forces a materialization barrier per round and
-      // discards the cross-round exchange reuse). A production run at
-      // a data-dependent iteration count MUST instead truncate
-      // lineage per round — that shape is [[pagerankConverged]],
-      // whose loop checkpoints every iteration.
+      // discards the cross-round exchange reuse). With the node domain
+      // checkpointed above, each copy bottoms out in a LogicalRDD scan
+      // + the cached edge build instead of a distinct-over-edges
+      // subtree. A production run at a data-dependent iteration count
+      // MUST instead truncate lineage per round — that shape is
+      // [[pagerankConverged]], whose loop checkpoints every iteration.
       ranks = nodesDf.join(sums, nodesDf("node") === sums("dst"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nTotal))
-        .select(nodesDf("node"),
+        .select(nodesDf("node"), nodesDf("is_src"),
           (lit(150000000L).cast(DecimalType(38, 0)) +
             floor((coalesce(col("sin"), zero) + expr("dm div n"))
               * lit(85) / lit(100))).cast("long").as("r"))
     }
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 
   /** Damped directed PageRank over the one-way customer → supplier

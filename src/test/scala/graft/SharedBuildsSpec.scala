@@ -213,6 +213,79 @@ class SharedBuildsSpec extends SparkSpec {
     }
   }
 
+  test("parquet persist mode: the partitioning contract makes a key self-join exchange-free") {
+    // cached(df, keys) re-establishes hash(keys) over the scratch
+    // read-back (under the cache), so a consumer that self-joins on
+    // the key plans NO new exchange — the r18 cluster residual
+    // (q_dedup_ngram's PPJoin re-adding exchanges on the round-robin
+    // read-back) pinned as a plan property.
+    val scratch = java.nio.file.Files.createTempDirectory("spec-shared-scratch3")
+    System.setProperty("graft.shared.persist", "parquet")
+    System.setProperty("graft.shared.scratch", scratch.toString)
+    try {
+      import spark.implicits._
+      val keyed = SharedBuilds.getOrBuild[DataFrame](
+          "spec.pqkeys", spark, "/spec/pqkeys") { scope =>
+        scope.cached(
+          (1 to 100).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v"),
+          Seq("k"))
+      }
+      keyed.count() // fill the cache (the contract exchange is paid here)
+      val joined = keyed.alias("a")
+        .join(keyed.alias("b"), col("a.k") === col("b.k"))
+        .groupBy(col("a.k")).agg(count(lit(1)).as("n"))
+      assert(joined.collect().map(_.getLong(1)).sum ==
+        (1 to 100).groupBy(_ % 7).values.map(g => g.size.toLong * g.size).sum)
+      // the self-join itself added no shuffle: the only exchange in the
+      // final plan is the aggregate's (and none when the groupBy key
+      // matches the contract key, as here)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"contract self-join re-added an exchange:\n$plan")
+    } finally {
+      System.clearProperty("graft.shared.persist")
+      System.clearProperty("graft.shared.scratch")
+      SharedBuilds.invalidate("/spec/pqkeys")
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
+
+  test("parquet read-back: union-of-files below the width guard, plain scan above") {
+    // verdict r18 item 4: one-leaf-per-file is right at harness widths
+    // but must not produce a 1000-leaf union on a 1000-core cluster.
+    val scratch = java.nio.file.Files.createTempDirectory("spec-shared-scratch4")
+    System.setProperty("graft.shared.persist", "parquet")
+    System.setProperty("graft.shared.scratch", scratch.toString)
+    import spark.implicits._
+    def build(kind: String, dir: String): DataFrame =
+      SharedBuilds.getOrBuild[DataFrame](kind, spark, dir) { scope =>
+        scope.cached((1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "tag"))
+      }
+    try {
+      // below the guard: one scan per file, unioned
+      val wide = build("spec.pqwide", "/spec/pqwide")
+      assert(wide.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.nonEmpty,
+        "expected the one-scan-per-file union below the width guard")
+      assert(wide.count() == 50)
+      // above the guard (forced via the sysprop): plain multi-file scan
+      System.setProperty("graft.shared.unionmax", "1")
+      val narrow = build("spec.pqnarrow", "/spec/pqnarrow")
+      assert(narrow.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.isEmpty,
+        "expected a plain multi-file scan above the width guard")
+      assert(narrow.count() == 50)
+      assert(narrow.orderBy("id").select("tag").head().getString(0) == "r1")
+    } finally {
+      System.clearProperty("graft.shared.unionmax")
+      System.clearProperty("graft.shared.persist")
+      System.clearProperty("graft.shared.scratch")
+      SharedBuilds.invalidate("/spec/pqwide")
+      SharedBuilds.invalidate("/spec/pqnarrow")
+      org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+    }
+  }
+
   test("production shared builds flow through the registry and invalidate cleanly") {
     // sanity: the dedup/text shared builds are registered under real
     // kinds and invalidate() unpersists them (catches a future memo
