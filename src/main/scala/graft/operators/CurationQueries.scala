@@ -437,8 +437,13 @@ object CurationQueries extends graft.QueryModule {
     // counts per doc == the raw token count, no second pass over raw
     // tokens.
     val tf = TextAnalysisQueries.sharedTermFreq(spark, dir)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // dl and df read the staged doc-/vocabulary-level statistics
+    // (sharedDocStats / sharedTokenStats) instead of re-aggregating
+    // the tf build per run — identical exact integer values.
+    val dl = TextAnalysisQueries.sharedDocStats(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("dl"))
+    val df = TextAnalysisQueries.sharedTokenStats(spark, dir)
+      .select(col("tok"), col("df"))
     // corpus stats ride in on a 1-row broadcast cross join — no
     // driver-side collect, so the plan is one job end-to-end
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

@@ -36,6 +36,42 @@ object TextAnalysisQueries extends graft.QueryModule {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     }
 
+  /** Vocabulary-level token statistics, staged once per (session, dir)
+    * on top of [[sharedTermFreq]]: total occurrences (`c_tok`),
+    * document frequency (`df`), earliest containing doc (`first_doc`).
+    * Before r19, six consumers (tf-idf, BM25, collocations, CMS
+    * estimates, surprisal, vocab growth) EACH re-ran this tf-wide
+    * shuffle on every execution; staged, the shuffle happens once and
+    * every consumer reads a vocabulary-bounded cached frame (guide
+    * §1.6/§2.2 — shuffle the big frame once, reuse the small result).
+    * The derived columns are exact integer aggregates, so consumer
+    * results are bit-identical to their previous per-run aggregation.
+    */
+  private[operators] def sharedTokenStats(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("text.tokStats", spark, dir) { scope =>
+      scope.cached(sharedTermFreq(spark, dir)
+        .groupBy(col("tok"))
+        .agg(sum(col("tf")).as("c_tok"), count(lit(1)).as("df"),
+          min(col("doc_id")).as("first_doc")))
+    }
+
+  /** Document-level token statistics, staged once per (session, dir):
+    * token count (`n_tokens`), distinct-term count (`n_distinct`),
+    * exact decimal sum of squared term frequencies (`s2`). Serves
+    * BM25's length normalization (dl = n_tokens), the Gini diversity
+    * score (which is a pure projection of this frame), and vocab
+    * growth's per-bucket token totals — each previously a separate
+    * per-run doc-side aggregation of the term-frequency build.
+    */
+  private[operators] def sharedDocStats(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedBuilds.getOrBuild[DataFrame]("text.docStats", spark, dir) { scope =>
+      scope.cached(sharedTermFreq(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum(col("tf").cast("decimal(19,0)") * col("tf").cast("decimal(19,0)"))
+            .as("s2")))
+    }
+
   /** Unigram-profile language ID: the corpus' own (lang, token) counts
     * are the model; a doc's score for a language is the sum of that
     * language's counts over the doc's token occurrences (integer-
@@ -56,8 +92,14 @@ object TextAnalysisQueries extends graft.QueryModule {
         .groupBy(col("doc_id"), col("lang"), col("tok"))
         .agg(count(lit(1)).as("tf")))
     }
-    val profile = tf.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
-      .agg(sum(col("tf")).as("cnt"))
+    // the (lang x vocabulary) profile is itself staged: langId runs
+    // once for q_lang_id and once more inside langConfusion, and the
+    // profile aggregate was re-shuffled from langTf on every execution
+    val profile = graft.SharedBuilds.getOrBuild[DataFrame](
+        "text.langProfile", spark, dir) { scope =>
+      scope.cached(tf.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
+        .agg(sum(col("tf")).as("cnt")))
+    }
 
     // No broadcast hint: the profile is (lang x vocabulary)-sized, which
     // grows with the corpus — a forced broadcast OOMs at scale. AQE
@@ -182,7 +224,9 @@ object TextAnalysisQueries extends graft.QueryModule {
     // shared materialization: the df build and the scored join both
     // read it, as do BM25 and diversity
     val tf = sharedTermFreq(spark, dir)
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df reads the staged vocabulary statistics (sharedTokenStats)
+    // instead of re-shuffling tf per run — same exact counts.
+    val df = sharedTokenStats(spark, dir).select(col("tok"), col("df"))
     // df is vocabulary-sized — no broadcast hint (see langId); AQE
     // broadcasts it at runtime when small.
     val scored = tf.join(df, Seq("tok"))
@@ -264,11 +308,10 @@ object TextAnalysisQueries extends graft.QueryModule {
     * and makes an overflow a NULL instead of a silently wrong score.
     */
   def diversity(spark: SparkSession, dir: String): DataFrame =
-    sharedTermFreq(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("tf").cast("decimal(19,0)") * col("tf").cast("decimal(19,0)")).as("s2"))
+    // pure projection of the staged per-doc statistics — the
+    // aggregation itself is shared with BM25/vocabGrowth via
+    // sharedDocStats (identical aggregate expressions, same results)
+    sharedDocStats(spark, dir)
       .withColumn("nn",
         col("n_tokens").cast("decimal(19,0)") * col("n_tokens").cast("decimal(19,0)"))
       .select(
@@ -342,12 +385,17 @@ object TextAnalysisQueries extends graft.QueryModule {
     * certifies it.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreq(spark, dir)
-    val newPerBucket = tf.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    // both per-bucket rollups now aggregate the STAGED statistics
+    // frames (vocabulary- and doc-sized) instead of re-shuffling the
+    // full term-frequency build twice per run: first_doc is staged in
+    // sharedTokenStats, per-doc token totals in sharedDocStats, and
+    // sum-of-sums regroups to identical exact integers.
+    val newPerBucket = sharedTokenStats(spark, dir)
       .groupBy(expr("first_doc div 100").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
-    val tokPerBucket = tf.groupBy(expr("doc_id div 100").as("bucket"))
-      .agg(sum(col("tf")).as("n_tok"))
+    val tokPerBucket = sharedDocStats(spark, dir)
+      .groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(sum(col("n_tokens")).as("n_tok"))
     val perBucket = newPerBucket.join(tokPerBucket, Seq("bucket"), "full")
       .select(col("bucket"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
@@ -385,9 +433,11 @@ object TextAnalysisQueries extends graft.QueryModule {
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
-    val tf = sharedTermFreq(spark, dir)
-    val uni = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_tok"))
-    val stats = tf.agg(sum(col("tf")).as("n_tokens"))
+    // unigram counts and the corpus total both read the staged
+    // vocabulary statistics; sum(c_tok) over the vocabulary equals
+    // sum(tf) over the corpus exactly (integer sum of sums)
+    val uni = sharedTokenStats(spark, dir).select(col("tok"), col("c_tok"))
+    val stats = uni.agg(sum(col("c_tok")).as("n_tokens"))
     val scored = pairs
       .filter(col("c_pair") >= 5)
       .join(uni.select(col("tok").as("w1"), col("c_tok").as("c1")), Seq("w1"))
@@ -426,8 +476,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     * one-sided est >= c_tok guarantee over all of it.
     */
   private[graft] def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreq(spark, dir)
-    val uni = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c_tok"))
+    val uni = sharedTokenStats(spark, dir).select(col("tok"), col("c_tok"))
     val keyed = uni.select(col("tok"), col("c_tok"),
         explode(graft.functions.TextFunctions.cmsKeys(col("tok"))).as("rb"))
       .select(col("tok"), col("c_tok"), col("rb.r").as("r"), col("rb.b").as("b"))
@@ -438,7 +487,9 @@ object TextAnalysisQueries extends graft.QueryModule {
   }
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val stats = sharedTermFreq(spark, dir).agg(sum(col("tf")).as("n_tokens"))
+    // corpus total from the staged vocabulary stats (sum of sums —
+    // exact), a vocabulary-sized aggregate instead of a tf-wide one
+    val stats = sharedTokenStats(spark, dir).agg(sum(col("c_tok")).as("n_tokens"))
     cmsEstimates(spark, dir)
       .crossJoin(broadcast(stats))
       .filter(col("c_tok") * 1000 >= col("n_tokens"))
@@ -466,7 +517,7 @@ object TextAnalysisQueries extends graft.QueryModule {
     */
   def surprisal(spark: SparkSession, dir: String): DataFrame = {
     val tf = sharedTermFreq(spark, dir)
-    val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val cnt = sharedTokenStats(spark, dir).select(col("tok"), col("c_tok").as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total"))
     tf.join(cnt, Seq("tok"))
       .crossJoin(broadcast(total))
