@@ -64,12 +64,13 @@ object SharedBuilds {
 
     def cached(df: DataFrame): DataFrame = cached(df, Seq.empty)
 
-    /** [[cached]] with a PARTITIONING CONTRACT: the returned frame is
-      * hash-partitioned by `keys` at defaultParallelism in EVERY
-      * persist mode. Pass the join key a consumer self-joins or
-      * re-joins the build on, and that join plans exchange-free
-      * (HashPartitioning(keys) satisfies the join's clustered
-      * distribution). PARQUET MODE ONLY: the scratch read-back is a
+    /** [[cached]] with a PARTITIONING CONTRACT — PARQUET PERSIST MODE
+      * ONLY: there the returned frame is hash-partitioned by `keys` at
+      * defaultParallelism, so a consumer that self-joins or re-joins
+      * the build on the key plans exchange-free (HashPartitioning(keys)
+      * satisfies the join's clustered distribution); cache mode
+      * deliberately IGNORES the hint (rationale below). PARQUET MODE:
+      * the scratch read-back is a
       * plain file scan exposing NO partitioning, so every consumer
       * join re-exchanges both sides (r18: q_dedup_ngram 2.6x its
       * local mint under local-cluster for exactly this; the key

@@ -238,10 +238,27 @@ class SharedBuildsSpec extends SparkSpec {
         (1 to 100).groupBy(_ % 7).values.map(g => g.size.toLong * g.size).sum)
       // the self-join itself added no shuffle: the only exchange in the
       // final plan is the aggregate's (and none when the groupBy key
-      // matches the contract key, as here)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
-        s"contract self-join re-added an exchange:\n$plan")
+      // matches the contract key, as here). TYPED node collection, not
+      // string matching (r19 ADVICE: ShuffleExchangeExec.nodeName is
+      // "Exchange", so a plan string never contains "ShuffleExchange"
+      // and the old assertion could not fail). The contract exchange
+      // itself lives under the InMemoryRelation's fill plan, which is
+      // not a child of the scan node, so this collect only sees
+      // exchanges the CONSUMER plan added. AQE hides executed
+      // exchanges inside leaf ShuffleQueryStageExec wrappers — match
+      // those too.
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exec = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = exec.collect {
+        case s: ShuffleQueryStageExec => s
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"contract self-join re-added ${exchanges.size} exchange(s):\n$exec")
     } finally {
       System.clearProperty("graft.shared.persist")
       System.clearProperty("graft.shared.scratch")
