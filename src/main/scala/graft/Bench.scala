@@ -113,31 +113,53 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (cold, coldErr) = once()
-      val (steady, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else {
+      val (steady0, steadyErr) = if (coldErr.isDefined) (cold, coldErr) else {
         val samples = Iterator.continually(once()).take(steadyRuns).toSeq
         samples.collectFirst { case (s, Some(e)) => (s, Some(e)) }
           .getOrElse((samples.map(_._1).min, None))
       }
-      (name, cold, coldErr, steady, coldErr.orElse(steadyErr))
+      // ANOMALY GUARD (r20): steady > cold is physically impossible
+      // for these queries — the cold execution does strictly more work
+      // (codegen compile, JIT, shared-build fills) over the same plan —
+      // so a min-of-N steady above its own cold means every steady
+      // sample was contaminated by a box-noise burst (r19's artifact
+      // recorded q_dedup_ngram 12.69 s steady vs 3.88 s cold; min-of-3
+      // cannot shed a burst that covers all three samples). Take up to
+      // two EXTRA steady samples while the invariant is violated; if it
+      // still holds the query is stamped into the artifact's
+      // "steady_gt_cold" list so a contaminated run self-identifies.
+      // Timing action, per-sample methodology and the min estimator
+      // are unchanged; quiet runs take zero extra samples.
+      var steady = steady0
+      var extra = 0
+      while (steadyErr.isEmpty && coldErr.isEmpty && steady > cold && extra < 2) {
+        val (s, e) = once()
+        if (e.isEmpty) steady = math.min(steady, s)
+        extra += 1
+      }
+      val anomalous = steadyErr.isEmpty && coldErr.isEmpty && steady > cold
+      (name, cold, coldErr, steady, coldErr.orElse(steadyErr), anomalous)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    def jmap(f: ((String, Double, Option[String], Double, Option[String])) => String): String =
+    def jmap(f: ((String, Double, Option[String], Double, Option[String], Boolean)) => String): String =
       results.map(f).mkString("{", ",", "}")
     // cold entries null only on a COLD failure: a steady-only failure
     // must not discard the valid cold measurement (the cold total
     // includes it, so nulling it would make map and total inconsistent)
-    val qs = jmap { case (k, cold, coldErr, _, _) => jstr(k) + ":" + coldErr.fold(cold.toString)(_ => "null") }
-    val st = jmap { case (k, _, _, steady, err) => jstr(k) + ":" + err.fold(steady.toString)(_ => "null") }
-    val errs = results.collect { case (k, _, _, _, Some(e)) =>
+    val qs = jmap { case (k, cold, coldErr, _, _, _) => jstr(k) + ":" + coldErr.fold(cold.toString)(_ => "null") }
+    val st = jmap { case (k, _, _, steady, err, _) => jstr(k) + ":" + err.fold(steady.toString)(_ => "null") }
+    val errs = results.collect { case (k, _, _, _, Some(e), _) =>
       jstr(k) + ":" + jstr(e.take(200)) }.mkString("{", ",", "}")
+    val anomalies = results.collect { case (k, _, _, _, None, true) => jstr(k) }
+      .mkString("[", ",", "]")
     val failed = results.count(_._5.isDefined)
     // totals cover SUCCESSFUL measurements only, matching the maps
     // (a failed attempt's elapsed time is time-to-failure garbage)
-    val total = results.collect { case (_, cold, None, _, _) => cold }.sum
-    val steadyTotal = results.collect { case (_, _, _, steady, None) => steady }.sum
+    val total = results.collect { case (_, cold, None, _, _, _) => cold }.sum
+    val steadyTotal = results.collect { case (_, _, _, steady, None, _) => steady }.sum
     // stamp the box's 1/5/15-min load averages so a load-skewed run is
     // self-identifying in the committed artifact (round 5's official
     // steady numbers carried ~11s of box noise nobody could see)
@@ -154,7 +176,7 @@ object Bench {
     // the master is stamped into the artifact so a multi-JVM profile
     // run can never masquerade as a contract local[32] sample
     val masterStr = SessionEnv.master(cpus)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$steadyRuns,"loadavg":${jstr(loadavg)},"steal_pct":$stealPct,"failed":$failed,"errors":$errs,"master":${jstr(masterStr)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady":$st,"steady_total":$steadyTotal,"steady_runs":$steadyRuns,"steady_gt_cold":$anomalies,"loadavg":${jstr(loadavg)},"steal_pct":$stealPct,"failed":$failed,"errors":$errs,"master":${jstr(masterStr)},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: round 4's official artifact was
     // a truncated stdout tail and the regression gate had nothing to

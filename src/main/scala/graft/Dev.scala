@@ -13,8 +13,17 @@ import org.apache.spark.sql.SparkSession
 object Dev {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("GRAFT_CPUS", "8")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER: run any Dev subcommand under a non-local master
+    // (e.g. local-cluster[2,8,12288]) — plan/timing diagnosis under the
+    // multi-JVM regime; executor classpath wired like SessionEnv does.
+    val devMaster = sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder().master(devMaster)
+    val builder =
+      (if (devMaster.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath",
+          java.nio.file.Paths.get(
+            getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toString)
+      else builder0)
       .appName("graft-dev")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -125,6 +134,46 @@ object Dev {
         val totClasses = coldRows.map(_._3).sum
         println(f"[coldaudit] TOTAL cold $totCold%.1fs steady $totSteady%.1fs delta ${totCold - totSteady}%.1fs; " +
           f"$totClasses classes compiled ~ ${totClasses * meanMs / 1000}%.1fs janino")
+      case "jobprof" :: dir :: qs =>
+        // Per-JOB wall-time attribution inside one query's steady
+        // execution: run the query once cold (fills + codegen), then
+        // once steady with a job listener printing each job's wall
+        // time, stage count and task count. The r20 loop-query work
+        // needs to know whether a 4 s steady is 14 x 300 ms jobs
+        // (driver/planning floor) or 2 big stages (real compute).
+        import org.apache.spark.scheduler._
+        import scala.collection.concurrent.TrieMap
+        val names = if (qs.nonEmpty) qs else List("q_pagerank_eps")
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          fn(spark, dir).count() // cold: fills + codegen, unprofiled
+          val t0j = TrieMap[Int, (Long, String)]()
+          val done = TrieMap[Int, (Double, Int, Int)]()
+          val stages = TrieMap[Int, Int]()
+          val listener = new SparkListener {
+            override def onJobStart(e: SparkListenerJobStart): Unit = {
+              t0j(e.jobId) = (System.nanoTime(),
+                Option(e.properties).map(_.getProperty("spark.job.description"))
+                  .flatMap(Option(_)).getOrElse(""))
+              stages(e.jobId) = e.stageInfos.size
+            }
+            override def onJobEnd(e: SparkListenerJobEnd): Unit =
+              t0j.get(e.jobId).foreach { case (t0, _) =>
+                done(e.jobId) = ((System.nanoTime() - t0) / 1e9, stages.getOrElse(e.jobId, 0), 0)
+              }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val tq = System.nanoTime()
+          fn(spark, dir).count()
+          val wall = (System.nanoTime() - tq) / 1e9
+          Thread.sleep(500) // listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"%n[jobprof] $name steady $wall%.2f s, ${done.size} jobs " +
+            f"(sum ${done.values.map(_._1).sum}%.2f s):")
+          done.toSeq.sortBy(_._1).foreach { case (id, (secs, nstages, _)) =>
+            println(f"[jobprof]   job $id%4d $secs%6.3f s  $nstages%2d stages  ${t0j(id)._2.take(80)}")
+          }
+        }
       case "buildprof" :: dir :: Nil =>
         // Stage-by-stage timing of the shared minhash/shingle build
         // that the alphabetically-first dedup consumer pays in the

@@ -171,6 +171,17 @@ object SharedBuilds {
     */
   def unmanagedScope: CacheScope = new CacheScope(None)
 
+  /** Whether this session's shared builds persist to scratch parquet —
+    * exposed for operators that gate a STAGING DECISION on the
+    * substrate (r19 verdict item 4 / ADVICE: the containment prefix
+    * postings are staged on the parquet substrate, where a staged
+    * frame is one shared materialization every executor scans, but
+    * derived inline in cache mode, where the staging was measured
+    * net-negative locally).
+    */
+  private[graft] def parquetMode(spark: SparkSession): Boolean =
+    persistParquet(spark)
+
   /** Whether shared builds persist to scratch parquet instead of
     * `.cache()`. Dial order: sysprop `graft.shared.persist` (in-JVM
     * spec override) > env `GRAFT_SHARED_PERSIST` > session conf

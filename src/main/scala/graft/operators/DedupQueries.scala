@@ -631,23 +631,31 @@ object DedupQueries extends graft.QueryModule {
     val full = shArr.filter(size(col("g_arr")) > 0)
       .select(col("doc_id"), size(col("g_arr")).cast("long").as("n_g"),
         explode(col("g_arr")).as("g"))
-    // The rare-prefix postings are STAGED (r19): deriving them costs a
-    // df shuffle plus a per-doc window sort on every execution, all of
-    // it reproducible from the cached shingle build — the same
-    // staged-index role ngramIndex.prefix plays for the bigram PPJoin.
-    // Partitioning contract "g" applies on the parquet substrate (the
-    // candidate join keys on g); cache mode ignores it (see
-    // SharedBuilds.cached). `full` stays derived inline — it is a
-    // map-only explode over the cached shingle arrays, no shuffle.
-    val pfx = graft.SharedBuilds.getOrBuild[DataFrame](
-        "dedup.containPrefix", spark, dir) { scope =>
+    // The rare-prefix postings are staged ON THE PARQUET SUBSTRATE
+    // ONLY (r20, resolving r19 verdict item 4): there a staged frame
+    // is one shared materialization every executor scans, and the
+    // partitioning contract "g" applies (the candidate join keys on
+    // g). In cache mode the postings are derived INLINE per run — the
+    // r19 always-staged form measured net-negative locally
+    // (1.17 -> 1.43 s steady) while adding a gram-level frame to the
+    // resident set; the derivation is one vocabulary-bounded df
+    // aggregate plus a per-doc window over the cached shingle build.
+    // `full` stays derived inline in both modes — it is a map-only
+    // explode over the cached shingle arrays, no shuffle.
+    def pfxDerivation: DataFrame = {
       val dfreq = full.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-      scope.cached(full.join(dfreq, Seq("g"))
+      full.join(dfreq, Seq("g"))
         .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <= col("n_g") - expr("(4 * n_g + 4) div 5") + lit(1))
-        .select(col("doc_id"), col("g"), col("n_g")), Seq("g"))
+        .select(col("doc_id"), col("g"), col("n_g"))
     }
+    val pfx =
+      if (!graft.SharedBuilds.parquetMode(spark)) pfxDerivation
+      else graft.SharedBuilds.getOrBuild[DataFrame](
+          "dedup.containPrefix", spark, dir) { scope =>
+        scope.cached(pfxDerivation, Seq("g"))
+      }
     // lossless size predicate: |A∩B| <= n_b, so containment >= 0.8
     // forces ceil(0.8 n_a) <= n_b, i.e. 4 n_a <= 5 n_b
     val cand = pfx.alias("a").join(full.alias("b"),

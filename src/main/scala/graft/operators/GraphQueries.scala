@@ -169,6 +169,18 @@ object GraphQueries extends graft.QueryModule {
       // fixture graph is small (~16k nodes), so round cost is job
       // overhead; at a corpus-scale edge list the removed per-round
       // exchange of the full rank vector is the term that matters.
+      //
+      // r20 NOTE (measured, kept as-is): fusing the prev-rank join
+      // INTO the step aggregation — union the per-edge contributions
+      // with one carrier row per node (null weight, prev rank) and
+      // group once on node with sum(w)/max(p)/count(w) — was A/B'd
+      // interleaved at sf0.1 and came out SLOWER in every round pair
+      // (q_pagerank_eps min 4.38 -> 5.00 s, +10-14%): the join it
+      // removes is a 16k-row broadcast, while the union widens the
+      // EDGE-VOLUME side of the aggregation to three buffers
+      // (decimal sum + max + count), so per-row aggregate work grows
+      // on ~1M rows to save a tiny join. Kept the aggregate-then-join
+      // shape deliberately.
       val withPrev = loop.truncate(
         pagerankStep(edges, ranks).alias("n")
           .join(ranks.alias("o"), col("n.node") === col("o.node"))

@@ -136,13 +136,23 @@ object RelationalQueries extends graft.QueryModule {
     * per-order DISTINCT, sort_array fixes pair orientation); the
     * basket-width cap is a row-local size() filter, so a pathological
     * 100k-item cart costs one array, never w² join rows.
+    *
+    * Staged per (session, dir) since r20: the frame has TWO consumers
+    * — the memoized [[coPairs]] build reads it once at fill, and
+    * [[copurchase]] re-derived it (full lineitem scan + the collect_set
+    * shuffle) on EVERY execution for its support/total statistics
+    * (guide §1.6 recompute removal). Order-domain-sized like
+    * dedup.shingles' doc-domain frame; the parquet substrate carries
+    * it in multi-process mode.
     */
   private def baskets(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("parts"))
-      .filter(size(col("parts")) <= MaxBasket)
+    graft.SharedBuilds.getOrBuild[DataFrame]("relational.baskets", spark, dir) { scope =>
+      scope.cached(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("parts"))
+        .filter(size(col("parts")) <= MaxBasket))
+    }
 
   /** Co-purchased part pairs with support >= 2 — pair generation is a
     * row-local combinations expression over each sorted basket (for
@@ -166,10 +176,10 @@ object RelationalQueries extends graft.QueryModule {
     }
 
   def copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // sup and stats share one basket exchange (ReuseExchange unifies
-    // their identical shuffles); the pair frame itself reads the
-    // SharedBuilds-cached coPairs build (InMemoryTableScan), whose
-    // basket shuffle was paid once inside that cached build.
+    // sup and stats read the staged basket frame (r20) — the lineitem
+    // scan + collect_set shuffle they previously re-ran per execution
+    // is paid once inside the shared build; the pair frame likewise
+    // reads the SharedBuilds-cached coPairs build (InMemoryTableScan).
     val bk = baskets(spark, dir)
     val pairs = coPairs(spark, dir)
     val sup = bk.select(explode(col("parts")).as("pk"))
