@@ -130,14 +130,22 @@ object Bench {
       // "steady_gt_cold" list so a contaminated run self-identifies.
       // Timing action, per-sample methodology and the min estimator
       // are unchanged; quiet runs take zero extra samples.
+      // TOLERANCE (same round, after the first campaign): on the
+      // sub-second catalog tail, scheduler jitter routinely puts a
+      // 0.16 s steady over a 0.15 s cold — a magnitude-free invariant
+      // stamps those as anomalies and buries the real signal. Only a
+      // steady >10% AND >50 ms above its own cold counts; the r19
+      // blowup class (12.69 vs 3.88) is three orders of magnitude past
+      // the gate, floor jitter never reaches it.
+      def gtCold(s: Double): Boolean = s > cold * 1.10 + 0.05
       var steady = steady0
       var extra = 0
-      while (steadyErr.isEmpty && coldErr.isEmpty && steady > cold && extra < 2) {
+      while (steadyErr.isEmpty && coldErr.isEmpty && gtCold(steady) && extra < 2) {
         val (s, e) = once()
         if (e.isEmpty) steady = math.min(steady, s)
         extra += 1
       }
-      val anomalous = steadyErr.isEmpty && coldErr.isEmpty && steady > cold
+      val anomalous = steadyErr.isEmpty && coldErr.isEmpty && gtCold(steady)
       (name, cold, coldErr, steady, coldErr.orElse(steadyErr), anomalous)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
